@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is executed twice: a warm-up collect (JIT + parquet footer cache)
+is NOT performed — the driver wants cold-ish numbers — but the session itself
+is shared, so JVM startup is excluded. Per-query time = wall-clock of
+build + execute + collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from data_pipeline_python_aws_cdk_spark.session import get_spark
+
+# Headline set: the reference's flagship shapes + the heaviest engine ops.
+HEADLINE = [
+    "count_total",
+    "users_by_city",
+    "unique_locations",
+    "email_domains",
+    "phone_patterns",
+    "completeness_by_field",
+    "extraction_trends",
+    "same_city_diff_company",
+    "duplicate_emails",
+    "top_segments",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("engine-bench")
+    registry = entrymod.queries()
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in registry if n.startswith("bench_") and n not in names]
+
+    # One tiny warm-up action so JVM/codegen startup doesn't land on q1.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry[name](spark, sf_dir)
+        n = df.count() if not df.isStreaming else -1
+        _ = df.limit(1000).collect()
+        timings[name] = round(time.time() - t0, 4)
+        del n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
