@@ -1,0 +1,38 @@
+"""Text tokenization / counting column helpers (JVM-side only).
+
+The tokenization contract is shared with the DuckDB oracles, so regexes here
+must behave identically under Java's and DuckDB's (RE2-ish) regex engines —
+stick to character classes, `+`, and alternation; no lookarounds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# "BPE-ish" lexer: runs of letters, runs of digits, or single non-space
+# symbols. A crude but deterministic stand-in for subword token counting.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Whitespace-delimited word tokens.
+WS_PATTERN = "\\s+"
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Array of whitespace-delimited tokens of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WS_PATTERN)
+
+
+def ws_token_count(col: Column | str) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Array of BPE-ish lexer tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))

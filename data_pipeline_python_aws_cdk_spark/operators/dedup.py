@@ -1,0 +1,382 @@
+"""Deduplication operators over the ``documents`` table.
+
+Extension tier (BASELINE.json north star): exact dedup, n-gram Jaccard
+near-dup, MinHash+LSH near-dup, and SimHash near-dup — the standard
+training-data dedup ladder, each expressed as DataFrame compositions with
+deterministic md5-derived hashing (functions/hashing.py) so the DuckDB
+oracle can replay every stage bit-for-bit.
+
+Scale design (the point of each operator):
+
+- exact:     one hash-groupBy on a 60-bit fingerprint — map-side partial agg,
+             single shuffle keyed by fingerprint; at 100 TB the fingerprint
+             (16 bytes) shuffles, never the document bodies.
+- jaccard:   pairwise via an inverted-index self-join on shingles. This is
+             quadratic in the worst case; it is the *verification* tool, not
+             the discovery tool at scale.
+- minhash:   the discovery tool: k=16 signatures, b=4 bands x r=4 rows.
+             Candidate generation shuffles only (doc_id, band_key) pairs —
+             O(docs x bands) — and exact Jaccard runs on candidates only.
+             At j=0.9 the detect probability is ~0.986; at j=0.1 it is ~4e-4,
+             so candidate volume stays near-linear in the true-dup count.
+- simhash:   constant-size signature (one int64 per doc) + banded hamming
+             join; cheapest at scale, coarsest recall.
+
+Skew note: stop-shingles (shingles appearing in a large fraction of docs)
+are the classic LSH hot key. The corpus here is small-vocab word salad, so
+the inverted index is dense but bounded; a production run would cap shingle
+document-frequency before the self-join (drop df > ~1e-4 of corpus) — left
+exact here so the oracle comparison stays lossless.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import hash60, hash60_sql
+from ..tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+MINHASH_K = 16
+MINHASH_BANDS = 4  # r = K / BANDS = 4 rows per band
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15  # 4 bands of 15 bits
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 8
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- shared SQL fragments (DuckDB oracle side) -----------------------------
+
+_TOKS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# 2-gram word shingles, one row per (doc_id, shingle).
+_SHINGLES_CTE = (
+    "t AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents),\n"
+    "idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),\n"
+    "shm AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS s FROM idx),\n"
+    "sh AS (SELECT DISTINCT doc_id, s FROM shm)"
+)
+
+_JACCARD_TAIL = (
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+    "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common\n"
+    "           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id\n"
+    "           GROUP BY 1, 2)\n"
+    "SELECT doc_a, doc_b,\n"
+    "       ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard\n"
+    "FROM common JOIN cnt ca ON ca.doc_id = doc_a\n"
+    "            JOIN cnt cb ON cb.doc_id = doc_b\n"
+    "WHERE common * 1.0 / (ca.n + cb.n - common) >= {thr}"
+)
+
+
+# --- shared Spark builders -------------------------------------------------
+
+
+def _shingles(d: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, s): 2-gram word shingles of lowercased text.
+
+    Spark arrays are 0-indexed and DuckDB's are 1-indexed; both loops emit
+    exactly the (token[j], token[j+1]) adjacent pairs. Docs with <2 tokens
+    are filtered (DuckDB's generate_series is empty there; Spark's sequence
+    would count *down* and fabricate shingles).
+    """
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    shm = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("s"),
+    )
+    return shm.distinct() if distinct else shm
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over distinct-shingle sets.
+
+    ``pairs`` (doc_a, doc_b) restricts the computation to candidates (the
+    LSH path); None means all-pairs via the inverted-index self-join.
+    """
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    if pairs is not None:
+        a = a.join(pairs.select("doc_a").distinct(), "doc_a")
+        b = b.join(pairs.select("doc_b").distinct(), "doc_b")
+    common = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["doc_a", "doc_b"])
+    return (
+        common.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+    )
+
+
+# --- operators -------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    oracle=(
+        "WITH fp AS (SELECT doc_id,\n"
+        "  " + hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))") + " AS fp60\n"
+        "  FROM documents)\n"
+        "SELECT fp60, MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies\n"
+        "FROM fp GROUP BY fp60"
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint, keep the
+    lowest doc_id per group. One shuffle of (fp60, doc_id) pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    return (
+        d.select("doc_id", hash60(normalized).alias("fp60"))
+        .groupBy("fp60")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("copies"))
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + ",\n"
+    + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard near-dup (the exact/verification path).
+
+    Inverted-index self-join on 2-gram shingles -> per-pair intersection
+    counts -> Jaccard >= 0.5. Quadratic blow-up is bounded by shingle
+    selectivity; at scale this runs only on LSH candidates (see
+    dedup_minhash_lsh).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    out = _pair_jaccard(sh)
+    return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    h_expr = hash60_sql("h::VARCHAR || ':' || s")
+    return (
+        "WITH "
+        + _SHINGLES_CTE
+        + ",\n"
+        + f"hx AS (SELECT doc_id, s, unnest(generate_series(0, {MINHASH_K - 1})) AS h FROM sh),\n"
+        + f"mh AS (SELECT doc_id, h, MIN({h_expr}) AS v FROM hx GROUP BY doc_id, h),\n"
+        + "bands AS (SELECT doc_id, h // 4 AS band,\n"
+        + "                 md5(string_agg(v::VARCHAR, ',' ORDER BY h)) AS bkey\n"
+        + "          FROM mh GROUP BY doc_id, h // 4),\n"
+        + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        + "         FROM bands a JOIN bands b\n"
+        + "           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),\n"
+        + "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+        + "common AS (SELECT c.doc_a, c.doc_b, count(*) AS common\n"
+        + "           FROM cand c JOIN sh a ON a.doc_id = c.doc_a\n"
+        + "                       JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s\n"
+        + "           GROUP BY 1, 2)\n"
+        + "SELECT doc_a, doc_b,\n"
+        + "       ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard\n"
+        + "FROM common JOIN cnt ca ON ca.doc_id = doc_a\n"
+        + "            JOIN cnt cb ON cb.doc_id = doc_b\n"
+        + f"WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}"
+    )
+
+
+@_register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: the 100 TB discovery path.
+
+    shingle -> k=16 salted min-hashes -> 4 bands x 4 rows -> band-bucket
+    self-join -> exact-Jaccard verification of candidates only.
+
+    Candidate generation never materializes the quadratic pair space: the
+    band join shuffles (band, band_key) — 4 small rows per doc — and only
+    colliding buckets produce pairs. Hash family is the deterministic
+    md5-based hash60, so Spark and the oracle agree on every signature.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+
+    hv = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h"), hash60(F.col("s"), salt=str(i)).alias("v")
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+    hx = sh.select("doc_id", F.explode(hv).alias("x")).select(
+        "doc_id", F.col("x.h").alias("h"), F.col("x.v").alias("v")
+    )
+    mh = hx.groupBy("doc_id", "h").agg(F.min("v").alias("v"))
+    bands = mh.groupBy("doc_id", F.expr("h div 4").alias("band")).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "v"))),
+                    lambda x: x["v"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bkey")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = _pair_jaccard(sh, pairs=cand)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _simhash_sig_sql() -> str:
+    h_expr = hash60_sql("s")
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH "
+        + _SHINGLES_CTE
+        + ",\n"
+        + f"hv AS (SELECT doc_id, {h_expr} AS hv FROM shm),\n"
+        + f"bits AS (SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id)\n"
+        + f"SELECT doc_id, {value} AS simhash FROM bits"
+    )
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shm = _shingles(d, distinct=False)
+    hv = shm.select("doc_id", hash60(F.col("s")).alias("hv"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = hv.groupBy("doc_id").agg(*bit_sums)
+    value = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("bigint"),
+    )
+    return bits.select("doc_id", value.alias("simhash"))
+
+
+@_register("simhash_signatures", oracle=_simhash_sig_sql())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 60-bit signature per doc from the 2-gram shingle multiset.
+
+    All-integer arithmetic (weights = shingle occurrence counts), so the
+    signature is bit-identical across engines and partitionings. One shuffle
+    on doc_id with 60 partial-agg sums; signature is 8 bytes/doc — the
+    cheapest near-dup representation at 100 TB.
+    """
+    return _simhash_signatures(spark, sf_dir)
+
+
+def _simhash_pairs_sql() -> str:
+    sig = _simhash_sig_sql()
+    bands = ", ".join(str(i) for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS))
+    return (
+        "WITH sig AS (" + sig + "),\n"
+        + f"chunks AS (SELECT doc_id, simhash, unnest([{bands}]) AS band FROM sig),\n"
+        + f"keyed AS (SELECT doc_id, simhash, band,\n"
+        + f"                 (simhash >> (band * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS chunk\n"
+        + "          FROM chunks),\n"
+        + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,\n"
+        + "                b.doc_id AS doc_b, b.simhash AS sim_b\n"
+        + "         FROM keyed a JOIN keyed b\n"
+        + "           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)\n"
+        + "SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming\n"
+        + "FROM cand\n"
+        + f"WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}"
+    )
+
+
+@_register("dedup_simhash", oracle=_simhash_pairs_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded hamming join.
+
+    Signatures are split into 4 x 15-bit chunks; any pair within hamming
+    distance 3 must share >= 1 chunk (pigeonhole), and the hamming <= 8
+    filter keeps recall soft while the chunk join keeps the pair space
+    near-linear. Shuffle volume: 4 x (chunk, doc_id) rows per doc.
+    """
+    sig = _simhash_signatures(spark, sf_dir)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keyed = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "chunk",
+        F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})").bitwiseAND(
+            F.lit(mask)
+        ),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sim_a", "doc_b", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
+    )

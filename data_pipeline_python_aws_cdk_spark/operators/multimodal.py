@@ -1,0 +1,173 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Extension tier (BASELINE.json north star). Image/audio/video content is
+carried as an opaque ``binary`` column next to typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+functions over ``mapInPandas`` so bytes never round-trip through Python
+row-at-a-time.
+
+The container has no imaging/audio libraries, so the real decoders are
+STUBS gated behind import-tries (``decode_image``/``sample_frames`` raise
+``NotImplementedError`` without PIL/av). The Spark-side plumbing — binary
+schema, Arrow batching, UDF signatures, partition behavior — is real and
+tested, with a deterministic fake decoder whose output the DuckDB oracle
+reproduces (md5-derived pseudo-dimensions).
+
+Scale notes: payloads stay columnar (parquet binary) end to end; mapInPandas
+processes whole Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch
+controls batch height, so memory is bounded per task regardless of payload
+size); no shuffle is introduced — decode is map-only and co-partitioned
+with the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import hash60_py, hash60_sql
+from ..tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def attach_payload(d: DataFrame) -> DataFrame:
+    """documents -> multimodal frame: (doc_id, payload binary, meta struct).
+
+    Stand-in for reading real media: the text bytes play the role of an
+    encoded image/audio blob.
+    """
+    return d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.octet_length("text").alias("byte_len"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+# --- real decoders (stubbed: libs absent in this container) ---------------
+
+try:  # pragma: no cover - PIL not installed here
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an encoded image payload to pixels. Requires PIL."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; container ships without imaging libs "
+            "— use fake_decode_batch for plumbing tests"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def sample_frames(payload: bytes, every_n: int = 30) -> list:
+    """Frame-sample a video payload. Requires an av/ffmpeg binding."""
+    raise NotImplementedError(
+        "video frame sampling requires PyAV/ffmpeg; not present in this "
+        "container — the mapInPandas plumbing below is the tested surface"
+    )
+
+
+# --- deterministic fake decoder (the tested plumbing) ---------------------
+
+FEATURE_SCHEMA = (
+    "doc_id long, byte_len int, width int, height int, n_frames int, channel_sum long"
+)
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 'decode' each payload deterministically.
+
+    Pseudo-dimensions derive from the md5-based hash60 of the payload text —
+    exactly what the oracle computes in SQL — so correctness of the batching
+    and schema plumbing is verifiable without any media library.
+    """
+    for pdf in batches:
+        texts = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": texts.str.len().astype("int32"),
+                "width": texts.map(lambda t: hash60_py(t, "w") % 1920 + 1).astype("int32"),
+                "height": texts.map(lambda t: hash60_py(t, "h") % 1080 + 1).astype("int32"),
+                "n_frames": texts.map(lambda t: hash60_py(t, "f") % 240 + 1).astype("int32"),
+                "channel_sum": texts.map(lambda t: hash60_py(t, "c") % 1_000_000),
+            }
+        )
+
+
+@_register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5,
+           source AS origin
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction from the binary payload (no decode):
+    byte length + content hash + origin. Map-only, columnar end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    frame = attach_payload(d)
+    return frame.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.md5("payload").alias("content_md5"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+_W = hash60_sql("'w:' || text")
+_H = hash60_sql("'h:' || text")
+_F = hash60_sql("'f:' || text")
+_C = hash60_sql("'c:' || text")
+
+
+@_register(
+    "multimodal_decode",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           ({_W}) % 1920 + 1 AS width,
+           ({_H}) % 1080 + 1 AS height,
+           ({_F}) % 240 + 1 AS n_frames,
+           ({_C}) % 1000000 AS channel_sum
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over mapInPandas.
+
+    The fake decoder stands in for PIL/ffmpeg; schema, batch shape, and
+    partitioning are the real production plumbing (swap fake_decode_batch
+    for a real decoder and nothing else changes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frame = attach_payload(d)
+    return frame.mapInPandas(fake_decode_batch, schema=FEATURE_SCHEMA)

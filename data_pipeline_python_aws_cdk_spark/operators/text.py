@@ -1,0 +1,247 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Extension tier (BASELINE.json north star): language-ID, quality scoring,
+token counting, document fingerprinting — the per-document statistics a
+large-scale training-data pipeline computes before filtering/dedup.
+
+Every operator here is a pure column-expression pipeline (no Python UDFs):
+one narrow projection per document, no shuffle at all except where a final
+aggregate is requested. At 100 TB this is the ideal shape — embarrassingly
+parallel map work that whole-stage codegen fuses into the parquet scan.
+
+Each query has a DuckDB oracle built from the same tokenization contract
+(functions/textfns.py, functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import hash60, hash60_sql
+from ..functions.textfns import BPE_ISH_PATTERN, bpe_ish_token_count, ws_token_count
+from ..tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Stopword votes per language for the n-gram/stopword heuristic. The corpus
+# text is synthetic word salad, so the *labels* are arbitrary — what matters
+# is that the decision function is deterministic and identical in both
+# engines: count whole-word stopword occurrences per family, argmax with a
+# fixed tie-break order (en > de > es).
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "la", "los", "de"],
+}
+
+
+def _marker_regex(words: list[str]) -> str:
+    alt = "|".join(words)
+    return f"(^|\\s)({alt})(\\s|$)"
+
+
+@_register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens,
+           length(text) AS chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish lexer tokens per doc.
+
+    Narrow map-only projection; codegen fuses both regex counters into the
+    scan. At 100 TB: zero shuffle, scales linearly with input splits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+@_register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '(^|\\s)(the|a|and|of|in|to)(\\s|$)'))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, chars, n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / chars, 6) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           CASE
+             WHEN n_tokens >= 50 AND CAST(n_punct AS DOUBLE) / chars < 0.05
+               THEN 'good'
+             WHEN n_tokens >= 20 THEN 'fair'
+             ELSE 'poor'
+           END AS quality_bucket
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation-ratio / stopword-ratio features
+    plus a CASE bucket — the standard pre-training quality filter features.
+
+    Map-only like text_token_stats; non-overlapping whole-word matching uses
+    ``(^|\\s)word(\\s|$)`` so Java and DuckDB regex engines agree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.length("text")
+    n_tokens = ws_token_count("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), F.lit(0)))
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")),
+            F.lit("(^|\\s)(the|a|and|of|in|to)(\\s|$)"),
+            F.lit(0),
+        )
+    )
+    t = d.select(
+        "doc_id",
+        chars.alias("chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    )
+    return t.select(
+        "doc_id",
+        "chars",
+        "n_tokens",
+        F.round(F.col("n_punct").cast("double") / F.col("chars"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.col("chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            (F.col("n_tokens") >= 50)
+            & (F.col("n_punct").cast("double") / F.col("chars") < 0.05),
+            "good",
+        )
+        .when(F.col("n_tokens") >= 20, "fair")
+        .otherwise("poor")
+        .alias("quality_bucket"),
+    )
+
+
+def _lang_id_expr_sql() -> str:
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '{_marker_regex(words)}'))"
+        for lang, words in _LANG_MARKERS.items()
+    }
+    en, de, es = counts["en"], counts["de"], counts["es"]
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN {en} >= {de} AND {en} >= {es} THEN 'en'
+             WHEN {de} >= {es} THEN 'de'
+             ELSE 'es'
+           END AS detected_lang
+    FROM documents
+    """
+
+
+@_register("lang_id", oracle=_lang_id_expr_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: whole-word stopword votes per language family,
+    argmax with fixed tie-break (en > de > es).
+
+    A real pipeline would swap the marker lists for per-language n-gram
+    profiles; the operator shape (map-only vote + argmax) is identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    votes = {
+        lang: F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_marker_regex(words)), F.lit(0)
+            )
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    detected = (
+        F.when((votes["en"] >= votes["de"]) & (votes["en"] >= votes["es"]), "en")
+        .when(votes["de"] >= votes["es"], "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+    )
+
+
+@_register(
+    "lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY docs DESC, lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (single hash-agg on a low-cardinality
+    key; partial aggregation collapses shuffle traffic to ~|langs| rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy(F.col("docs").desc(), F.col("lang"))
+    )
+
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_FP60_SQL = hash60_sql(_NORM_SQL)
+
+
+@_register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fp_md5,
+           {_FP60_SQL} AS fp60
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 + 60-bit integer fingerprint of
+    whitespace-normalized lowercased text. The integer form feeds exact
+    dedup and sharded equality joins without string comparisons."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(normalized).alias("fp_md5"),
+        hash60(normalized).alias("fp60"),
+    )
