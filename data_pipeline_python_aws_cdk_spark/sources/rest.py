@@ -1,0 +1,145 @@
+"""REST/HTTP JSON source (reference S1-S3).
+
+The reference fetches https://jsonplaceholder.typicode.com/users driver-side
+with a 30 s timeout and flattens nested records in a Python loop (reference
+lambda_functions/data_extractor.py:31-58). Spark-first translation:
+
+- the fetch stays driver-side for a single small endpoint (S1) — there is no
+  native Spark HTTP source, and 10 records do not need a cluster;
+- the flatten becomes a *pure projection* over a typed nested StructType —
+  ``col("address.geo.lat").alias("address_lat")`` — no Python loop, no UDF
+  (S3);
+- for ingestion at scale (many endpoints/pages), ``distributed_fetch`` maps
+  an endpoint DataFrame through Arrow-batched ``mapInPandas`` so the HTTP
+  work itself is distributed and bounded per task.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_URL = "https://jsonplaceholder.typicode.com/users"
+FETCH_TIMEOUT_SECONDS = 30  # reference data_extractor.py:31
+
+
+def users_schema() -> T.StructType:
+    """Nested source schema (transient, pre-flatten), nullable-by-default —
+    missing nested fields degrade to NULL exactly like the reference's
+    chained .get(..., {}) (reference data_extractor.py:47-55)."""
+    geo = T.StructType(
+        [T.StructField("lat", T.StringType()), T.StructField("lng", T.StringType())]
+    )
+    address = T.StructType(
+        [
+            T.StructField("street", T.StringType()),
+            T.StructField("suite", T.StringType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("zipcode", T.StringType()),
+            T.StructField("geo", geo),
+        ]
+    )
+    company = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("catchPhrase", T.StringType()),
+            T.StructField("bs", T.StringType()),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("username", T.StringType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("phone", T.StringType()),
+            T.StructField("website", T.StringType()),
+            T.StructField("address", address),
+            T.StructField("company", company),
+        ]
+    )
+
+
+def fetch_users(url: str = DEFAULT_URL, timeout: int = FETCH_TIMEOUT_SECONDS) -> list[dict]:
+    """Driver-side GET -> list of user dicts (reference S1/S2 semantics:
+    fixed timeout, raise on HTTP error)."""
+    import requests  # imported lazily; tests inject fixtures instead
+
+    response = requests.get(url, timeout=timeout)
+    response.raise_for_status()
+    return response.json()
+
+
+def records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
+    """Nested records -> typed nested DataFrame. JSON round-trip ensures the
+    schema is applied by name (createDataFrame on dicts is positional)."""
+    rdd_less = [json.dumps(r) for r in records]
+    return spark.read.schema(users_schema()).json(
+        spark.sparkContext.parallelize(rdd_less or [""], numSlices=1)
+    )
+
+
+def flatten_users(df: DataFrame) -> DataFrame:
+    """users{address{geo{}},company{}} -> 15 flat columns; the 16th
+    (extraction_timestamp) is ingestion-time enrichment (ingest.enrich).
+
+    The 16-column flatten (reference data_extractor.py:39-58) as pure
+    projections — Catalyst folds these into the scan; no record-level Python.
+    """
+    return df.select(
+        F.col("id"),
+        F.col("name"),
+        F.col("username"),
+        F.col("email"),
+        F.col("phone"),
+        F.col("website"),
+        F.col("address.street").alias("address_street"),
+        F.col("address.suite").alias("address_suite"),
+        F.col("address.city").alias("address_city"),
+        F.col("address.zipcode").alias("address_zipcode"),
+        F.col("address.geo.lat").alias("address_lat"),
+        F.col("address.geo.lng").alias("address_lng"),
+        F.col("company.name").alias("company_name"),
+        F.col("company.catchPhrase").alias("company_catchphrase"),
+        F.col("company.bs").alias("company_bs"),
+    )
+
+
+def distributed_fetch(
+    spark: SparkSession,
+    endpoints: list[str],
+    fetch: Callable[[str], list[dict]] | None = None,
+) -> DataFrame:
+    """Scale path for many endpoints: distribute URLs, fetch inside
+    mapInPandas (one HTTP call per endpoint row, whole-batch Arrow I/O),
+    parse into the nested schema.
+
+    ``fetch`` is injectable for tests / offline runs; default is the
+    requests-based fetch_users.
+    """
+    fetcher = fetch or fetch_users
+    urls = spark.createDataFrame([(u,) for u in endpoints], "url string")
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for url in pdf["url"]:
+                try:
+                    payloads.append(json.dumps(fetcher(url)))
+                except Exception as exc:  # noqa: BLE001 — per-endpoint isolation
+                    payloads.append(json.dumps({"__error__": str(exc)}))
+            yield pd.DataFrame({"url": pdf["url"], "body": payloads})
+
+    raw = urls.repartition(max(1, min(len(endpoints), 64))).mapInPandas(
+        worker, schema="url string, body string"
+    )
+    users = raw.select(
+        F.explode(F.from_json("body", T.ArrayType(users_schema()))).alias("u")
+    ).select("u.*")
+    return users

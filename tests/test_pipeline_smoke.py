@@ -1,0 +1,174 @@
+"""Port of the reference's 5-stage end-to-end smoke suite
+(reference test_pipeline.py:351-435): ingest -> files exist -> catalog ->
+introspection -> queries through the executor harness, plus engine-level
+assertions the reference can't make (partition pruning in the plan,
+golden-value checks).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from data_pipeline_python_aws_cdk_spark import catalog
+from data_pipeline_python_aws_cdk_spark.plans import QueryExecutor
+from data_pipeline_python_aws_cdk_spark.sources import ingest_job
+from data_pipeline_python_aws_cdk_spark.sources.rest import distributed_fetch
+from tests.fixtures_users import USERS_FIXTURE
+
+NOW = datetime(2026, 8, 13, 1, 0, 0, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    """Run ingestion once; downstream stages share the output."""
+    root = tmp_path_factory.mktemp("lake")
+    data_root = str(root / "raw-data")
+    result = ingest_job(spark, data_root, records=USERS_FIXTURE, now=NOW)
+    return {"root": root, "data_root": data_root, "result": result}
+
+
+# Stage 1: ingestion runs and reports the contract (reference :351-357).
+def test_stage1_ingest_response(pipeline):
+    res = pipeline["result"]
+    assert res["statusCode"] == 200
+    assert res["records"] == 10
+    assert res["location"] == pipeline["data_root"]
+
+
+# Stage 2: partitioned files exist (reference :364-367 checks S3 keys).
+def test_stage2_partitioned_layout(pipeline):
+    part_dir = (
+        f"{pipeline['data_root']}/year=2026/month=08/day=13"
+    )
+    import os
+
+    assert os.path.isdir(part_dir), part_dir
+    assert any(f.endswith(".parquet") for f in os.listdir(part_dir))
+
+
+# Stage 3+4: catalog registration + introspection (reference :369-381).
+def test_stage3_4_catalog(spark, pipeline):
+    qualified = catalog.crawl(spark, pipeline["data_root"])
+    tables = catalog.introspect(spark)
+    assert "raw_data" in tables
+    cols = tables["raw_data"]
+    assert len(cols) == 19  # 16 data columns + 3 partition columns
+    for expected in ("id", "email", "address_city", "extraction_timestamp", "year"):
+        assert expected in cols
+    assert spark.table(qualified).count() == 10
+
+
+# Stage 5: the three smoke queries through the executor (reference :383-405),
+# with result artifacts + metadata sidecars (reference :232-233,239-295).
+def test_stage5_queries_via_executor(spark, pipeline):
+    catalog.crawl(spark, pipeline["data_root"])
+    ex = QueryExecutor(spark, str(pipeline["root"] / "results"))
+
+    qid1 = ex.submit("SELECT COUNT(*) as record_count FROM data_pipeline_db.raw_data")
+    s1 = ex.poll(qid1)
+    assert s1.state == "SUCCEEDED"
+    rows = ex.get_results(qid1)
+    assert rows[0]["record_count"] == "10"
+
+    qid2 = ex.submit(
+        "SELECT address_city, COUNT(*) as user_count FROM data_pipeline_db.raw_data "
+        "WHERE address_city IS NOT NULL GROUP BY address_city "
+        "ORDER BY user_count DESC LIMIT 3"
+    )
+    rows2 = ex.get_results(qid2)
+    assert rows2[0]["address_city"] == "Gwenborough"
+    assert rows2[0]["user_count"] == "3"
+
+    qid3 = ex.submit(
+        "SELECT name, email, address_city FROM data_pipeline_db.raw_data LIMIT 5"
+    )
+    assert len(ex.get_results(qid3)) == 5
+
+    # result artifacts: <id>.csv + .csv.metadata (reference :232-233)
+    meta_path = pipeline["root"] / "results" / qid1 / f"{qid1}.csv.metadata"
+    meta = json.loads(meta_path.read_text())
+    assert meta["row_count"] == 1
+    assert meta["columns"] == ["record_count"]
+
+
+def test_executor_failure_state(spark, pipeline):
+    ex = QueryExecutor(spark, str(pipeline["root"] / "results2"))
+    qid = ex.submit("SELECT * FROM nonexistent_table_xyz")
+    status = ex.poll(qid)
+    assert status.state == "FAILED"
+    assert "nonexistent_table_xyz" in (status.error or "")
+
+
+def test_retention_janitor(spark, pipeline):
+    ex = QueryExecutor(spark, str(pipeline["root"] / "results3"))
+    catalog.crawl(spark, pipeline["data_root"])
+    qid = ex.submit("SELECT 1 AS one")
+    assert ex.poll(qid).state == "SUCCEEDED"
+    from datetime import timedelta
+
+    future = datetime.now(timezone.utc) + timedelta(days=8)
+    assert ex.cleanup_results(now=future) == 1
+    with pytest.raises(KeyError):
+        ex.poll(qid)
+
+
+def test_partition_pruning_in_plan(spark, pipeline):
+    """The reference's partition-projection query (sql:201-208) must prune
+    directories: the scan's PartitionFilters must carry the predicate."""
+    catalog.crawl(spark, pipeline["data_root"])
+    df = spark.sql(
+        "SELECT * FROM data_pipeline_db.raw_data "
+        "WHERE year = '2026' AND month = '08' AND day = '13' LIMIT 100"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "year" in plan.split("PartitionFilters")[1][:300]
+    assert df.count() == 10
+
+
+def test_schema_drift_policy(spark):
+    from pyspark.sql import types as T
+
+    old = T.StructType([T.StructField("a", T.StringType()), T.StructField("b", T.LongType())])
+    new = T.StructType([T.StructField("a", T.StringType()), T.StructField("c", T.DoubleType())])
+    drift = catalog.diff_schemas(old, new)
+    assert drift == {"added": ["c"], "removed": ["b"], "changed": []}
+
+
+def test_distributed_fetch_plumbing(spark):
+    """mapInPandas fetch path with an injected offline fetcher."""
+    from tests.fixtures_users import USERS_FIXTURE
+
+    def fake_fetch(url: str):
+        return USERS_FIXTURE if url.endswith("/users") else []
+
+    df = distributed_fetch(
+        spark, ["https://x.test/users", "https://y.test/other"], fetch=fake_fetch
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0].address.geo.lat == "10.1"
+
+
+def test_csv_fidelity_mode(spark, tmp_path):
+    """The reference stores headered CSV; fidelity mode round-trips it."""
+    root = str(tmp_path / "csv-lake")
+    res = ingest_job(spark, root, records=USERS_FIXTURE, fmt="csv", now=NOW)
+    assert res["statusCode"] == 200
+    back = spark.read.option("header", True).csv(root)
+    assert back.count() == 10
+    assert "extraction_timestamp" in back.columns
+
+
+def test_ingest_error_contract(spark, tmp_path):
+    """Fetch failures -> 500 'Error fetching data' (reference :91-96)."""
+    res = ingest_job(
+        spark,
+        str(tmp_path / "nope"),
+        source_url="http://127.0.0.1:1/unreachable",
+    )
+    assert res["statusCode"] == 500
+    assert "Error fetching data" in res["body"]
