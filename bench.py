@@ -21,18 +21,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from data_pipeline_python_aws_cdk_spark.session import get_spark
 
-# Headline set: the reference's flagship shapes + the heaviest engine ops.
+# Headline set: the reference's flagship shapes + the heaviest engine ops
+# (joins, windows, dedup, similarity, text) — the queries that stress scan,
+# shuffle, join strategy, window state, and the pandas/Arrow boundary.
 HEADLINE = [
     "count_total",
     "users_by_city",
-    "unique_locations",
     "email_domains",
     "phone_patterns",
     "completeness_by_field",
-    "extraction_trends",
     "same_city_diff_company",
-    "duplicate_emails",
-    "top_segments",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_by_revenue",
+    "window_latest_order",
+    "events_sessionize",
+    "events_hourly_windows",
+    "text_quality",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "multimodal_decode",
 ]
 
 
@@ -51,10 +64,8 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = registry[name](spark, sf_dir)
-        n = df.count() if not df.isStreaming else -1
-        _ = df.limit(1000).collect()
+        _ = df.collect()  # single full materialization; results are small
         timings[name] = round(time.time() - t0, 4)
-        del n
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -1,0 +1,91 @@
+"""Physical-plan quality gates.
+
+Correctness says the right rows come out; these tests pin the *plan shape*
+that makes the operators viable at 100 TB: filters reaching the parquet
+scan, dimension joins broadcasting, partial aggregation before exchanges,
+and whole-stage codegen covering the hot path. A regression here is a
+performance bug even when results stay right.
+"""
+
+from __future__ import annotations
+
+from data_pipeline_python_aws_cdk_spark.operators import analytics, corpus, similarity
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushes_to_parquet_scan(spark):
+    df = corpus.users_by_city(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(c_mktsegment)]" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    df = corpus.users_by_city(spark, SF_SMOKE)
+    plan = _plan(df)
+    # ReadSchema must not include unused columns like c_acctbal/c_name.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_mktsegment" in read_schema
+    assert "c_acctbal" not in read_schema
+    assert "c_name" not in read_schema
+
+
+def test_count_star_scans_zero_columns(spark):
+    df = corpus.count_total(spark, SF_SMOKE)
+    plan = _plan(df)
+    # The V1 parquet scan prunes every column for COUNT(*): rows are counted
+    # from row-group metadata without decoding any data pages.
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_dim_fact_joins_broadcast(spark):
+    for q in (
+        analytics.q3_shipping_priority,
+        analytics.q5_local_supplier_volume,
+        analytics.top_customers_by_revenue,
+    ):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_aggregations_are_partial_before_exchange(spark):
+    plan = _plan(corpus.users_by_city(spark, SF_SMOKE))
+    # partial_count before the exchange, count after — map-side combine.
+    assert "partial_count" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(corpus.top_segments(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark):
+    df = analytics.q1_pricing_summary(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes mark WholeStageCodegen spans in the compact plan
+    # string; scan->partial-agg and final-agg must both be inside codegen.
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    plan = _plan(similarity.similarity_topk(spark, SF_SMOKE))
+    # Tiny query side must broadcast (nested-loop on the != predicate);
+    # the corpus side must stream, not shuffle-exchange for the join.
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_date_filter_prunes_rowgroups(spark):
+    plan = _plan(analytics.q1_pricing_summary(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
