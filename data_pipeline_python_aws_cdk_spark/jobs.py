@@ -1,0 +1,103 @@
+"""External-scheduler entry points (the reference's EventBridge role).
+
+The reference schedules ingestion at 01:00 UTC and cataloging at 02:00 UTC
+via EventBridge cron -> Lambda / Glue (reference
+data_pipeline/data_pipeline_stack.py:166-186,116-118). Per BASELINE.json the
+engine keeps orchestration external: any cron/Airflow/Dagster invokes these
+subcommands:
+
+    python -m data_pipeline_python_aws_cdk_spark.jobs ingest --output /lake/raw-data
+    python -m data_pipeline_python_aws_cdk_spark.jobs crawl  --path /lake/raw-data
+    python -m data_pipeline_python_aws_cdk_spark.jobs query  --sql "SELECT ..." --results /lake/results
+    python -m data_pipeline_python_aws_cdk_spark.jobs janitor --results /lake/results
+
+Each prints a single JSON status line (the Lambda response contract) and
+exits nonzero on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .catalog import crawl
+from .plans import QueryExecutor
+from .session import get_spark
+from .sources import ingest_job
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="data-pipeline-spark-jobs")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_ingest = sub.add_parser("ingest", help="fetch + flatten + partitioned write")
+    p_ingest.add_argument("--output", required=True)
+    p_ingest.add_argument("--url", default=None)
+    p_ingest.add_argument("--fixture", default=None, help="JSON file of records (offline mode)")
+    p_ingest.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+
+    p_crawl = sub.add_parser("crawl", help="infer schema + register catalog table")
+    p_crawl.add_argument("--path", required=True)
+    p_crawl.add_argument("--database", default="data_pipeline_db")
+    p_crawl.add_argument("--table", default="raw_data")
+    p_crawl.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+
+    p_query = sub.add_parser("query", help="run SQL through the executor harness")
+    p_query.add_argument("--sql", required=True)
+    p_query.add_argument("--results", required=True)
+    p_query.add_argument("--crawl-path", default=None, help="register this path first")
+
+    p_jan = sub.add_parser("janitor", help="expire result artifacts past retention")
+    p_jan.add_argument("--results", required=True)
+    p_jan.add_argument("--retention-days", type=int, default=7)
+
+    args = parser.parse_args(argv)
+    spark = get_spark(f"job-{args.cmd}")
+
+    if args.cmd == "ingest":
+        records = None
+        if args.fixture:
+            records = json.loads(open(args.fixture).read())
+        status = ingest_job(
+            spark, args.output, source_url=args.url, records=records, fmt=args.format
+        )
+        print(json.dumps(status))
+        return 0 if status["statusCode"] == 200 else 1
+
+    if args.cmd == "crawl":
+        qualified = crawl(spark, args.path, args.database, args.table, fmt=args.format)
+        n = spark.table(qualified).count()
+        print(json.dumps({"statusCode": 200, "table": qualified, "rows": n}))
+        return 0
+
+    if args.cmd == "query":
+        if args.crawl_path:
+            crawl(spark, args.crawl_path)
+        ex = QueryExecutor(spark, args.results)
+        qid = ex.submit(args.sql)
+        st = ex.poll(qid)
+        print(
+            json.dumps(
+                {
+                    "query_id": qid,
+                    "state": st.state,
+                    "rows": st.row_count,
+                    "output": st.output_location,
+                    "error": st.error,
+                }
+            )
+        )
+        return 0 if st.state == "SUCCEEDED" else 1
+
+    if args.cmd == "janitor":
+        ex = QueryExecutor(spark, args.results)
+        removed = ex.cleanup_results(retention_days=args.retention_days)
+        print(json.dumps({"statusCode": 200, "removed": removed}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

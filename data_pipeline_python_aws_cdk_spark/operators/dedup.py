@@ -44,6 +44,13 @@ ORACLES = {}
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # r = K / BANDS = 4 rows per band
+# Universal-hash family over one base hash: h_i(s) = (a_i*h(s) + b_i) mod P.
+# One md5 per shingle instead of K; the affine constants are fixed odd
+# multipliers (any distinct constants < P work — only pairwise independence
+# matters for MinHash accuracy).
+MINHASH_PRIME = 1_073_741_789  # largest prime < 2^30: a*h+b stays < 2^63
+MINHASH_A = [2 * i + 3 for i in range(MINHASH_K)]
+MINHASH_B = [1000 * i + 7 for i in range(MINHASH_K)]
 SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15  # 4 bands of 15 bits
 JACCARD_THRESHOLD = 0.5
@@ -189,16 +196,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    h_expr = hash60_sql("h::VARCHAR || ':' || s")
+    base = hash60_sql("s")
+    r = MINHASH_K // MINHASH_BANDS
+    min_cols = ", ".join(
+        f"MIN(({MINHASH_A[i]} * (base % {MINHASH_PRIME}) + {MINHASH_B[i]})"
+        f" % {MINHASH_PRIME}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = ",\n                ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || ',' || ".join(f"m{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
     return (
         "WITH "
         + _SHINGLES_CTE
         + ",\n"
-        + f"hx AS (SELECT doc_id, s, unnest(generate_series(0, {MINHASH_K - 1})) AS h FROM sh),\n"
-        + f"mh AS (SELECT doc_id, h, MIN({h_expr}) AS v FROM hx GROUP BY doc_id, h),\n"
-        + "bands AS (SELECT doc_id, h // 4 AS band,\n"
-        + "                 md5(string_agg(v::VARCHAR, ',' ORDER BY h)) AS bkey\n"
-        + "          FROM mh GROUP BY doc_id, h // 4),\n"
+        + f"hb AS (SELECT doc_id, {base} AS base FROM sh),\n"
+        + f"mh AS (SELECT doc_id, {min_cols} FROM hb GROUP BY doc_id),\n"
+        + "bands AS (SELECT doc_id, bb.band, bb.bkey\n"
+        + "          FROM mh, LATERAL (VALUES\n"
+        + f"                {band_rows}) AS bb(band, bkey)),\n"
         + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
         + "         FROM bands a JOIN bands b\n"
         + "           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),\n"
@@ -235,14 +255,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB it avoids pinning a corpus-sized index in executor memory.
     sh = _shingles(d)
 
-    # All 16 min-hashes in ONE groupBy(doc_id) pass: each hash family is a
-    # separate min-aggregate over the same shingle stream, so there is no
-    # 16x row explosion and only one shuffle keyed by doc_id (with map-side
-    # partial mins). At 100 TB this is the difference between shuffling
-    # |shingles| x K rows and |docs| x K integers.
-    mins = sh.groupBy("doc_id").agg(
+    # All 16 min-hashes in ONE groupBy(doc_id) pass over ONE md5 per shingle:
+    # the universal-hash family derives h_i = (a_i*h + b_i) mod P from the
+    # shared base hash, so per-row cost is one md5 + K integer ops, and the
+    # only shuffle carries |docs| x K integers (map-side partial mins). At
+    # 100 TB this is the difference between hashing the corpus K times and
+    # once.
+    base = hash60(F.col("s")) % MINHASH_PRIME
+    hb = sh.select("doc_id", base.alias("base"))
+    mins = hb.groupBy("doc_id").agg(
         *[
-            F.min(hash60(F.col("s"), salt=str(i))).alias(f"m{i}")
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("base") + F.lit(MINHASH_B[i]))
+                % MINHASH_PRIME
+            ).alias(f"m{i}")
             for i in range(MINHASH_K)
         ]
     )

@@ -1,0 +1,66 @@
+"""Scheduler-facing CLI: each subcommand is what external cron invokes."""
+
+from __future__ import annotations
+
+import json
+
+from data_pipeline_python_aws_cdk_spark import jobs
+from tests.fixtures_users import USERS_FIXTURE
+
+
+def test_cli_ingest_crawl_query_roundtrip(spark, tmp_path, capsys):
+    fixture = tmp_path / "users.json"
+    fixture.write_text(json.dumps(USERS_FIXTURE))
+    lake = str(tmp_path / "raw-data")
+
+    rc = jobs.main(["ingest", "--output", lake, "--fixture", str(fixture)])
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out1["statusCode"] == 200 and out1["records"] == 10
+
+    rc = jobs.main(["crawl", "--path", lake])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out2["rows"] == 10
+
+    rc = jobs.main(
+        [
+            "query",
+            "--sql",
+            "SELECT COUNT(*) AS n FROM data_pipeline_db.raw_data",
+            "--results",
+            str(tmp_path / "results"),
+        ]
+    )
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out3["state"] == "SUCCEEDED" and out3["rows"] == 1
+
+    rc = jobs.main(["janitor", "--results", str(tmp_path / "results")])
+    out4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out4["removed"] == 0  # nothing old enough yet
+
+
+def test_cli_query_failure_exit_code(spark, tmp_path, capsys):
+    rc = jobs.main(
+        ["query", "--sql", "SELECT * FROM missing_tbl", "--results", str(tmp_path / "r")]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["state"] == "FAILED"
+
+
+def test_compaction_job(spark, tmp_path):
+    """Small-file maintenance: many per-run files -> target file count."""
+    from datetime import datetime, timezone
+
+    from data_pipeline_python_aws_cdk_spark.sources import ingest_job
+    from data_pipeline_python_aws_cdk_spark.sources.ingest import compact
+
+    lake = str(tmp_path / "lake")
+    now = datetime(2026, 8, 13, tzinfo=timezone.utc)
+    for _ in range(3):  # three daily-style runs -> multiple small files
+        ingest_job(spark, lake, records=USERS_FIXTURE, now=now)
+    compact(spark, lake, target_files=1)
+    out = spark.read.parquet(lake + "_compacted")
+    assert out.count() == 30
+    import glob
+
+    files = glob.glob(f"{lake}_compacted/year=*/month=*/day=*/*.parquet")
+    assert len(files) == 1
