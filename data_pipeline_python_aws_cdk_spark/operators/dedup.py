@@ -246,14 +246,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join shuffles (band, band_key) — 4 small rows per doc — and only
     colliding buckets produce pairs. Hash family is the deterministic
     md5-based hash60, so Spark and the oracle agree on every signature.
+
+    Shuffle discipline (the sf0.1 profile drove these choices):
+
+    - Signatures read the RAW shingle stream: MIN is duplicate-insensitive,
+      so the corpus-wide ``distinct()`` shuffle is skipped entirely — the
+      only corpus-scale shuffle is the map-side-combined groupBy(doc_id).
+    - Verification re-derives shingles from the candidate docs only
+      (a broadcast semi-join on the candidate id set), so the distinct()
+      that Jaccard counting genuinely needs runs on the near-dup subset,
+      not the corpus. At 100 TB the candidate set is the interesting
+      fraction of the data; the corpus-sized shingle index is never
+      shuffled or pinned.
     """
     d = load_table(spark, sf_dir, "documents")
-    # The shingle index feeds three consumers (min-hash signatures and both
-    # sides of the verification join). No explicit persist: the distinct()
-    # exchange is identical in all three subtrees, so Catalyst/AQE plans a
-    # ReusedExchange — measured ~2x faster than persist() at sf0.1, and at
-    # 100 TB it avoids pinning a corpus-sized index in executor memory.
-    sh = _shingles(d)
 
     # All 16 min-hashes in ONE groupBy(doc_id) pass over ONE md5 per shingle:
     # the universal-hash family derives h_i = (a_i*h + b_i) mod P from the
@@ -262,7 +268,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB this is the difference between hashing the corpus K times and
     # once.
     base = hash60(F.col("s")) % MINHASH_PRIME
-    hb = sh.select("doc_id", base.alias("base"))
+    hb = _shingles(d, distinct=False).select("doc_id", base.alias("base"))
     mins = hb.groupBy("doc_id").agg(
         *[
             F.min(
@@ -288,9 +294,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for band in range(MINHASH_BANDS)
     ]
+    # 4 (band, 16-byte key) rows per doc — the LSH index. Materialized once:
+    # the self-join below consumes it on both sides, and without a cut point
+    # each side would re-run the corpus-scale shingle+signature aggregation.
     bands = mins.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bc")
-    ).select("doc_id", F.col("bc.band").alias("band"), F.col("bc.bkey").alias("bkey"))
+    ).select(
+        "doc_id", F.col("bc.band").alias("band"), F.col("bc.bkey").alias("bkey")
+    ).localCheckpoint()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     cand = (
@@ -298,8 +309,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # Candidate pairs are consumed by four downstream subtrees; without a
+        # cut point each would re-run the corpus-scale signature pipeline.
+        # The pair set is candidate-scale (near-dup fraction of the corpus),
+        # so materializing it is bounded and truncates the lineage.
+        .localCheckpoint()
     )
-    verified = _pair_jaccard(sh, pairs=cand)
+    # Exact-Jaccard verification over candidate docs only: shingle the
+    # candidate subset (broadcast semi-join prunes the corpus scan), then
+    # run the inverted-index intersection on that small set.
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh_cand = _shingles(d.join(F.broadcast(cand_ids), "doc_id")).localCheckpoint()
+    verified = _pair_jaccard(sh_cand, pairs=cand)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
