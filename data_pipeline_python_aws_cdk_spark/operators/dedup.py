@@ -122,21 +122,61 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
     ``pairs`` (doc_a, doc_b) restricts the computation to candidates (the
     LSH path); None means all-pairs via the inverted-index self-join.
+
+    The two paths use different physical shapes on purpose:
+
+    - all-pairs: inverted-index self-join on the shingle — the only way to
+      avoid enumerating the quadratic pair space.
+    - candidates: one groupBy packs each candidate doc's shingle set into a
+      sorted array (candidate docs are the near-dup fraction, so the arrays
+      are few), then two broadcast joins attach both sets to each pair and
+      ``array_intersect`` computes overlap in a single map stage — 3 stages
+      total vs 6 for the inverted-index shape, with no corpus-scale state.
     """
+    if pairs is not None:
+        sets = sh.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("s")).alias("sset"),
+            F.count("*").alias("n"),
+        )
+        return (
+            pairs.join(
+                F.broadcast(
+                    sets.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("sset").alias("set_a"),
+                        F.col("n").alias("na"),
+                    )
+                ),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(
+                    sets.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("sset").alias("set_b"),
+                        F.col("n").alias("nb"),
+                    )
+                ),
+                "doc_b",
+            )
+            .withColumn("common", F.size(F.array_intersect("set_a", "set_b")))
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("common")),
+            )
+            .drop("set_a", "set_b")
+        )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    if pairs is not None:
-        a = a.join(pairs.select("doc_a").distinct(), "doc_a")
-        b = b.join(pairs.select("doc_b").distinct(), "doc_b")
     common = (
         a.join(b, ["s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
-    if pairs is not None:
-        common = common.join(pairs, ["doc_a", "doc_b"])
     return (
         common.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -440,4 +480,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= SIMHASH_MAX_HAMMING
+    )
+
+
+EMBEDDING_DUP_THRESHOLD = 0.45
+# All-pairs dedup needs finer buckets than query-vs-corpus ANN: candidate
+# volume floors at ~n^2 * bands / 2^(bits/bands), so 6-bit chunks (64
+# buckets/band) cut random collisions ~3.5x vs the ANN path's 4-bit chunks
+# while a true near-dup (cosine >= 0.99) still collides in some band with
+# p > 0.9999.
+EMBEDDING_LSH_BITS = 24
+EMBEDDING_LSH_BANDS = 4
+
+
+def _embedding_cosine_oracle() -> str:
+    from .similarity import _chunks_ctes, _COS_SQL, DIM
+
+    return f"""
+    WITH {_chunks_ctes(EMBEDDING_LSH_BITS, EMBEDDING_LSH_BANDS)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+    ),
+    p2 AS (
+      SELECT cand.va, cand.vb, ea.embedding AS qe, eb.embedding AS ne
+      FROM cand JOIN embeddings ea ON ea.vec_id = cand.va
+                JOIN embeddings eb ON eb.vec_id = cand.vb
+    ),
+    d AS (SELECT va, vb, {_COS_SQL} AS c
+          FROM p2, generate_series(1, {DIM}) g(i)
+          GROUP BY va, vb)
+    SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, ROUND(c, 6) AS cosine
+    FROM d JOIN documents da ON da.doc_id = d.va
+           JOIN documents db ON db.doc_id = d.vb
+    WHERE ROUND(c, 6) >= {EMBEDDING_DUP_THRESHOLD}
+    """
+
+
+@_register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over ``documents``: semantic duplicates.
+
+    The last rung of the dedup ladder — catches paraphrases that shingle
+    hashing can't. Candidates come from the same random-hyperplane LSH
+    buckets as similarity_ann_lsh (shared ``_signatures``); only colliding
+    pairs get the exact cosine, so the pair space stays near-linear. Pairs
+    at cosine >= {0} are reported with their *document* ids (embeddings
+    join documents 1:1 on vec_id = doc_id).
+
+    At 100 TB: signatures are a map-only projection (plane matrix ships
+    with the plan), the bucket self-join shuffles 4 small rows per doc, and
+    the document join is a broadcast of the near-dup id set — the corpus
+    text is never shuffled.
+    """.format(EMBEDDING_DUP_THRESHOLD)
+    from .similarity import _signatures
+    from ..functions.vectors import cosine
+
+    chunks = _signatures(spark, sf_dir, EMBEDDING_LSH_BITS, EMBEDDING_LSH_BANDS)
+    a = chunks.select(F.col("vec_id").alias("va"), "band", "chunk")
+    b = chunks.select(F.col("vec_id").alias("vb"), "band", "chunk")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("qe"))
+    eb = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .select("va", "vb", F.round(cosine(F.col("qe"), F.col("ne")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    da = d.select(F.col("doc_id").alias("va"))
+    db = d.select(F.col("doc_id").alias("vb"))
+    return (
+        scored.join(da, "va")
+        .join(db, "vb")
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"), "cosine")
     )

@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import hash60_py
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_arrow
 from ..tables import load_table
 
 QUERIES = {}
@@ -41,6 +41,8 @@ TOP_K = 10
 COSINE_THRESHOLD = 0.4
 LSH_BITS = 16
 LSH_BANDS = 4  # 4 bands x 4 bits
+IVF_NLIST = 16  # centroid count (inverted lists)
+IVF_NPROBE = 4  # lists probed per query
 
 
 def _register(name: str, oracle: str | None = None):
@@ -95,7 +97,7 @@ def similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    c = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    c = F.round(cosine_arrow(F.col("ea"), F.col("eb")), 6)
     return pairs.select("vec_a", "vec_b", c.alias("cosine")).filter(
         F.col("cosine") >= COSINE_THRESHOLD
     )
@@ -134,7 +136,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     pairs = F.broadcast(q).join(n, F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("c")
+        "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
     return (
@@ -152,10 +154,23 @@ def _planes_values_sql() -> str:
     return ",\n      ".join(rows)
 
 
-def _ann_oracle() -> str:
-    return f"""
-    WITH planes(p, i, w) AS (VALUES
-      {_planes_values_sql()}
+def _planes_values_sql_n(bits: int) -> str:
+    rows = []
+    for p in range(bits):
+        for i in range(1, DIM + 1):
+            rows.append(f"({p}, {i}, {_plane(p, i)!r})")
+    return ",\n      ".join(rows)
+
+
+def _chunks_ctes(bits: int = LSH_BITS, bands: int = LSH_BANDS) -> str:
+    """Shared oracle CTEs: hyperplane signatures -> banded LSH chunks.
+
+    Used by similarity_ann_lsh and dedup_embedding_cosine (at different
+    bits/bands — see _signatures) so each oracle replays the exact Spark
+    bucketing."""
+    r = bits // bands
+    return f"""planes(p, i, w) AS (VALUES
+      {_planes_values_sql_n(bits)}
     ),
     sig AS (
       SELECT e.vec_id, pl.p,
@@ -164,10 +179,15 @@ def _ann_oracle() -> str:
       GROUP BY e.vec_id, pl.p
     ),
     chunks AS (
-      SELECT vec_id, p // {LSH_BITS // LSH_BANDS} AS band,
-             SUM(bit * (1 << (p % {LSH_BITS // LSH_BANDS}))) AS chunk
-      FROM sig GROUP BY vec_id, p // {LSH_BITS // LSH_BANDS}
-    ),
+      SELECT vec_id, p // {r} AS band,
+             SUM(bit * (1 << (p % {r}))) AS chunk
+      FROM sig GROUP BY vec_id, p // {r}
+    )"""
+
+
+def _ann_oracle() -> str:
+    return f"""
+    WITH {_chunks_ctes()},
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM chunks q JOIN chunks c
@@ -190,34 +210,51 @@ def _ann_oracle() -> str:
     """
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signatures(
+    spark: SparkSession, sf_dir: str, n_bits: int = LSH_BITS, n_bands: int = LSH_BANDS
+) -> DataFrame:
     """(vec_id, band, chunk): banded LSH signature via JVM-side fold.
 
-    The 16x64 plane matrix is embedded as literals — it broadcasts with the
-    plan itself; signature computation is a map-only projection.
+    The bits x 64 plane matrix is embedded as literals — it broadcasts with
+    the plan itself; signature computation is a map-only projection. The
+    result (``n_bands`` small rows per vector) is localCheckpoint-ed: every
+    consumer self-joins it, and without a cut point both join sides would
+    re-run the dot-product scan over the corpus.
+
+    Chunk width (bits/bands) sets the bucket count and therefore the
+    random-collision rate; callers pick it per workload — few wide buckets
+    for query-vs-corpus ANN, many narrow buckets for all-pairs dedup (the
+    candidate floor is ~n^2 * bands / 2^(bits/bands)).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    bits = []
-    for p in range(LSH_BITS):
-        plane = F.array(*[F.lit(_plane(p, i)) for i in range(1, DIM + 1)])
-        s = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    # Bit expressions are built as SQL strings: one parse per projection
+    # instead of ~bits x dims Py4J round-trips for literal plane elements
+    # (the literal-by-literal build cost ~1.3 s of pure driver time at 24
+    # bits — pure overhead repeated per query).
+    bit_exprs = []
+    for p in range(n_bits):
+        arr = ",".join(f"{_plane(p, i):.6f}D" for i in range(1, DIM + 1))
+        bit_exprs.append(
+            f"CASE WHEN aggregate(zip_with(embedding, array({arr}),"
+            f" (x, w) -> double(x) * w), 0.0D, (acc, v) -> acc + v) > 0"
+            f" THEN 1 ELSE 0 END AS b{p}"
         )
-        bits.append(F.when(s > 0, 1).otherwise(0).alias(f"b{p}"))
-    sig = e.select("vec_id", *bits)
-    r = LSH_BITS // LSH_BANDS
+    sig = e.selectExpr("vec_id", *bit_exprs)
+    r = n_bits // n_bands
     bands = []
-    for band in range(LSH_BANDS):
-        chunk = None
-        for j in range(r):
-            term = F.col(f"b{band * r + j}") * F.lit(1 << j)
-            chunk = term if chunk is None else chunk + term
-        bands.append(F.struct(F.lit(band).alias("band"), chunk.cast("bigint").alias("chunk")))
+    for band in range(n_bands):
+        chunk = " + ".join(f"b{band * r + j} * {1 << j}" for j in range(r))
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.expr(chunk).cast("bigint").alias("chunk"),
+            )
+        )
     return sig.select(
         "vec_id", F.explode(F.array(*bands)).alias("bc")
-    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    ).select(
+        "vec_id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+    ).localCheckpoint()
 
 
 @_register("similarity_ann_lsh", oracle=_ann_oracle())
@@ -249,7 +286,120 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ne, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("c"))
+        .select("query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+    )
+
+
+def _ivf_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    ac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN cent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM ac
+    ),
+    assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    ),
+    p2 AS (
+      SELECT cand.query_id, cand.neighbor_id, a.embedding AS qe, b.embedding AS ne
+      FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    ),
+    d AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+          FROM p2, generate_series(1, {DIM}) g(i)
+          GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+    """
+
+
+@_register("similarity_ann_ivf", oracle=_ivf_oracle())
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) index: centroid partition + probe.
+
+    The scale path when the corpus is huge and queries keep arriving:
+
+    1. **Index**: every vector is assigned to its nearest centroid
+       (IVF_NLIST inverted lists). Centroids are a deterministic seed set
+       (the IVF_NLIST lowest vec_ids) so the DuckDB oracle replays the
+       exact partition; a production build would k-means-refine them — the
+       assignment plan is identical. The 16-row centroid table broadcasts;
+       assignment is one corpus scan + a per-vector top-1 window.
+    2. **Probe**: each query ranks all centroids (tiny) and probes only the
+       IVF_NPROBE nearest lists — skipping (1 - NPROBE/NLIST) = 75% of the
+       corpus without touching it.
+    3. **Rerank**: exact cosine + windowed top-k on the probed lists only.
+
+    Cosines round to 6 dp before ranking so Spark's and DuckDB's float-sum
+    orders agree (same convention as similarity_ann_lsh). At 100 TB the
+    assignment output is what you'd persist, bucketed/partitioned by
+    centroid_id, turning probes into partition-pruned scans; the top-1
+    window becomes a max_by(centroid_id, (c6, -centroid_id)) groupBy to
+    keep the assignment map-side-combinable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    ac = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
+    assign = (
+        ac.withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    # Probe ranking filters to the query vectors BEFORE the window: the
+    # filter is on the window's partition key, so it commutes — and the
+    # corpus-wide ranking pass isn't re-executed just to rank 8 queries.
+    probes = (
+        ac.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
     return (

@@ -92,6 +92,72 @@ def test_ann_lsh_finds_planted_near_duplicate(spark, tmp_path):
     assert top.get(0) == 100
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    # IVF probes the 4 nearest of 16 lists; on near-random embeddings the
+    # true neighbors scatter across lists, so require better-than-random
+    # candidate quality (4/16 probe fraction would give ~0.25 by chance).
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_ann_ivf(spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"IVF recall too low: {recall}"
+
+
+def test_ann_ivf_finds_planted_near_duplicate(spark, tmp_path):
+    # A 0.999-cosine copy of a query lands in the same inverted list and
+    # must come back at rank 1.
+    import random
+
+    rnd = random.Random(11)
+    dim = similarity.DIM
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    q = vec()
+    near = [x + rnd.gauss(0, 0.01) for x in q]
+    rows = [(0, q, 0), (100, near, 0)] + [(i, vec(), 1) for i in range(101, 300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "emb_ivf"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    res = similarity.similarity_ann_ivf(spark, str(out)).collect()
+    top = {r.query_id: r.neighbor_id for r in res if r.rank == 1}
+    assert top.get(0) == 100
+
+
+def test_embedding_cosine_dedup_finds_planted_pair(spark, tmp_path):
+    # Two documents whose embeddings are near-identical must surface as an
+    # embedding-cosine near-dup pair even though their texts differ.
+    import random
+
+    rnd = random.Random(13)
+    dim = similarity.DIM
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    v = vec()
+    near = [x + rnd.gauss(0, 0.01) for x in v]
+    emb = [(50, v, 0), (51, near, 0)] + [(i, vec(), 1) for i in range(100, 200)]
+    docs = [(vid, f"text of doc {vid}", "en", "s", 14) for vid, _, _ in emb]
+    out = tmp_path / "embdup"
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    pairs = dedup.dedup_embedding_cosine(spark, str(out)).collect()
+    assert (50, 51) in [(r.doc_a, r.doc_b) for r in pairs]
+    by_pair = {(r.doc_a, r.doc_b): r.cosine for r in pairs}
+    assert by_pair[(50, 51)] > 0.99
+
+
 def test_lang_id_emits_known_language(spark):
     rows = text.lang_id(spark, SF_SMOKE).collect()
     assert {r.detected_lang for r in rows} <= {"en", "de", "es"}
