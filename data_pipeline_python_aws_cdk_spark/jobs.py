@@ -10,6 +10,7 @@ subcommands:
     python -m data_pipeline_python_aws_cdk_spark.jobs crawl  --path /lake/raw-data
     python -m data_pipeline_python_aws_cdk_spark.jobs query  --sql "SELECT ..." --results /lake/results
     python -m data_pipeline_python_aws_cdk_spark.jobs janitor --results /lake/results
+    python -m data_pipeline_python_aws_cdk_spark.jobs compact --path /lake/raw-data
 
 Each prints a single JSON status line (the Lambda response contract) and
 exits nonzero on failure.
@@ -22,6 +23,7 @@ import json
 import sys
 
 from .catalog import crawl
+from .maintenance import DEFAULT_TARGET_FILE_BYTES, compact
 from .plans import QueryExecutor
 from .session import get_spark
 from .sources import ingest_job
@@ -51,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     p_jan = sub.add_parser("janitor", help="expire result artifacts past retention")
     p_jan.add_argument("--results", required=True)
     p_jan.add_argument("--retention-days", type=int, default=7)
+
+    p_comp = sub.add_parser("compact", help="rewrite small files into target-size files")
+    p_comp.add_argument("--path", required=True)
+    p_comp.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    p_comp.add_argument("--target-file-bytes", type=int, default=DEFAULT_TARGET_FILE_BYTES)
 
     args = parser.parse_args(argv)
     spark = get_spark(f"job-{args.cmd}")
@@ -94,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
         ex = QueryExecutor(spark, args.results)
         removed = ex.cleanup_results(retention_days=args.retention_days)
         print(json.dumps({"statusCode": 200, "removed": removed}))
+        return 0
+
+    if args.cmd == "compact":
+        st = compact(
+            spark, args.path, fmt=args.format, target_file_bytes=args.target_file_bytes
+        )
+        print(json.dumps({"statusCode": 200, **st.as_dict()}))
         return 0
 
     return 2

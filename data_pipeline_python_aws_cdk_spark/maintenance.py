@@ -1,0 +1,124 @@
+"""Dataset maintenance: small-file compaction.
+
+The reference accumulates one ~2 KB CSV per ingestion run per day partition
+(reference lambda_functions/data_extractor.py:70) and never rewrites them —
+the classic small-file anti-pattern (SURVEY.md §4). At 100 TB, scan cost is
+dominated by file-open/footer overhead once partitions fragment into
+thousands of tiny files; every serious table format ships an OPTIMIZE /
+rewriteDataFiles maintenance action for exactly this reason.
+
+``compact`` is that action for the engine's Hive-partitioned datasets:
+rewrite each leaf partition whose file count exceeds what its byte size
+justifies into ~target-size files, preserving layout, schema, and rows.
+
+Scale notes:
+
+- The per-partition loop is metadata-scale work (one entry per Hive leaf,
+  not per row); the rewrites themselves are distributed Spark jobs. On a
+  cluster the directory listing would go through the Hadoop FileSystem API
+  instead of os.walk, and partitions can be rewritten concurrently — the
+  rewrite of one leaf never depends on another.
+- Each leaf rewrite is read -> coalesce(ceil(bytes/target)) -> write to a
+  sibling temp dir -> atomic-ish swap. coalesce (not repartition) avoids a
+  shuffle: compaction is IO-bound; adding an exchange would double it.
+- Leaves at or under one target file, or already at the computed file
+  count, are skipped — compaction must be safe to run on a schedule
+  (idempotent once stable).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+@dataclass
+class CompactionStats:
+    partitions_seen: int = 0
+    partitions_compacted: int = 0
+    files_before: int = 0
+    files_after: int = 0
+    bytes_total: int = 0
+
+    def as_dict(self) -> dict:
+        return {
+            "partitions_seen": self.partitions_seen,
+            "partitions_compacted": self.partitions_compacted,
+            "files_before": self.files_before,
+            "files_after": self.files_after,
+            "bytes_total": self.bytes_total,
+        }
+
+
+def _is_data_file(name: str) -> bool:
+    return not name.startswith(("_", ".")) and not name.endswith(".crc")
+
+
+def _leaf_partitions(root: str) -> list[str]:
+    """Directories under ``root`` that hold data files directly (Hive
+    leaves); ``root`` itself for unpartitioned datasets."""
+    leaves = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if any(_is_data_file(f) for f in filenames):
+            leaves.append(dirpath)
+    return leaves
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> CompactionStats:
+    """Rewrite fragmented leaf partitions of a dataset into ~target-size
+    files. Returns per-run stats; running again on the output is a no-op."""
+    stats = CompactionStats()
+    for leaf in _leaf_partitions(path):
+        files = [
+            os.path.join(leaf, f)
+            for f in os.listdir(leaf)
+            if _is_data_file(f) and os.path.isfile(os.path.join(leaf, f))
+        ]
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        want = max(1, -(-n_bytes // target_file_bytes))  # ceil
+        stats.partitions_seen += 1
+        stats.files_before += len(files)
+        stats.bytes_total += n_bytes
+        if len(files) <= want:
+            stats.files_after += len(files)
+            continue
+
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        df = reader.load(leaf)
+
+        tmp = os.path.join(
+            os.path.dirname(leaf), f".compact-{uuid.uuid4().hex[:8]}"
+        )
+        writer = df.coalesce(int(want)).write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.save(tmp)
+
+        new_files = [
+            f for f in os.listdir(tmp) if _is_data_file(f)
+        ]
+        # Swap: drop the old fragments, move the compacted files in. A table
+        # format would commit this as a snapshot; for raw directories the
+        # window between delete and move is the accepted tradeoff (same as
+        # Hive's INSERT OVERWRITE).
+        for f in files:
+            os.remove(f)
+        for f in new_files:
+            shutil.move(os.path.join(tmp, f), os.path.join(leaf, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        stats.partitions_compacted += 1
+        stats.files_after += len(new_files)
+    return stats

@@ -31,8 +31,6 @@ exact here so the oracle comparison stays lossless.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -388,28 +386,48 @@ def _simhash_sig_sql() -> str:
     )
 
 
+_SIMHASH_COUNTER_BITS = 21  # per-bit ones-counter width; 3 counters per long
+
+
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures via packed bit-counters: 21 aggregates instead of 61.
+
+    The naive shape (one +/-1 SUM per signature bit) makes Catalyst plan a
+    61-expression aggregate — ~1 s of driver-side planning per query at 60
+    bits. Instead, three 21-bit ones-counters pack into each 63-bit long, so
+    the groupBy carries 20 packed SUMs + COUNT; bit b of the signature is
+    then 2*ones_b > total (equivalent to sign(sum of +/-1)). Bit-identical
+    to the unpacked form — the DuckDB oracle keeps the naive spelling.
+
+    Capacity: counters hold < 2^21 shingle instances per doc; a doc would
+    need >2M tokens to overflow — far past any sane document-splitting
+    policy (chunk inputs upstream if that ever changes).
+    """
     d = load_table(spark, sf_dir, "documents")
     shm = _shingles(d, distinct=False)
     hv = shm.select("doc_id", hash60(F.col("s")).alias("hv"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+    cb = _SIMHASH_COUNTER_BITS
+    mask = (1 << cb) - 1
+    aggs = ["count(*) AS total"]
+    for g in range(SIMHASH_BITS // 3):
+        b0, b1, b2 = 3 * g, 3 * g + 1, 3 * g + 2
+        aggs.append(
+            f"sum((shiftright(hv, {b0}) & 1)"
+            f" + ((shiftright(hv, {b1}) & 1) << {cb})"
+            f" + ((shiftright(hv, {b2}) & 1) << {2 * cb})) AS g{g}"
+        )
+    bits = hv.groupBy("doc_id").agg(*[F.expr(a) for a in aggs])
+    # MSB-first binary string -> one flat conv(, 2, 10); avoids a 60-deep
+    # nested addition tree (another planner hot spot).
+    parts = [
+        f"CASE WHEN 2 * ((g{b // 3} >> {(b % 3) * cb}) & {mask}) > total"
+        " THEN '1' ELSE '0' END"
+        for b in range(SIMHASH_BITS - 1, -1, -1)
     ]
-    bits = hv.groupBy("doc_id").agg(*bit_sums)
-    value = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("bigint"),
+    return bits.selectExpr(
+        "doc_id",
+        f"CAST(conv(concat({','.join(parts)}), 2, 10) AS BIGINT) AS simhash",
     )
-    return bits.select("doc_id", value.alias("simhash"))
 
 
 @_register("simhash_signatures", oracle=_simhash_sig_sql())
@@ -455,6 +473,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_signatures(spark, sf_dir)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
+    # 4 (chunk, signature) rows per doc; materialized once — both sides of
+    # the banded self-join consume it, and without a cut point each side
+    # would re-run the corpus-scale signature aggregation.
     keyed = sig.select(
         "doc_id",
         "simhash",
@@ -464,7 +485,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})").bitwiseAND(
             F.lit(mask)
         ),
-    )
+    ).localCheckpoint()
     a = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
     )

@@ -67,24 +67,6 @@ def write_partitioned(
         raise ValueError(f"unsupported format {fmt!r}")
 
 
-def compact(spark: SparkSession, root: str, fmt: str = "parquet", target_files: int = 1) -> None:
-    """Small-file maintenance: rewrite the dataset at ``target_files`` per
-    partition (the OPTIMIZE-style job SURVEY §4 calls out; the reference
-    accumulates one ~2 KB file per day forever)."""
-    reader = spark.read.format(fmt)
-    if fmt == "csv":
-        reader = reader.option("header", True).option("inferSchema", True)
-    df = reader.load(root)
-    (
-        df.repartition(target_files, "year", "month", "day")
-        .write.mode("overwrite")
-        .partitionBy("year", "month", "day")
-        .format(fmt)
-        .option("header", True)
-        .save(root + "_compacted")
-    )
-
-
 def ingest_job(
     spark: SparkSession,
     output_root: str,

@@ -46,21 +46,35 @@ def test_cli_query_failure_exit_code(spark, tmp_path, capsys):
     assert rc == 1 and out["state"] == "FAILED"
 
 
-def test_compaction_job(spark, tmp_path):
-    """Small-file maintenance: many per-run files -> target file count."""
+def test_compaction_job(spark, tmp_path, capsys):
+    """Small-file maintenance: many per-run fragments -> one target-size
+    file per leaf, in place, idempotent, rows preserved."""
+    import glob
     from datetime import datetime, timezone
 
     from data_pipeline_python_aws_cdk_spark.sources import ingest_job
-    from data_pipeline_python_aws_cdk_spark.sources.ingest import compact
 
     lake = str(tmp_path / "lake")
     now = datetime(2026, 8, 13, tzinfo=timezone.utc)
     for _ in range(3):  # three daily-style runs -> multiple small files
         ingest_job(spark, lake, records=USERS_FIXTURE, now=now)
-    compact(spark, lake, target_files=1)
-    out = spark.read.parquet(lake + "_compacted")
-    assert out.count() == 30
-    import glob
+    pattern = f"{lake}/year=*/month=*/day=*/*.parquet"
+    assert len(glob.glob(pattern)) >= 3
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(lake).select("id", "email", "year").collect()
+    )
 
-    files = glob.glob(f"{lake}_compacted/year=*/month=*/day=*/*.parquet")
-    assert len(files) == 1
+    rc = jobs.main(["compact", "--path", lake])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["partitions_compacted"] == 1
+    assert out["files_before"] >= 3 and out["files_after"] == 1
+    assert len(glob.glob(pattern)) == 1
+
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(lake).select("id", "email", "year").collect()
+    )
+    assert before == after  # same rows, partition column still readable
+
+    rc = jobs.main(["compact", "--path", lake])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out2["partitions_compacted"] == 0  # idempotent
