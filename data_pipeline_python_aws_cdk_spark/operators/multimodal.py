@@ -171,3 +171,114 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     frame = attach_payload(d)
     return frame.mapInPandas(fake_decode_batch, schema=FEATURE_SCHEMA)
+
+
+RESIZE_TARGET = 224  # longest-edge fit, aspect preserved
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
+
+
+def fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: aspect-preserving longest-edge resize plan.
+
+    Integer arithmetic only (floor((dim * T) / longest), min 1) so the
+    oracle reproduces every output dimension exactly. A real implementation
+    replaces the dimension derivation with PIL's ``Image.resize`` and adds
+    a resized-payload column; rows in = rows out either way.
+    """
+    for pdf in batches:
+        texts = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
+        w = texts.map(lambda t: hash60_py(t, "w") % 1920 + 1)
+        h = texts.map(lambda t: hash60_py(t, "h") % 1080 + 1)
+        longest = w.combine(h, max)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "out_w": (w * RESIZE_TARGET // longest).clip(lower=1).astype("int32"),
+                "out_h": (h * RESIZE_TARGET // longest).clip(lower=1).astype("int32"),
+            }
+        )
+
+
+@_register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             ({_W}) % 1920 + 1 AS width,
+             ({_H}) % 1080 + 1 AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           GREATEST(1, (width * {RESIZE_TARGET}) // GREATEST(width, height)) AS out_w,
+           GREATEST(1, (height * {RESIZE_TARGET}) // GREATEST(width, height)) AS out_h
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: decode -> aspect-preserving resize plan, one
+    Arrow batch at a time, map-only (no shuffle, co-partitioned with the
+    scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    frame = attach_payload(d)
+    return frame.mapInPandas(fake_resize_batch, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_EVERY = 30  # keep one frame per N (1 fps at 30 fps video)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash long"
+
+
+def fake_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: sample every Nth frame of each payload.
+
+    The 1 -> N row expansion is the real shape of video frame extraction:
+    one input row (a video) yields a variable number of output rows
+    (frames), decided per payload inside the worker — something a scalar
+    UDF cannot express. Frame count and per-frame hashes are md5-derived so
+    the oracle replays them; a real worker would decode with PyAV and emit
+    (doc_id, frame_idx, jpeg_bytes)."""
+    for pdf in batches:
+        out_doc, out_idx, out_hash = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            t = bytes(payload).decode("utf-8")
+            n_frames = hash60_py(t, "f") % 240 + 1
+            for idx in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_hash.append(hash60_py(f"{t}:{idx}") % 1_000_000_000)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_hash": pd.Series(out_hash, dtype="int64"),
+            }
+        )
+
+
+@_register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, text, ({_F}) % 240 + 1 AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, {FRAME_SAMPLE_EVERY})) AS frame_idx
+      FROM vids
+    )
+    SELECT doc_id, frame_idx,
+           ({hash60_sql("text || ':' || frame_idx")}) % 1000000000 AS frame_hash
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per kept frame, expansion
+    decided per payload inside the Arrow worker. Map-only; downstream ops
+    (dedup per frame, feature extraction) see an ordinary DataFrame."""
+    d = load_table(spark, sf_dir, "documents")
+    frame = attach_payload(d)
+    return frame.mapInPandas(fake_frame_sample_batch, schema=FRAME_SCHEMA)

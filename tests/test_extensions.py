@@ -172,6 +172,30 @@ def test_multimodal_stubs_fail_loudly():
             multimodal.decode_image(b"not-an-image")
 
 
+def test_multimodal_resize_preserves_aspect(spark):
+    rows = multimodal.multimodal_resize(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    t = multimodal.RESIZE_TARGET
+    for r in rows[:50]:
+        assert max(r.out_w, r.out_h) <= t
+        assert max(r.out_w, r.out_h) == t or max(r.width, r.height) < t
+        # aspect preserved within integer-floor tolerance
+        assert abs(r.out_w * r.height - r.out_h * r.width) <= max(r.width, r.height)
+
+
+def test_multimodal_frame_sample_expands_rows(spark):
+    decoded = {r.doc_id: r.n_frames for r in multimodal.multimodal_decode(spark, SF_SMOKE).collect()}
+    frames = multimodal.multimodal_frame_sample(spark, SF_SMOKE).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    every = multimodal.FRAME_SAMPLE_EVERY
+    assert set(per_doc) == set(decoded)
+    for doc_id, idxs in per_doc.items():
+        expected = list(range(0, decoded[doc_id], every))
+        assert sorted(idxs) == expected
+
+
 def test_multimodal_payload_schema(spark):
     from data_pipeline_python_aws_cdk_spark.tables import load_table
 
