@@ -89,3 +89,37 @@ def test_date_filter_prunes_rowgroups(spark):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "l_shipdate" in pushed
+
+
+def test_ann_ivf_broadcasts_centroids_no_cartesian(spark):
+    # The centroid table and probe set must broadcast; nothing in the IVF
+    # pipeline may fall back to a cartesian product — at 100 TB the corpus
+    # side must only ever stream through map-side joins.
+    plan = _plan(similarity.similarity_ann_ivf(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Broadcast") >= 2
+
+
+def test_dedup_candidates_never_cartesian(spark):
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+
+    for q in (dedup.dedup_minhash_lsh, dedup.dedup_simhash, dedup.dedup_embedding_cosine):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_arrow_cosine_is_vectorized_not_row_python(spark):
+    # Candidate scoring must go through ArrowEvalPython (vectorized pandas
+    # UDF), never BatchEvalPython (row-at-a-time pickle).
+    plan = _plan(similarity.similarity_topk(spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_multimodal_decode_is_map_only(spark):
+    from data_pipeline_python_aws_cdk_spark.operators import multimodal
+
+    for q in (multimodal.multimodal_decode, multimodal.multimodal_frame_sample):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "Exchange" not in plan, q.__name__  # no shuffle: decode is map-side
