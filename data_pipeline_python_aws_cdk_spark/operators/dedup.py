@@ -545,16 +545,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The last rung of the dedup ladder — catches paraphrases that shingle
     hashing can't. Candidates come from the same random-hyperplane LSH
-    buckets as similarity_ann_lsh (shared ``_signatures``); only colliding
-    pairs get the exact cosine, so the pair space stays near-linear. Pairs
-    at cosine >= {0} are reported with their *document* ids (embeddings
-    join documents 1:1 on vec_id = doc_id).
+    bucketing as similarity_ann_lsh (shared ``_signatures``, finer 24-bit
+    parameters); only colliding pairs get the exact cosine, so the pair
+    space stays near-linear. Pairs at cosine >= EMBEDDING_DUP_THRESHOLD are
+    reported with their *document* ids (embeddings join documents 1:1 on
+    vec_id = doc_id).
 
     At 100 TB: signatures are a map-only projection (plane matrix ships
     with the plan), the bucket self-join shuffles 4 small rows per doc, and
     the document join is a broadcast of the near-dup id set — the corpus
     text is never shuffled.
-    """.format(EMBEDDING_DUP_THRESHOLD)
+    """
     from .similarity import _signatures
     from ..functions.vectors import cosine
 
