@@ -9,7 +9,9 @@ compilation, parquet reader class loading, Arrow/pandas-UDF worker spin-up —
 which are per-process, not per-dataset, and would otherwise be billed to
 whichever query ran first. The timed sf0.1 pass still pays full Catalyst
 planning, scan, shuffle, and collect for every query (fresh DataFrame,
-uncached data). Per-query time = wall-clock of build + execute + collect.
+uncached data). Per-query time = best of 2 runs of build + execute +
+collect (damps local-mode scheduler jitter; tools/baseline_duckdb.py uses
+the identical best-of-2 rule so the comparison stays symmetric).
 """
 
 from __future__ import annotations
@@ -77,10 +79,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = registry[name](spark, sf_dir)
-        _ = df.collect()  # single full materialization; results are small
-        timings[name] = round(time.time() - t0, 4)
+        best = float("inf")
+        for _attempt in range(2):
+            t0 = time.time()
+            df = registry[name](spark, sf_dir)  # fresh plan each attempt
+            _ = df.collect()  # full materialization; results are small
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -132,10 +132,13 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
       total vs 6 for the inverted-index shape, with no corpus-scale state.
     """
     if pairs is not None:
+        # Materialized once: both join sides below consume the per-doc sets,
+        # and the input lineage (shingle re-derivation of candidate docs)
+        # shouldn't run twice. Candidate-scale, so bounded.
         sets = sh.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("s")).alias("sset"),
             F.count("*").alias("n"),
-        )
+        ).localCheckpoint()
         return (
             pairs.join(
                 F.broadcast(
@@ -359,7 +362,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
-    sh_cand = _shingles(d.join(F.broadcast(cand_ids), "doc_id")).localCheckpoint()
+    sh_cand = _shingles(d.join(F.broadcast(cand_ids), "doc_id"))
     verified = _pair_jaccard(sh_cand, pairs=cand)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")

@@ -44,9 +44,12 @@ def main() -> None:
         sql = oracles.get(name)
         if sql is None:  # rows-only ops have no SQL twin
             continue
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.time() - t0, 4)
+        best = float("inf")
+        for _attempt in range(2):  # best-of-2, mirroring bench.py
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 4)
 
     print(
         json.dumps(
