@@ -560,7 +560,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is never shuffled.
     """
     from .similarity import _signatures
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_arrow
 
     chunks = _signatures(spark, sf_dir, EMBEDDING_LSH_BITS, EMBEDDING_LSH_BANDS)
     a = chunks.select(F.col("vec_id").alias("va"), "band", "chunk")
@@ -577,7 +577,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(ea, "va")
         .join(eb, "vb")
-        .select("va", "vb", F.round(cosine(F.col("qe"), F.col("ne")), 6).alias("cosine"))
+        .select(
+            "va", "vb", F.round(cosine_arrow(F.col("qe"), F.col("ne")), 6).alias("cosine")
+        )
         .filter(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD)
     )
     d = load_table(spark, sf_dir, "documents")

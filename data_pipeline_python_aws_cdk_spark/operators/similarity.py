@@ -25,8 +25,12 @@ oracle. No randomness, no resampling drift across runs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from ..functions.hashing import hash60_py
 from ..functions.vectors import cosine, cosine_arrow
@@ -227,29 +231,35 @@ def _signatures(
     candidate floor is ~n^2 * bands / 2^(bits/bands)).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    # Bit expressions are built as SQL strings: one parse per projection
-    # instead of ~bits x dims Py4J round-trips for literal plane elements
-    # (the literal-by-literal build cost ~1.3 s of pure driver time at 24
-    # bits — pure overhead repeated per query).
-    bit_exprs = []
-    for p in range(n_bits):
-        arr = ",".join(f"{_plane(p, i):.6f}D" for i in range(1, DIM + 1))
-        bit_exprs.append(
-            f"CASE WHEN aggregate(zip_with(embedding, array({arr}),"
-            f" (x, w) -> double(x) * w), 0.0D, (acc, v) -> acc + v) > 0"
-            f" THEN 1 ELSE 0 END AS b{p}"
-        )
-    sig = e.selectExpr("vec_id", *bit_exprs)
+    # One numpy matmul per Arrow batch computes every bit at once
+    # ((batch x DIM) @ (DIM x bits), sign, pack little-endian into a long) —
+    # replacing `bits` interpreted higher-order-function folds per row. The
+    # plane matrix rides inside the UDF closure, serialized once per task.
+    # Float64 matmul vs the oracle's float64 sum: a sign can only disagree
+    # where a dot product sits within ~1e-13 of zero — the same summation
+    # -order exposure the fold had.
+    planes = np.array(
+        [[_plane(p, i) for i in range(1, DIM + 1)] for p in range(n_bits)],
+        dtype=np.float64,
+    ).T  # DIM x bits
+    weights = np.power(2.0, np.arange(n_bits)).astype(np.int64)  # bit p -> 2^p
+
+    @pandas_udf(LongType())
+    def packed_sig(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.values).astype(np.float64)  # batch x DIM
+        bits = (x @ planes) > 0  # batch x n_bits
+        return pd.Series((bits * weights).sum(axis=1))
+
+    sig = e.select("vec_id", packed_sig("embedding").alias("sig"))
     r = n_bits // n_bands
-    bands = []
-    for band in range(n_bands):
-        chunk = " + ".join(f"b{band * r + j} * {1 << j}" for j in range(r))
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.expr(chunk).cast("bigint").alias("chunk"),
-            )
+    mask = (1 << r) - 1
+    bands = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("sig"), band * r).bitwiseAND(F.lit(mask)).alias("chunk"),
         )
+        for band in range(n_bands)
+    ]
     return sig.select(
         "vec_id", F.explode(F.array(*bands)).alias("bc")
     ).select(
