@@ -39,6 +39,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "top_customers_by_revenue",
     "window_latest_order",
     "events_sessionize",

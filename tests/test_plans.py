@@ -49,11 +49,21 @@ def test_dim_fact_joins_broadcast(spark):
     for q in (
         analytics.q3_shipping_priority,
         analytics.q5_local_supplier_volume,
+        analytics.q10_returned_items,
         analytics.top_customers_by_revenue,
     ):
         plan = _plan(q(spark, SF_SMOKE))
         assert "BroadcastHashJoin" in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_q6_pushes_every_predicate(spark):
+    # The canonical pushdown query: date range, discount band, and quantity
+    # cap must all reach the parquet scan so row groups are skipped.
+    plan = _plan(analytics.q6_forecast_revenue(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
 
 
 def test_aggregations_are_partial_before_exchange(spark):
