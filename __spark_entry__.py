@@ -43,12 +43,13 @@ def _optional_registries():
     """Extension modules register (queries, oracles) pairs; imported lazily
     so a broken extension never takes down the core corpus."""
     out = []
-    for modname in ("analytics", "text", "dedup", "similarity", "multimodal"):
+    modpaths = [
+        f"data_pipeline_python_aws_cdk_spark.operators.{m}"
+        for m in ("analytics", "text", "dedup", "similarity", "multimodal")
+    ] + ["data_pipeline_python_aws_cdk_spark.streaming.events"]
+    for modpath in modpaths:
         try:
-            mod = __import__(
-                f"data_pipeline_python_aws_cdk_spark.operators.{modname}",
-                fromlist=["QUERIES", "ORACLES"],
-            )
+            mod = __import__(modpath, fromlist=["QUERIES", "ORACLES"])
             out.append((getattr(mod, "QUERIES", {}), getattr(mod, "ORACLES", {})))
         except ImportError:
             pass

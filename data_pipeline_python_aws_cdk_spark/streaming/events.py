@@ -159,3 +159,117 @@ def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "co
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+# --- driver-registry entries ----------------------------------------------
+# Each runs the REAL Structured Streaming query (readStream -> watermarked
+# aggregation -> availableNow drain) and returns the drained result as a
+# DataFrame. With availableNow over the static events file the runs are
+# replayable, so each entry carries a full SQL oracle — streaming results
+# are differentially checked against DuckDB like every batch operator.
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _drain(spark: SparkSession, result_df: DataFrame, output_mode: str) -> DataFrame:
+    import uuid
+
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    rows = run_available_now(result_df, name, output_mode)
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, result_df.schema)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file streaming source wants a *directory* of files; the driver
+    testdata is one parquet per table (read-only). Stage a per-sf_dir temp
+    directory holding a symlink to events.parquet — zero copy, and repeated
+    calls reuse it."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark-graft-stream-{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+@_register(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts, drained with availableNow.
+
+    The streaming twin of analytics.events_hourly_windows — same oracle
+    shape; the watermark bounds state at 2 h behind max event time."""
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    return _drain(spark, hourly_event_counts(stream), "complete")
+
+
+@_register(
+    "streaming_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS sessions, COUNT(*) AS events
+    FROM g GROUP BY user_id
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessions, folded to per-user (sessions, events)
+    so the result is comparable to the batch lag-gap sessionizer's oracle —
+    the two formulations must agree on every session boundary."""
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    sessions = _drain(spark, sessionize_stream(stream), "complete")
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("sessions"), F.sum("events").alias("events")
+    )
+
+
+@_register(
+    "streaming_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS events, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals, drained with availableNow.
+
+    One trigger over the static file -> the final state per user is the
+    last update row; rounded to 4 dp to absorb float-sum order."""
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    stats = _drain(spark, user_running_stats(stream), "update")
+    return stats.select(
+        "user_id", "events", F.round("total_value", 4).alias("total_value")
+    )
