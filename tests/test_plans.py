@@ -133,3 +133,34 @@ def test_multimodal_decode_is_map_only(spark):
     for q in (multimodal.multimodal_decode, multimodal.multimodal_frame_sample):
         plan = _plan(q(spark, SF_SMOKE))
         assert "Exchange" not in plan, q.__name__  # no shuffle: decode is map-side
+
+
+# Operators whose semantics REQUIRE enumerating a quadratic pair space —
+# the documented exact/verification tools, never the scale path.
+QUADRATIC_BY_DESIGN = {
+    "similarity_threshold",  # all-pairs cosine (theta join on vec_a < vec_b)
+    "similarity_topk",       # broadcast queries x corpus (query side tiny)
+    "dedup_ngram_jaccard",   # all-pairs verification twin of the LSH path
+    "similarity_ann_ivf",    # corpus x 16-row centroid broadcast (assignment scan)
+}
+
+# Streaming entries execute (drain a stream) at build time; their physical
+# shape is covered by tests/test_streaming.py instead.
+STREAMING = {"streaming_hourly_counts", "streaming_sessionize", "streaming_user_stats"}
+
+
+def test_no_query_plans_cartesian_by_accident(spark):
+    """Blanket gate over EVERY registered query: no cartesian product or
+    nested-loop join may appear unless the operator is quadratic by design.
+    Catches join-condition typos (a dropped equi-key silently becomes a
+    cartesian that 'works' at sf0.01 and detonates at scale)."""
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.queries().items():
+        if name in STREAMING:
+            continue
+        plan = _plan(fn(spark, SF_SMOKE))
+        if name in QUADRATIC_BY_DESIGN:
+            continue
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
