@@ -45,6 +45,8 @@ HEADLINE = [
     "window_latest_order",
     "events_sessionize",
     "events_hourly_windows",
+    "events_asof_purchase",
+    "events_distinct_users",
     "text_quality",
     "doc_fingerprint",
     "dedup_exact",

@@ -449,3 +449,93 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@_register(
+    "events_asof_purchase",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts,
+           epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+    FROM c ASOF JOIN p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest purchase by the same user at
+    or before it — an operator Spark has no native join type for.
+
+    Implemented as a single-pass carry-forward instead of a join: union the
+    two event kinds, sort per user by (ts, kind) with purchases first on
+    ties, and run last(purchase_ts, ignorenulls) over an unbounded-preceding
+    frame. One shuffle on user_id, no pair enumeration, no range probe —
+    the classic Spark-idiomatic as-of. The DuckDB oracle uses its native
+    ASOF JOIN, so two entirely different algorithms must agree row-for-row.
+
+    At 100 TB: the shuffle is one row per click+purchase keyed by user;
+    window state is a single carried value per user — O(1) per key. A
+    sort-merge range join would touch the same data but with a per-row
+    binary search; the carry-forward form is strictly cheaper when the
+    probe side ('click') needs ALL rows matched.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    # Purchases sort before clicks at identical ts, so "at or before"
+    # includes same-instant purchases — matching ASOF's p.ts <= c.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lastp = F.last(
+        F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        both.withColumn("last_purchase_ts", lastp)
+        .filter((F.col("is_click") == 1) & F.col("last_purchase_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("last_purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_purchase_ts"
+            ),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_purchase_ts"))).alias(
+                "gap_us"
+            ),
+        )
+    )
+
+
+@_register(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group: Catalyst rewrites it as a two-phase
+    expand+aggregate, so the distinct set is never collected to one node.
+
+    At 100 TB you trade the exact two-phase shuffle for
+    approx_count_distinct(user_id, 0.01) — an HLL sketch that cuts the
+    shuffle to one fixed-size buffer per (group, partition). Kept exact
+    here so the oracle can hash-match; the swap is a one-token change.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("*").alias("events"),
+    )
