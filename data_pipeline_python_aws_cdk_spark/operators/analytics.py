@@ -539,3 +539,74 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("distinct_users"),
         F.count("*").alias("events"),
     )
+
+
+@_register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                   / SUM(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_revenue_pct,
+           COUNT(*) AS lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l.l_shipdate < TIMESTAMP '1995-07-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional ratio-of-aggregates over a dim join.
+
+    part broadcasts onto the month-filtered lineitem slice (filter pushed
+    to the scan, so only one month of row groups is decoded before the
+    join); the CASE folds into the partial aggregation, so the shuffle is
+    two doubles + a count — regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("lines"),
+        )
+    )
+
+
+@_register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (p50/p95/p99 of event value).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    linear-interpolation definition, so the oracle matches exactly at 6 dp.
+    Exact percentile buffers each group's values once — fine per
+    event_type; at 100 TB (or high-cardinality groups) the one-token swap
+    is ``percentile_approx(value, p, accuracy)``, a fixed-size QDigest
+    per group that makes the shuffle O(accuracy), not O(rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
