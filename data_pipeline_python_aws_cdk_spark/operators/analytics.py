@@ -610,3 +610,42 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+@_register(
+    "events_time_rollup",
+    oracle="""
+    SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                    'ALL') AS hour,
+           COUNT(*) AS events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day and hour granularities
+    plus the grand total in ONE scan via ROLLUP grouping sets.
+
+    Catalyst expands the rollup with Expand (one pass over the input
+    produces all three grouping levels before the shuffle), so adding a
+    granularity costs an extra partial-agg row per input row — not an
+    extra scan. This is the batch form of a timescale-style cagg; at
+    100 TB the day/hour outputs are what you'd persist and incrementally
+    refresh per ingest batch, partitioned by day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.select(day.alias("d"), hour.alias("h"), "value")
+        .rollup("d", "h")
+        .agg(F.count("*").alias("events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.coalesce(F.col("d"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("h"), F.lit("ALL")).alias("hour"),
+            "events",
+            "total_value",
+        )
+    )
