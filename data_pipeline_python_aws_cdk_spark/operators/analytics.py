@@ -649,3 +649,42 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_register(
+    "events_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS events,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of a JSON string
+    column and aggregate it.
+
+    The reference flattens JSON in Python before storage (its S2/S3
+    operators); this is the query-time equivalent for payloads that stay
+    nested. ``get_json_object`` evaluates inside codegen with a cached
+    JSON path — no UDF; at scale prefer ``from_json`` with an explicit
+    schema once the field set stabilizes (one parse, many fields, columnar
+    after the projection).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
