@@ -688,3 +688,55 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+RANGE_JOIN_WINDOW_S = 300  # |error.ts - purchase.ts| <= 5 minutes
+
+
+@_register(
+    "events_range_join",
+    oracle=f"""
+    WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+         p AS (SELECT ts FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id,
+           COUNT(*) AS nearby_purchases
+    FROM e JOIN p
+      ON p.ts >= e.ts - INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
+     AND p.ts <= e.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
+    GROUP BY e.event_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): purchases within ±5 min of each error.
+
+    Spark has no range-join optimizer, and a raw theta join on the interval
+    plans a nested-loop cartesian. The scalable formulation buckets both
+    sides into window-sized time bins and equi-joins on (bin, bin±1) — the
+    candidate space shrinks from |errors| x |purchases| to pairs sharing
+    adjacent bins (~density x window), and the exact interval predicate
+    runs as a post-join filter. The same trick Databricks' range-join hints
+    and KDB's window joins apply; bin width = window size guarantees every
+    qualifying pair lands in a shared-or-adjacent bin exactly once.
+
+    The DuckDB oracle states the naive theta join (its IEJoin handles it) —
+    two different algorithms, one result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = RANGE_JOIN_WINDOW_S
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("ts").alias("e_ts"),
+        (F.unix_micros("ts") / F.lit(1_000_000 * w)).cast("bigint").alias("bin"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"),
+        (F.unix_micros("ts") / F.lit(1_000_000 * w)).cast("bigint").alias("p_bin"),
+    )
+    # each error probes its own bin and both neighbors
+    probes = err.select(
+        "event_id", "e_ts", F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)).alias("p_bin")
+    )
+    pairs = probes.join(pur, "p_bin").filter(
+        (F.col("p_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {w} SECOND"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {w} SECOND"))
+    )
+    return pairs.groupBy("event_id").agg(F.count("*").alias("nearby_purchases"))
