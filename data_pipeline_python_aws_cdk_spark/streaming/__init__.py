@@ -4,6 +4,7 @@ from .events import (
     hourly_event_counts,
     read_event_stream,
     run_available_now,
+    run_to_files,
     sessionize_stream,
     user_running_stats,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "hourly_event_counts",
     "read_event_stream",
     "run_available_now",
+    "run_to_files",
     "sessionize_stream",
     "user_running_stats",
 ]

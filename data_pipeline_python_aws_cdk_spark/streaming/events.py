@@ -148,6 +148,8 @@ def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "co
 
     ``output_mode``: "complete" for full-rewrite aggregations, "update" for
     stateful operators, "append" for finalized-only window emission.
+    The memory sink cannot recover from a checkpoint; for resumable
+    multi-batch runs use ``run_to_files`` (durable file sink).
     """
     spark = stream.sparkSession
     q = (
@@ -155,10 +157,33 @@ def run_available_now(stream: DataFrame, query_name: str, output_mode: str = "co
         .queryName(query_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
+    )
+    q = q.start()
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def run_to_files(
+    stream: DataFrame, output_dir: str, checkpoint_dir: str, fmt: str = "parquet"
+) -> None:
+    """Drain the stream into a durable file sink with a checkpoint.
+
+    The checkpoint persists source offsets, the watermark, and window state,
+    so a later call with the same ``checkpoint_dir`` RESUMES: already-seen
+    files are skipped, the restored watermark drops late data, and newly
+    finalized windows append to ``output_dir``. This is the production
+    shape (stream -> partitioned files) and what multi-batch semantics
+    tests drive.
+    """
+    q = (
+        stream.writeStream.format(fmt)
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {query_name}").collect()
 
 
 # --- driver-registry entries ----------------------------------------------

@@ -56,6 +56,59 @@ def test_session_windows_emit(spark, events_dir):
         assert n <= batch_sessions[user]
 
 
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """True late-data semantics, observable only across micro-batches:
+    a checkpointed restart restores the watermark, and an event older than
+    it never reaches the aggregation state.
+
+    Batch 1: events at 10:05 and 13:00 -> watermark lands at 11:00 (2h
+    behind max event time); the 10:00 window finalizes and is emitted.
+    Batch 2: a LATE event at 09:30 (behind the restored watermark - must be
+    dropped) plus an on-time event at 16:00 (watermark -> 14:00, so the
+    13:00 window finalizes). The 09:00 window must never appear.
+    """
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "wm-src"
+    src.mkdir()
+    ckpt = str(tmp_path / "wm-ckpt")
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = str(tmp_path / "wm-out")
+    write_batch(
+        [(1, "2026-01-01 10:05:00", 1, "click", 1.0, "{}"),
+         (2, "2026-01-01 13:00:00", 1, "click", 1.0, "{}")]
+    )
+    stream = streaming.read_event_stream(spark, str(src))
+    streaming.run_to_files(streaming.hourly_event_counts(stream), out, ckpt)
+    starts1 = {r.window_start for r in spark.read.parquet(out).collect()}
+    assert starts1 == {"2026-01-01 10:00:00"}  # only the finalized window
+
+    write_batch(
+        [(3, "2026-01-01 09:30:00", 1, "click", 1.0, "{}"),   # LATE: dropped
+         (4, "2026-01-01 16:00:00", 1, "click", 1.0, "{}")]
+    )
+    stream2 = streaming.read_event_stream(spark, str(src))
+    streaming.run_to_files(streaming.hourly_event_counts(stream2), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    starts2 = {r.window_start for r in rows}
+    assert "2026-01-01 09:00:00" not in starts2  # late event never surfaced
+    assert "2026-01-01 13:00:00" in starts2  # finalized by advanced watermark
+    counts = {r.window_start: r.events for r in rows}
+    assert counts["2026-01-01 13:00:00"] == 1  # late row didn't leak in
+
+
 def test_stateful_running_stats(spark, events_dir):
     stream = streaming.read_event_stream(spark, events_dir)
     rows = streaming.run_available_now(
