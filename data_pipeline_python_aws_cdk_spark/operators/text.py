@@ -245,3 +245,71 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("fp_md5"),
         hash60(normalized).alias("fp60"),
     )
+
+
+ROLL_W = 8  # rolling window, tokens
+ROLL_B = 31  # polynomial base
+ROLL_M = 1 << 20  # hash modulus (keeps products in int64: 2^20 * 2^20 * 8 < 2^63)
+ROLL_MASK = 63  # boundary when hv % 64 == 0 -> expected chunk ~64 windows
+
+
+def _roll_powers() -> list[int]:
+    return [pow(ROLL_B, ROLL_W - 1 - j, ROLL_M) for j in range(ROLL_W)]
+
+
+def _rolling_oracle() -> str:
+    powers = "[" + ", ".join(str(p) for p in _roll_powers()) + "]"
+    tok_h = "(('0x' || substr(md5(toks[i + j]), 1, 15))::BIGINT % {m})".format(m=ROLL_M)
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {ROLL_W} + 1)) AS i
+            FROM t WHERE len(toks) >= {ROLL_W}),
+    h AS (SELECT doc_id, i,
+                 list_sum(list_transform(generate_series(0, {ROLL_W - 1}),
+                          j -> {tok_h} * ({powers})[j + 1])) % {ROLL_M} AS hv
+          FROM pos)
+    SELECT doc_id, i AS pos, hv AS chunk_hash
+    FROM h WHERE hv % {ROLL_MASK + 1} = 0
+    """
+
+
+@_register("doc_rolling_fingerprint", oracle=_rolling_oracle())
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints with content-defined chunk boundaries.
+
+    A Rabin-Karp polynomial hash slides over token windows; positions where
+    the hash lands on a zero residue become chunk boundaries — the
+    content-defined-chunking primitive behind rsync/LBFS-style partial-dup
+    detection. Unlike fixed-size chunks, an insertion early in a document
+    shifts no boundary after the next zero residue, so chunk fingerprints
+    stay stable under local edits — at 100 TB, boundary hashes land in a
+    (chunk_hash -> doc) inverted index and partial-overlap candidates fall
+    out of a groupBy, exact-verified like the MinHash ladder.
+
+    All-integer arithmetic (token hash and powers both < 2^20, window sum
+    < 2^43), so Spark and the DuckDB oracle agree bit-for-bit. Map-only:
+    the window enumeration happens inside one projection per doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    powers = "array(" + ", ".join(str(p) + "L" for p in _roll_powers()) + ")"
+    tok_h = (
+        f"(CAST(conv(substring(md5(toks[i + j - 1]), 1, 15), 16, 10) AS BIGINT)"
+        f" % {ROLL_M})"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= ROLL_W)
+    windows = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {ROLL_W} + 1),"
+                f" i -> struct(i AS pos,"
+                f" aggregate(transform(sequence(0, {ROLL_W - 1}),"
+                f" j -> {tok_h} * element_at({powers}, j + 1)),"
+                f" 0L, (acc, v) -> acc + v) % {ROLL_M} AS hv))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.hv").alias("chunk_hash"))
+    return windows.filter(F.col("chunk_hash") % (ROLL_MASK + 1) == 0)

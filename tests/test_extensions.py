@@ -158,6 +158,27 @@ def test_embedding_cosine_dedup_finds_planted_pair(spark, tmp_path):
     assert by_pair[(50, 51)] > 0.99
 
 
+def test_rolling_fingerprint_stable_under_local_edits(spark, tmp_path):
+    # The CDC property: editing one early token must not shift boundary
+    # hashes discovered later in the document (unlike fixed-size chunking).
+    words = [f"tok{i}" for i in range(300)]
+    orig = " ".join(words)
+    edited = " ".join(["CHANGED"] + words[1:])  # single-token edit at pos 0
+    out = tmp_path / "cdc"
+    spark.createDataFrame(
+        [(1, orig, "en", "s", len(orig)), (2, edited, "en", "s", len(edited))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    rows = text.doc_rolling_fingerprint(spark, str(out)).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in rows:
+        by_doc[r.doc_id].add((r.pos, r.chunk_hash))
+    # boundaries past the edited window (pos > ROLL_W) must be identical
+    tail1 = {(p, h) for p, h in by_doc[1] if p > text.ROLL_W}
+    tail2 = {(p, h) for p, h in by_doc[2] if p > text.ROLL_W}
+    assert tail1 == tail2 and len(tail1) > 0
+
+
 def test_lang_id_emits_known_language(spark):
     rows = text.lang_id(spark, SF_SMOKE).collect()
     assert {r.detected_lang for r in rows} <= {"en", "de", "es"}
