@@ -740,3 +740,109 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {w} SECOND"))
     )
     return pairs.groupBy("event_id").agg(F.count("*").alias("nearby_purchases"))
+
+
+@_register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS idle_customers,
+           ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                        AND o.o_orderdate < TIMESTAMP '1995-07-01')
+      AND c.c_acctbal > 0
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order in 1995 H1, by
+    segment — the TPC-H Q22 shape.
+
+    left_anti keeps only the probe side: no orders columns survive the
+    join, so nothing from the (large) orders table is projected or
+    shuffled beyond its join key. Catalyst plans a broadcast/shuffled hash
+    anti join — never a subquery-per-row.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("idle_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_register(
+    "suppliers_with_large_lines",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey, COUNT(*) AS active_suppliers
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+    GROUP BY s.s_nationkey
+    ORDER BY nationkey
+    """,
+)
+def suppliers_with_large_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): suppliers with at least one bulk line.
+
+    left_semi deduplicates the build side implicitly — each supplier
+    emits once no matter how many qualifying lines exist, and only the
+    l_suppkey/l_quantity columns of lineitem are read (pruning visible in
+    ReadSchema). The quantity filter pushes to the scan.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    active = s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+    return (
+        active.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("active_suppliers"))
+        .orderBy("nationkey")
+    )
+
+
+@_register(
+    "events_daily_pivot",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one column per event type.
+
+    The value list is explicit, so the plan is a single hash aggregation
+    with conditional counts — no second pass to discover pivot values (an
+    extra distinct-collect job when the list is omitted, and a 100 TB
+    anti-pattern when the pivot column is unbounded).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
