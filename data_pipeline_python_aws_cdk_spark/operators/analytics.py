@@ -846,3 +846,301 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, kinds)
     )
+
+
+@_register(
+    "orders_status_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (status, priority) in one scan.
+
+    Spark expands the cube during partial aggregation, so the fact table is
+    read once and each input row contributes to all 2^k grouping sets
+    map-side — one shuffle total, vs 4 scans if each rollup level were a
+    separate query. Subtotal NULLs are labeled 'ALL' (both columns are
+    NULL-free in the data, so COALESCE is unambiguous) to keep the output
+    total-orderable for the driver's multiset compare.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@_register(
+    "lineitem_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-flag, per-status, and grand totals in one
+    pass — the general form behind ROLLUP/CUBE (`events_time_rollup` is the
+    ROLLUP special case).
+
+    Only the requested 3 sets are expanded (not the 2^k cube), so the
+    map-side expansion factor is exactly len(sets). Two narrow columns are
+    read (ReadSchema pruning); one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@_register(
+    "users_click_and_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set op): users who both clicked and purchased.
+
+    Catalyst rewrites intersect() into a left-semi join over pre-aggregated
+    (distinct) inputs, so each side is deduplicated map-side before the
+    single shuffle on user_id — no full cross-side materialization. The
+    event_type filters push to the scan and only user_id is read.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).orderBy("user_id")
+
+
+@_register(
+    "users_click_not_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND value >= 100
+    ORDER BY user_id
+    """,
+)
+def users_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set op): users who clicked but never made a big
+    (value >= 100) purchase — the set-algebra twin of the
+    `customers_without_orders` anti join.
+
+    subtract() is EXCEPT DISTINCT — both sides deduplicate before the
+    left-anti join, so multiplicity on either side can't leak through
+    (exceptAll would keep a user whose click count exceeds their purchase
+    count). One shuffle on user_id; both filters push to the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    big_buys = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 100))
+        .select("user_id")
+    )
+    return clicks.subtract(big_buys).orderBy("user_id")
+
+
+_SKEW_SALT_N = 8
+
+
+@_register(
+    "segment_revenue_salted",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: revenue per market segment.
+
+    Technique demo with byte-identical semantics to the plain join (the
+    oracle IS the plain join): the fact side gets a uniform salt derived
+    from its row key, the dimension side is exploded SALT_N ways, and the
+    join key becomes (custkey, salt). A single hot custkey that would pin
+    one reducer now spreads across SALT_N tasks. Cost: the dimension is
+    replicated SALT_N x — cheap for true dimensions, and the reason the
+    salt factor is a small constant, not partition count.
+
+    At 100 TB this is the manual fallback when AQE's skewedJoin split
+    (enabled in the session factory) can't help — e.g. a skewed *build*
+    side or a non-splittable downstream aggregation on the same key.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(_SKEW_SALT_N))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SKEW_SALT_N)]))
+    )
+    joined = o.join(
+        F.broadcast(c),
+        (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
+        "inner",
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_register(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(gap_s), 2) AS avg_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM (
+        SELECT o_custkey,
+               CAST(epoch(o_orderdate) AS BIGINT)
+                 - CAST(epoch(LAG(o_orderdate) OVER w) AS BIGINT) AS gap_s
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+    ORDER BY custkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: seconds between consecutive orders per customer.
+
+    Partitioned by high-cardinality o_custkey, so window state is a few
+    rows per partition and the single shuffle is skew-safe. o_orderkey
+    tie-breaks equal order dates to keep LAG deterministic across engines.
+    The COUNT >= 2 HAVING drops single-order customers (whose only gap is
+    NULL); note COUNT(*) counts rows, not non-NULL gaps, in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.unix_timestamp("o_orderdate") - F.unix_timestamp(
+        F.lag("o_orderdate").over(w)
+    )
+    return (
+        o.select(F.col("o_custkey").alias("custkey"), gap.alias("gap_s"))
+        .groupBy("custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .orderBy("custkey")
+    )
+
+
+@_register(
+    "customer_spend_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n_customers,
+           ROUND(MIN(spend), 2) AS min_spend,
+           ROUND(MAX(spend), 2) AS max_spend
+    FROM (
+        SELECT NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile,
+               spend, o_custkey
+        FROM (SELECT o_custkey, SUM(o_totalprice) AS spend
+              FROM orders GROUP BY o_custkey)
+    )
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE: bucket customers into spend quartiles, then profile each.
+
+    The inner aggregation shrinks the fact table to one row per customer
+    BEFORE the unpartitioned NTILE window, so the single-task global sort
+    only ever sees |customers| rows — the pattern that keeps global
+    windows viable at scale (window over an aggregate, never over raw
+    facts). o_custkey tie-breaks equal spends for cross-engine determinism.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@_register("events_approx_sketch")
+def events_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog distinct users + quantile sketch of
+    value, per event type.
+
+    approx_count_distinct (HLL++, rsd 2%) and approx_percentile keep
+    constant-size state per group instead of the full value set — at 100 TB
+    these replace `events_distinct_users` / `events_value_percentiles`
+    whenever a ~2% error is acceptable, trading an exact-but-huge shuffle
+    of distinct keys for fixed-size mergeable sketches (pure map-side
+    combine, tiny exchange).
+
+    No SQL oracle: sketch outputs are implementation-defined (driver
+    records the rows-only check); `tests/test_extensions.py` bounds the
+    error vs the exact answers instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95], 10_000)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            pcts.getItem(0).alias("p50_value"),
+            pcts.getItem(1).alias("p95_value"),
+        )
+        .orderBy("event_type")
+    )

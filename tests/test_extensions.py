@@ -228,3 +228,31 @@ def test_multimodal_payload_schema(spark):
     ]
     row = decoded.filter(F.col("doc_id") == 0).collect()[0]
     assert 1 <= row.width <= 1920 and 1 <= row.height <= 1080
+
+
+def test_approx_sketch_bounds_error_vs_exact(spark):
+    """HLL distinct counts within 3x the configured 2% rsd; approx median
+    within the [p25, p75] band of the exact distribution."""
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.event_type: r for r in analytics.events_approx_sketch(spark, sf).collect()}
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.75)").alias("p75"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, a in approx.items():
+        e = exact[etype]
+        assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users), etype
+        assert e.p25 <= a.p50_value <= e.p75, etype
