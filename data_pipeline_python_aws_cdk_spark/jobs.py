@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
     p_comp.add_argument("--format", default="parquet", choices=["parquet", "csv"])
     p_comp.add_argument("--target-file-bytes", type=int, default=DEFAULT_TARGET_FILE_BYTES)
 
+    p_bkt = sub.add_parser(
+        "bucketize", help="prepay the fact-fact join shuffle via bucketed tables"
+    )
+    p_bkt.add_argument("--sf-dir", required=True)
+    p_bkt.add_argument("--location", required=True)
+    p_bkt.add_argument("--buckets", type=int, default=None)
+
     args = parser.parse_args(argv)
     spark = get_spark(f"job-{args.cmd}")
 
@@ -108,6 +115,15 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.path, fmt=args.format, target_file_bytes=args.target_file_bytes
         )
         print(json.dumps({"statusCode": 200, **st.as_dict()}))
+        return 0
+
+    if args.cmd == "bucketize":
+        from .bucketing import DEFAULT_BUCKETS, bucketize_facts
+
+        ot, lt = bucketize_facts(
+            spark, args.sf_dir, args.location, n_buckets=args.buckets or DEFAULT_BUCKETS
+        )
+        print(json.dumps({"statusCode": 200, "tables": [ot, lt]}))
         return 0
 
     return 2

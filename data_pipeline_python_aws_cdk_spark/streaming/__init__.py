@@ -1,6 +1,8 @@
 """Structured Streaming tier: streaming twins of the batch event analytics."""
 
 from .events import (
+    click_purchase_join_stream,
+    distinct_pairs_stream,
     hourly_event_counts,
     read_event_stream,
     run_available_now,
@@ -10,6 +12,8 @@ from .events import (
 )
 
 __all__ = [
+    "click_purchase_join_stream",
+    "distinct_pairs_stream",
     "hourly_event_counts",
     "read_event_stream",
     "run_available_now",

@@ -298,3 +298,94 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "user_id", "events", F.round("total_value", 4).alias("total_value")
     )
+
+
+def distinct_pairs_stream(stream: DataFrame) -> DataFrame:
+    """Streaming dedup: first occurrence of each (user_id, event_type).
+
+    ``dropDuplicates`` keeps exact, unbounded per-key state — correct for
+    bounded key domains (here: users x event types). For unbounded domains
+    at 100 TB use ``dropDuplicatesWithinWatermark`` instead (state pruned
+    behind the watermark, exactness traded for bounded memory); that
+    variant's semantics are pinned by tests/test_streaming.py on
+    constructed late duplicates.
+    """
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+
+
+def click_purchase_join_stream(stream: DataFrame, horizon_s: int = 300) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's clicks in the preceding ``horizon_s`` seconds.
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, so each side's buffered state is prunable: a click older than
+    watermark + horizon can never match a future purchase and is dropped.
+    An unbounded (equi-only) stream-stream join would grow state forever —
+    the time bound is what makes this viable on infinite streams.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon_s} SECOND")),
+        "inner",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+
+
+@_register(
+    "streaming_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup drained with availableNow; the emitted set equals
+    batch DISTINCT regardless of which physical row arrived first."""
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    out = _drain(spark, distinct_pairs_stream(stream), "append")
+    return out.orderBy("user_id", "event_type")
+
+
+@_register(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 300 SECOND
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained with availableNow; pair set is
+    exactly the batch interval join's (same data, one trigger)."""
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    out = _drain(spark, click_purchase_join_stream(stream), "append")
+    return out.orderBy("click_id", "purchase_id")

@@ -9,6 +9,8 @@ performance bug even when results stay right.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from data_pipeline_python_aws_cdk_spark.operators import analytics, corpus, similarity
 from tests.conftest import SF_SMOKE
 
@@ -164,3 +166,41 @@ def test_no_query_plans_cartesian_by_accident(spark):
             continue
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both facts bucketed on orderkey with equal bucket counts -> the
+    sort-merge join and the follow-on per-order aggregation run with ZERO
+    Exchange nodes: the write-time shuffle is the only one, ever."""
+    from data_pipeline_python_aws_cdk_spark import bucketing
+
+    ot, lt = bucketing.bucketize_facts(
+        spark, SF_SMOKE, str(tmp_path / "warehouse"), suffix="_t"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketing.colocated_order_lines(spark, ot, lt)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # semantics unchanged vs the unbucketed join
+        n = df.count()
+        from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+        want = (
+            load_table(spark, SF_SMOKE, "orders")
+            .join(
+                load_table(spark, SF_SMOKE, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_orderkey")
+            .distinct()
+            .count()
+        )
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")

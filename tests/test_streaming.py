@@ -127,3 +127,112 @@ def test_stateful_running_stats(spark, events_dir):
     }
     got = {r.user_id: (r.events, round(r.total_value, 4)) for r in rows}
     assert got == batch
+
+
+def test_distinct_pairs_matches_batch(spark, events_dir):
+    stream = streaming.read_event_stream(spark, events_dir)
+    rows = streaming.run_available_now(
+        streaming.distinct_pairs_stream(stream), "distinct_pairs", "append"
+    )
+    got = {(r.user_id, r.event_type) for r in rows}
+    import pyspark.sql.functions as F  # noqa: F401
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert len(rows) == len(got)  # no key emitted twice
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon are suppressed; once a key's state ages out past the watermark,
+    a much-later duplicate is treated as new — the documented
+    exactness-for-bounded-state trade that makes streaming dedup viable on
+    unbounded key domains.
+    """
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "dd-src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dd-ckpt")
+    out = str(tmp_path / "dd-out")
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    def dedup(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts")
+        )
+
+    # Batch 1: id=2 appears twice within the horizon -> one emission.
+    # id=9 at 13:00 pushes the watermark to 12:00, expiring id=1/2 state
+    # (event time + 1 h delay < 12:00).
+    write_batch(
+        [(1, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2026-01-01 10:10:00", 1, "click", 1.0, "{}"),
+         (9, "2026-01-01 13:00:00", 1, "click", 1.0, "{}")]
+    )
+    stream = streaming.read_event_stream(spark, str(src))
+    streaming.run_to_files(dedup(stream), out, ckpt)
+    ids1 = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert sorted(ids1) == [1, 2, 9]  # in-horizon duplicate suppressed
+
+    # Batch 2: id=1 reappears far ahead of its expired state -> re-emitted.
+    write_batch([(1, "2026-01-01 13:30:00", 1, "click", 1.0, "{}")])
+    stream2 = streaming.read_event_stream(spark, str(src))
+    streaming.run_to_files(dedup(stream2), out, ckpt)
+    ids2 = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert sorted(ids2) == [1, 1, 2, 9]  # aged-out key counted as new
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    stream = streaming.read_event_stream(spark, events_dir)
+    rows = streaming.run_available_now(
+        streaming.click_purchase_join_stream(stream), "ssjoin", "append"
+    )
+    got = {(r.click_id, r.purchase_id) for r in rows}
+
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    import pyspark.sql.functions as F
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 300 SECOND")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
