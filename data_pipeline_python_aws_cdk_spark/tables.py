@@ -25,9 +25,22 @@ TABLE_NAMES = (
 )
 
 
+# (session id, sf_dir, table) -> DataFrame. A DataFrame is an immutable
+# logical plan, so handing the same object to every caller is safe; caching
+# skips the parquet footer read + schema inference that spark.read.parquet
+# pays per call (~0.1 s x tables x queries of pure driver-side overhead —
+# the dominant cost of short queries, and exactly what a warm catalog
+# amortizes on a real cluster).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS); with
@@ -35,6 +48,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Truncate to micros — the same truncation DuckDB applies — so both
         # engines see identical timestamps.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _CACHE[key] = df
     return df
 
 
