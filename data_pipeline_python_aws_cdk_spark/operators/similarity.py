@@ -417,3 +417,48 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
     )
+
+
+KMEANS_K = 10
+KMEANS_SEED = 7
+
+
+@_register("embedding_kmeans")
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib k-means over the embedding corpus: cluster size + dispersion
+    profile — the batch-iterative workload class (each iteration is one
+    distributed pass: broadcast centroids, assign map-side, re-average with
+    a map-side-combined aggregation).
+
+    This is the corpus-structuring step a training pipeline runs before
+    IVF indexing (similarity_ann_ivf trains its own centroids the same
+    way) or balanced sampling. Cluster ids are implementation-defined, so
+    no SQL oracle (driver records rows-only);
+    tests/test_extensions.py::test_kmeans_recovers_planted_clusters pins
+    quality on constructed Gaussian blobs (the testdata's `label` column
+    is metadata, not geometry — measured within-label spread is ~5x the
+    between-centroid distance, so label purity is not a valid target).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pred = kmeans_assign(e, k=KMEANS_K, seed=KMEANS_SEED)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("size"))
+        .orderBy("cluster")
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int, seed: int = KMEANS_SEED, max_iter: int = 20
+) -> DataFrame:
+    """Fit MLlib k-means on an (id, embedding array<float>) frame and return
+    it with a ``prediction`` cluster column (JVM-side assignment; no Python
+    per-row crossing)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(e)
+    return model.transform(e).drop("features")

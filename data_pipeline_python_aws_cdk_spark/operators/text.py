@@ -16,7 +16,7 @@ Each query has a DuckDB oracle built from the same tokenization contract
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import hash60, hash60_sql
 from ..functions.textfns import BPE_ISH_PATTERN, bpe_ish_token_count, ws_token_count
@@ -313,3 +313,78 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.hv").alias("chunk_hash"))
     return windows.filter(F.col("chunk_hash") % (ROLL_MASK + 1) == 0)
+
+
+TFIDF_TOPK = 3
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t != ''
+    ),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tc FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tc) AS dl FROM tc GROUP BY doc_id),
+    idf AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tc),
+    scored AS (
+      SELECT tc.doc_id, tc.term,
+             (CAST(tc.tc AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+               * (CAST(nd.n AS DOUBLE) / CAST(idf.df AS DOUBLE)) AS tfidf
+      FROM tc JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOPK}
+    ORDER BY doc_id, tfidf DESC, term
+    """
+
+
+@_register("text_tfidf_topk", oracle=_tfidf_oracle())
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    keyword-extraction pass of a training-data pipeline.
+
+    Pipeline: tokenize (same whitespace lexer as text_token_stats) ->
+    per-(doc, term) counts -> doc length via a doc_id window over those
+    counts (reuses the (doc_id, term) distribution; no second corpus scan)
+    -> document frequency per term (one aggregation of the count table,
+    NOT the raw token stream) -> score -> per-doc top-k window.
+
+    Scale notes: every aggregation input is the (doc, term) count table —
+    corpus-scale text is scanned exactly once. The DF join shuffles on
+    term; AQE broadcast-converts it when the vocabulary is small. TF-IDF
+    is computed with integer->double divisions only (no log), so scores
+    are bit-identical across engines and the top-k tie-break (score desc,
+    term asc) is deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    dl = Window.partitionBy("doc_id")
+    with_dl = tc.withColumn("dl", F.sum("tc").over(dl))
+    idf = tc.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tc.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        with_dl.join(idf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tc").cast("double") / F.col("dl").cast("double"))
+            * (F.col("n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

@@ -256,3 +256,24 @@ def test_approx_sketch_bounds_error_vs_exact(spark):
         e = exact[etype]
         assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users), etype
         assert e.p25 <= a.p50_value <= e.p75, etype
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three tight Gaussian blobs -> k-means must recover them exactly
+    (every blob maps to one distinct predicted cluster)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(3, 16) * 10.0
+    rows = []
+    for lbl in range(3):
+        for i in range(40):
+            v = centers[lbl] + rng.normal(0, 0.05, 16)
+            rows.append((lbl * 100 + i, [float(x) for x in v], lbl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pred = similarity.kmeans_assign(df, k=3, seed=1).collect()
+    mapping = {}
+    for r in pred:
+        mapping.setdefault(r.label, set()).add(r.prediction)
+    assert all(len(v) == 1 for v in mapping.values())  # each blob intact
+    assert len({next(iter(v)) for v in mapping.values()}) == 3  # and distinct

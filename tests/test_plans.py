@@ -144,11 +144,19 @@ QUADRATIC_BY_DESIGN = {
     "similarity_topk",       # broadcast queries x corpus (query side tiny)
     "dedup_ngram_jaccard",   # all-pairs verification twin of the LSH path
     "similarity_ann_ivf",    # corpus x 16-row centroid broadcast (assignment scan)
+    "text_tfidf_topk",       # cross join against a ONE-ROW aggregate (corpus doc
+                             # count): broadcasting a scalar, not a relation
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
 # shape is covered by tests/test_streaming.py instead.
-STREAMING = {"streaming_hourly_counts", "streaming_sessionize", "streaming_user_stats"}
+STREAMING = {
+    "streaming_hourly_counts",
+    "streaming_sessionize",
+    "streaming_user_stats",
+    "streaming_distinct_pairs",
+    "streaming_click_purchase_join",
+}
 
 
 def test_no_query_plans_cartesian_by_accident(spark):
