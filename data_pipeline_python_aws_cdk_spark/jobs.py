@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
     p_bkt.add_argument("--location", required=True)
     p_bkt.add_argument("--buckets", type=int, default=None)
 
+    p_up = sub.add_parser("upsert", help="merge updates by key, last writer wins")
+    p_up.add_argument("--path", required=True)
+    p_up.add_argument("--updates", required=True, help="parquet path of update rows")
+    p_up.add_argument("--keys", required=True, help="comma-separated key columns")
+    p_up.add_argument("--version-col", required=True)
+    p_up.add_argument("--partition-cols", default="", help="comma-separated")
+
     args = parser.parse_args(argv)
     spark = get_spark(f"job-{args.cmd}")
 
@@ -124,6 +131,20 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.sf_dir, args.location, n_buckets=args.buckets or DEFAULT_BUCKETS
         )
         print(json.dumps({"statusCode": 200, "tables": [ot, lt]}))
+        return 0
+
+    if args.cmd == "upsert":
+        from .maintenance import upsert
+
+        st = upsert(
+            spark,
+            args.path,
+            spark.read.parquet(args.updates),
+            key_cols=args.keys.split(","),
+            version_col=args.version_col,
+            partition_cols=[c for c in args.partition_cols.split(",") if c],
+        )
+        print(json.dumps({"statusCode": 200, **st}))
         return 0
 
     return 2

@@ -33,7 +33,8 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -122,3 +123,103 @@ def compact(
         stats.partitions_compacted += 1
         stats.files_after += len(new_files)
     return stats
+
+
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    partition_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """MERGE-style last-writer-wins upsert into a raw-directory dataset.
+
+    The reference is strictly append-only (SURVEY.md §2.4 — no
+    UPDATE/DELETE/MERGE anywhere); re-ingesting a day duplicates it. This
+    is the missing idempotent-write primitive: rows with the same
+    ``key_cols`` collapse to the highest ``version_col`` winner.
+
+    Execution shape (the part that must survive 100 TB):
+
+    - **Only partitions touched by the updates are rewritten.** The
+      update set's distinct partition values prune the base read — a
+      day's update to a year of data reads and rewrites one day, not the
+      year (classic dynamic-partition-overwrite semantics, done
+      explicitly so it works on raw directories).
+    - The winner-per-key pass is one window (row_number over key, ordered
+      by version desc) — a single shuffle of base∪updates *within the
+      affected partitions only*.
+    - Without ``partition_cols`` the whole dataset is the one "partition"
+      — correct, but a full rewrite; partition your data.
+
+    A table format (Iceberg/Delta) would commit this as a snapshot with
+    file-level conflict detection; the raw-directory variant has the same
+    overwrite window as Hive's INSERT OVERWRITE (and `compact`).
+    """
+    from pyspark.sql import Window as W
+
+    partition_cols = partition_cols or []
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    base = reader.load(path)
+
+    if partition_cols:
+        parts = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+        pred = None
+        for vals in parts:
+            clause = F.lit(True)
+            for c, v in zip(partition_cols, vals):
+                clause = clause & (F.col(c) == F.lit(v))
+            pred = clause if pred is None else (pred | clause)
+        affected_base = base.filter(pred) if pred is not None else base.limit(0)
+    else:
+        parts = []
+        affected_base = base
+
+    merged = affected_base.select(updates.columns).unionByName(updates)
+    w = W.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    winners = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tmp = _tempfile.mkdtemp(prefix="upsert-", dir=_os.path.dirname(path.rstrip("/")))
+    try:
+        writer = winners.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.save(tmp)
+
+        if partition_cols:
+            swapped = 0
+            for vals in parts:
+                rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+                src, dst = _os.path.join(tmp, rel), _os.path.join(path, rel)
+                if not _os.path.isdir(src):
+                    continue
+                if _os.path.isdir(dst):
+                    _shutil.rmtree(dst)
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                _shutil.move(src, dst)
+                swapped += 1
+            return {"mode": "partitioned", "partitions_rewritten": swapped}
+        for f in _os.listdir(path):
+            full = _os.path.join(path, f)
+            if _is_data_file(f) and _os.path.isfile(full):
+                _os.remove(full)
+        for f in _os.listdir(tmp):
+            if _is_data_file(f):
+                _shutil.move(_os.path.join(tmp, f), _os.path.join(path, f))
+        return {"mode": "full", "partitions_rewritten": 1}
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)

@@ -1144,3 +1144,150 @@ def events_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           o.o_orderkey AS orderkey,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(q.qty, 2) AS qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 200) q ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, orderkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customers — the aggregate-then-join pattern.
+
+    The IN-subquery of the official Q18 is decorrelated into an inner join
+    against the pre-aggregated (orderkey, qty) table: the lineitem
+    aggregation reduces the fact table BEFORE any join (map-side combine,
+    then one shuffle on orderkey that the orders join reuses), and the
+    customer dimension broadcasts. Joining — not semi-joining — keeps the
+    qty column without a second pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+    )
+    return (
+        o.join(q, o.o_orderkey == q.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+    )
+
+
+@_register(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 2, 3, 4)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, brand, size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with
+    negated + IN predicates (lineitem stands in for partsupp — the
+    testdata has no partsupp table).
+
+    Both part predicates push to the broadcast build side before the join,
+    so the fact scan only carries (l_partkey, l_suppkey) and the
+    COUNT(DISTINCT) expansion happens after the dimension filter has cut
+    the rows. IN-list and <> become scan-level filters (visible in
+    PushedFilters).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "size")
+    )
+
+
+@_register(
+    "events_conversion_funnel",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT fc.user_id,
+             MIN(e.ts) AS first_purchase
+      FROM fc LEFT JOIN events e
+        ON e.user_id = fc.user_id
+       AND e.event_type = 'purchase' AND e.ts >= fc.first_click
+      GROUP BY fc.user_id
+    )
+    SELECT COUNT(*) AS clicked_users,
+           COUNT(first_purchase) AS converted_users,
+           ROUND(AVG(CAST(FLOOR(epoch(first_purchase)) AS BIGINT)
+                     - CAST(FLOOR(epoch(fc.first_click)) AS BIGINT)), 2) AS avg_conversion_s
+    FROM fc JOIN conv USING (user_id)
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: of users who clicked, how many later purchased,
+    and how long the first click->first purchase took on average.
+
+    Two keyed aggregations on user_id back to back — AQE reuses the
+    exchange, so the funnel costs one shuffle of the (already filtered)
+    click/purchase rows. The purchase side left-joins on the SAME key with
+    a time residual, keeping non-converters in the denominator. At 100 TB
+    the events scan prunes to two event types and three columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        fc.join(
+            buys,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("first_click")),
+            "left",
+        )
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return conv.agg(
+        F.count("*").alias("clicked_users"),
+        F.count("first_purchase").alias("converted_users"),
+        F.round(
+            F.avg(
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+            ),
+            2,
+        ).alias("avg_conversion_s"),
+    )

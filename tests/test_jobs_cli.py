@@ -78,3 +78,38 @@ def test_compaction_job(spark, tmp_path, capsys):
     rc = jobs.main(["compact", "--path", lake])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out2["partitions_compacted"] == 0  # idempotent
+
+
+def test_upsert_last_writer_wins_partition_pruned(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.maintenance import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1, "d1"), (2, "b", 1, "d1"), (3, "c", 1, "d2")],
+        "id long, val string, version int, day string",
+    )
+    path = str(tmp_path / "ds")
+    base.write.partitionBy("day").parquet(path)
+    d2_files_before = set(os.listdir(f"{path}/day=d2"))
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 2, "d1"), (4, "d", 1, "d1")],
+        "id long, val string, version int, day string",
+    )
+    stats = upsert(spark, path, updates, key_cols=["id"], version_col="version",
+                   partition_cols=["day"])
+    assert stats == {"mode": "partitioned", "partitions_rewritten": 1}
+
+    got = {(r.id, r.val, r.version) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a2", 2), (2, "b", 1), (3, "c", 1), (4, "d", 1)}
+    # untouched partition's files were not rewritten
+    assert set(os.listdir(f"{path}/day=d2")) == d2_files_before
+
+    # idempotent: re-applying the same updates changes nothing
+    upsert(spark, path, updates, key_cols=["id"], version_col="version",
+           partition_cols=["day"])
+    again = {(r.id, r.val, r.version) for r in spark.read.parquet(path).collect()}
+    assert again == got
