@@ -1291,3 +1291,45 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_conversion_s"),
     )
+
+
+@_register(
+    "orders_revenue_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(AVG(revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS revenue_7d_avg
+    FROM daily
+    ORDER BY day
+    """,
+)
+def orders_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue — the sliding-frame window.
+
+    Same discipline as `customer_spend_quartiles`: aggregate the fact
+    table down to one row per day FIRST (map-side combine, one shuffle),
+    then run the unpartitioned sliding frame over |days| rows only. The
+    ROWS frame is O(1) per row (running sum, not re-scan); a global
+    window directly over raw orders would serialize the whole fact table
+    through one task.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.avg("rev").over(w), 2).alias("revenue_7d_avg"),
+        )
+        .orderBy("day")
+    )

@@ -143,3 +143,76 @@ def distributed_fetch(
         F.explode(F.from_json("body", T.ArrayType(users_schema()))).alias("u")
     ).select("u.*")
     return users
+
+
+# --- Spark 4 Python Data Source API variant ---------------------------------
+# The scale path SURVEY.md §2.1 S1 names: a first-class pluggable source, so
+# `spark.read.format("http_json").option("urls", ...)` behaves like any other
+# source — one input partition PER ENDPOINT, fetched executor-side, with
+# planning (partition listing) separated from IO the way Spark expects.
+# `distributed_fetch` above remains the ad-hoc mapInPandas variant; this is
+# the registered-catalog-citizen form.
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _UrlPartition(InputPartition):
+        def __init__(self, url: str):
+            self.url = url
+
+    class HttpJsonReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self._urls = [u for u in options.get("urls", "").split(",") if u]
+            self._timeout = float(options.get("timeout", FETCH_TIMEOUT_SECONDS))
+
+        def partitions(self):
+            # one fetch per task -> endpoint parallelism == partition count;
+            # Spark schedules/retries each endpoint independently
+            return [_UrlPartition(u) for u in self._urls]
+
+        def read(self, partition):
+            import urllib.request
+
+            with urllib.request.urlopen(partition.url, timeout=self._timeout) as r:
+                body = r.read().decode("utf-8")
+            records = json.loads(body)
+            if isinstance(records, dict):
+                records = [records]
+            for rec in records:
+                yield (partition.url, json.dumps(rec, sort_keys=True))
+
+    class HttpJsonDataSource(DataSource):
+        """``format("http_json")``: JSON-over-HTTP as a native Spark source.
+
+        Emits (source_url, value) rows — one per top-level JSON record —
+        leaving typing to ``from_json`` + the flatten projection, so the
+        source stays schema-agnostic and the typed path is shared with the
+        driver-side fetch.
+        """
+
+        @classmethod
+        def name(cls):
+            return "http_json"
+
+        def schema(self):
+            return "source_url string, value string"
+
+        def reader(self, schema):
+            return HttpJsonReader(self.options)
+
+    def register_http_source(spark: SparkSession) -> None:
+        spark.dataSource.register(HttpJsonDataSource)
+
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    HttpJsonDataSource = None  # type: ignore[assignment]
+
+    def register_http_source(spark: SparkSession) -> None:
+        raise NotImplementedError("Python Data Source API requires pyspark >= 4.0")
+
+
+def read_http_json(spark: SparkSession, urls: list[str]) -> DataFrame:
+    """Read one or more JSON endpoints through the registered source."""
+    register_http_source(spark)
+    return (
+        spark.read.format("http_json").option("urls", ",".join(urls)).load()
+    )

@@ -172,3 +172,37 @@ def test_ingest_error_contract(spark, tmp_path):
     )
     assert res["statusCode"] == 500
     assert "Error fetching data" in res["body"]
+
+def test_http_json_datasource_partitions_and_flatten(spark, tmp_path):
+    """Spark 4 Python Data Source: one input partition per endpoint,
+    records land as JSON strings, and the typed flatten path (from_json +
+    flatten_users) produces the reference's 15-column shape."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.sources.rest import (
+        flatten_users,
+        read_http_json,
+        users_schema,
+    )
+    from tests.fixtures_users import USERS_FIXTURE
+
+    half = len(USERS_FIXTURE) // 2
+    for i, chunk in enumerate([USERS_FIXTURE[:half], USERS_FIXTURE[half:]]):
+        (tmp_path / f"u{i}.json").write_text(_json.dumps(chunk))
+    urls = [f"file://{tmp_path}/u{i}.json" for i in range(2)]
+
+    raw = read_http_json(spark, urls)
+    assert raw.rdd.getNumPartitions() == 2  # endpoint-parallel
+    typed = raw.select(
+        F.from_json("value", users_schema()).alias("u")
+    ).select("u.*")
+    flat = flatten_users(typed)
+    rows = flat.collect()
+    assert len(rows) == len(USERS_FIXTURE)
+    assert len(flat.columns) == 15
+    by_id = {r.id: r for r in rows}
+    src = {u["id"]: u for u in USERS_FIXTURE}
+    some = next(iter(src))
+    assert by_id[some].address_city == src[some]["address"]["city"]
