@@ -212,3 +212,37 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
+
+
+def test_q18_aggregates_lineitem_before_join(spark):
+    """The qty aggregation must reduce lineitem BEFORE any join (partial
+    aggregate below the exchange), and customer must broadcast."""
+    plan = _plan(analytics.q18_large_volume_customers(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # partial + final HashAggregate pair for the lineitem qty reduction —
+    # proof the fact table shrinks before any join consumes it
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_q16_pushes_part_filters_to_scan(spark):
+    plan = _plan(analytics.q16_parts_supplier_counts(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "p_size" in plan.split("PushedFilters", 1)[1][:400]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_broadcasts_exploded_dim(spark):
+    """The salted dimension side must broadcast (the whole point: spread a
+    hot fact key across SALT_N reducers without shuffling the dimension)."""
+    plan = _plan(analytics.segment_revenue_salted(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_moving_avg_aggregates_before_global_window(spark):
+    """The unpartitioned sliding window must consume the daily aggregate,
+    never raw orders: exactly one Window node, fed by a HashAggregate."""
+    plan = _plan(analytics.orders_revenue_moving_avg(spark, SF_SMOKE))
+    assert plan.count("Window") >= 1
+    assert plan.index("HashAggregate") > plan.index("Window")  # agg deeper than window
