@@ -246,3 +246,50 @@ def test_moving_avg_aggregates_before_global_window(spark):
     plan = _plan(analytics.orders_revenue_moving_avg(spark, SF_SMOKE))
     assert plan.count("Window") >= 1
     assert plan.index("HashAggregate") > plan.index("Window")  # agg deeper than window
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Evidence the session's skew-join config actually fires: a 200x-skewed
+    key in a sort-merge join gets split at runtime (skew=true in the final
+    plan) instead of pinning one reducer. Thresholds are lowered to make
+    the toy dataset register as skewed; production keeps the defaults."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # partition coalescing would merge the toy-sized partitions before
+        # the skew rule sees them; at real sizes both rules coexist
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        # the join feeds an aggregation, so splitting requires accepting the
+        # extra exchange AQE would otherwise avoid
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        skewed = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        # the OTHER side stays uniform — two-sided skew would be a join
+        # explosion, not a partitioning problem
+        uniform = spark.range(0, 400_000).select(
+            F.col("id").alias("k"), F.col("id").alias("p2")
+        )
+        df = skewed.join(uniform, "k").groupBy().count()
+        df.collect()
+        plan = _plan(df)
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
