@@ -1333,3 +1333,42 @@ def orders_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_register(
+    "cheapest_line_per_part",
+    oracle="""
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           ROUND(l_extendedprice, 2) AS price
+    FROM (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_suppkey) AS rk
+      FROM lineitem
+    )
+    WHERE rk = 1
+    ORDER BY partkey
+    """,
+)
+def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group with the winning row's attributes — the TPC-H Q2
+    correlated-subquery shape (price = MIN(price) per part), decorrelated
+    into one ranking window.
+
+    The correlated form would re-scan per outer row; the window form is a
+    single shuffle on l_partkey (high-cardinality, skew-safe) with O(1)
+    state per group. l_suppkey tie-breaks equal prices so the winner is
+    deterministic across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_extendedprice", "l_suppkey")
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy("partkey")
+    )

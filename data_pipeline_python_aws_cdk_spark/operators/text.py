@@ -388,3 +388,45 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+SAMPLE_PCT = 20
+
+
+def _sample_oracle() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", salt="sample")
+    return f"""
+    SELECT lang, COUNT(*) AS sampled_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    WHERE {h} % 100 < {SAMPLE_PCT}
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@_register("documents_stratified_sample", oracle=_sample_oracle())
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample, profiled per language stratum.
+
+    Seeded ``sample()``/``sampleBy()`` depends on partitioning and RNG
+    stream position — re-running on re-partitioned data yields a different
+    subset. Keying the decision on a content hash (the cross-engine hash60
+    of doc_id) makes membership a pure function of the ROW: replayable at
+    any parallelism, incrementally stable (new docs don't flip old
+    decisions), and auditable in SQL — the properties a training-data
+    sample must have. The predicate is a scan-level filter; no shuffle
+    beyond the per-stratum count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keep = (hash60(F.col("doc_id").cast("string"), salt="sample") % 100) < SAMPLE_PCT
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
