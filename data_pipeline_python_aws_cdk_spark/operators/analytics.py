@@ -299,7 +299,7 @@ SESSION_GAP_MINUTES = 30
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS sessions, COUNT(*) AS events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions, COUNT(*) AS events
     FROM g GROUP BY user_id
     """,
 )

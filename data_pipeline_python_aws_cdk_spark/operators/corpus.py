@@ -361,9 +361,9 @@ def duplicate_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     "missing_fields",
     oracle="""
     SELECT
-      SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS missing_langs,
-      SUM(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS missing_sources,
-      SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS missing_texts,
+      CAST(SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_langs,
+      CAST(SUM(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_sources,
+      CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_texts,
       COUNT(*) AS total_records
     FROM documents
     """,
@@ -388,8 +388,8 @@ def missing_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPLETENESS_ORACLE_BLOCK = """
     SELECT '{field}' AS field_name,
            COUNT(*) AS total_records,
-           SUM(CASE WHEN {field} IS NOT NULL AND {field} != '' THEN 1 ELSE 0 END)
-             AS non_null_records,
+           CAST(SUM(CASE WHEN {field} IS NOT NULL AND {field} != '' THEN 1 ELSE 0 END)
+             AS BIGINT) AS non_null_records,
            ROUND(100.0 * SUM(CASE WHEN {field} IS NOT NULL AND {field} != ''
                              THEN 1 ELSE 0 END) / COUNT(*), 2)
              AS completeness_percentage

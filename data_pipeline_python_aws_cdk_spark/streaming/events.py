@@ -49,6 +49,9 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     epoch-nanos int64 under spark.sql.legacy.parquet.nanosAsLong); detect
     that from the batch footer and convert exactly like tables.load_table.
     """
+    from data_pipeline_python_aws_cdk_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     batch_dtypes = dict(spark.read.parquet(events_dir).dtypes)
     if batch_dtypes.get("ts") == "bigint":
         raw_schema = T.StructType(
@@ -257,16 +260,16 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "streaming_sessionize",
-    oracle=f"""
+    oracle="""
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS sessions, COUNT(*) AS events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions, COUNT(*) AS events
     FROM g GROUP BY user_id
     """,
 )

@@ -19,18 +19,61 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 import __spark_entry__ as entrymod
-from data_pipeline_python_aws_cdk_spark.session import get_spark
 from data_pipeline_python_aws_cdk_spark.tables import TABLE_NAMES
 
 
+def vanilla_spark():
+    """A deliberately untuned session, mirroring the driver's harness.
+
+    Round 1 failed precisely because queries worked under the engine's own
+    session factory (session.py confs) but erred under the driver's vanilla
+    session; the local gate must reproduce the driver's environment, so no
+    engine confs here — every query must set what it needs at runtime.
+    """
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("check-correctness-vanilla")
+        .master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
 def normalize(v):
+    """Type-tagged canonical form.
+
+    The driver's value hash is type-sensitive (DuckDB HUGEINT from an
+    integer SUM arrives as Decimal and hashes differently from Spark's
+    int even when numerically equal — the round-1 `missing_fields`
+    failure), so the local gate must distinguish types too, not rely on
+    Python's cross-type ``==``.
+    """
+    import datetime
+    import decimal
+
+    if v is None:
+        return ("none", "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
+            return ("float", "NaN")
+        return ("float", f"{v:.9g}")
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, datetime.datetime):
+        return ("datetime", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(normalize(x) for x in v)
-    return v
+        return ("list", tuple(normalize(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
+    return (type(v).__name__, str(v))
 
 
 def row_key(row, cols_order):
@@ -83,7 +126,7 @@ def compare(name: str, sf_dir: str, spark, con) -> dict:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(entrymod.queries())
-    spark = get_spark("check-correctness")
+    spark = vanilla_spark()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
