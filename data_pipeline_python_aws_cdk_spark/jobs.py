@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
             crawl(spark, args.crawl_path)
         ex = QueryExecutor(spark, args.results)
         qid = ex.submit(args.sql)
-        st = ex.poll(qid)
+        st = ex.wait(qid)
         print(
             json.dumps(
                 {

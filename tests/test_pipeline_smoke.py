@@ -68,7 +68,7 @@ def test_stage5_queries_via_executor(spark, pipeline):
     ex = QueryExecutor(spark, str(pipeline["root"] / "results"))
 
     qid1 = ex.submit("SELECT COUNT(*) as record_count FROM data_pipeline_db.raw_data")
-    s1 = ex.poll(qid1)
+    s1 = ex.wait(qid1)
     assert s1.state == "SUCCEEDED"
     rows = ex.get_results(qid1)
     assert rows[0]["record_count"] == "10"
@@ -97,7 +97,7 @@ def test_stage5_queries_via_executor(spark, pipeline):
 def test_executor_failure_state(spark, pipeline):
     ex = QueryExecutor(spark, str(pipeline["root"] / "results2"))
     qid = ex.submit("SELECT * FROM nonexistent_table_xyz")
-    status = ex.poll(qid)
+    status = ex.wait(qid)
     assert status.state == "FAILED"
     assert "nonexistent_table_xyz" in (status.error or "")
 
@@ -106,13 +106,76 @@ def test_retention_janitor(spark, pipeline):
     ex = QueryExecutor(spark, str(pipeline["root"] / "results3"))
     catalog.crawl(spark, pipeline["data_root"])
     qid = ex.submit("SELECT 1 AS one")
-    assert ex.poll(qid).state == "SUCCEEDED"
+    assert ex.wait(qid).state == "SUCCEEDED"
     from datetime import timedelta
 
     future = datetime.now(timezone.utc) + timedelta(days=8)
     assert ex.cleanup_results(now=future) == 1
     with pytest.raises(KeyError):
         ex.poll(qid)
+
+
+def test_janitor_sweeps_disk_from_fresh_process(spark, pipeline):
+    """The cron janitor shape: a FRESH executor (empty in-memory state) must
+    still remove expired artifacts written by an earlier process — the TTL
+    sweep walks results_root on disk, aged via the metadata sidecar."""
+    root = str(pipeline["root"] / "results4")
+    ex1 = QueryExecutor(spark, root)
+    qid = ex1.submit("SELECT 1 AS one")
+    assert ex1.wait(qid).state == "SUCCEEDED"
+
+    janitor = QueryExecutor(spark, root)  # simulates a new process
+    from datetime import timedelta
+
+    assert janitor.cleanup_results(now=datetime.now(timezone.utc)) == 0
+    future = datetime.now(timezone.utc) + timedelta(days=8)
+    assert janitor.cleanup_results(now=future) == 1
+    import os
+
+    assert not os.path.exists(os.path.join(root, qid))
+
+
+def test_async_submit_observes_running(spark, pipeline):
+    """The reference polling contract (test_pipeline.py:161-217): QUEUED/
+    RUNNING are real, observable states while the query executes."""
+    import time as _time
+
+    spark.udf.register("graft_slow_identity", lambda x: _time.sleep(0.02) or x)
+    ex = QueryExecutor(spark, str(pipeline["root"] / "results5"))
+    qid = ex.submit("SELECT graft_slow_identity(id) AS v FROM range(64)")
+    seen = set()
+    for _ in range(2000):
+        st = ex.poll(qid).state
+        seen.add(st)
+        if st in ("SUCCEEDED", "FAILED", "CANCELLED"):
+            break
+        _time.sleep(0.005)
+    assert ex.wait(qid).state == "SUCCEEDED"
+    assert "RUNNING" in seen or "QUEUED" in seen, seen
+    assert ex.poll(qid).row_count == 64
+
+
+def test_cancel_query(spark, pipeline):
+    """stop_query_execution twin: a running query moves to CANCELLED and its
+    job group is killed; results never materialize."""
+    import time as _time
+
+    spark.udf.register("graft_very_slow", lambda x: _time.sleep(0.25) or x)
+    ex = QueryExecutor(spark, str(pipeline["root"] / "results6"))
+    qid = ex.submit("SELECT graft_very_slow(id) AS v FROM range(256)")
+    for _ in range(400):
+        if ex.poll(qid).state == "RUNNING":
+            break
+        _time.sleep(0.005)
+    st = ex.cancel(qid)
+    assert st.state == "CANCELLED"
+    try:
+        ex.wait(qid, timeout=120)
+    except Exception:
+        pass
+    assert ex.poll(qid).state == "CANCELLED"
+    with pytest.raises(RuntimeError):
+        ex.get_results(qid)
 
 
 def test_partition_pruning_in_plan(spark, pipeline):
