@@ -21,6 +21,13 @@ import os
 import sys
 import time
 
+# The bench measures the production configuration: the dedup/LSH ladder uses
+# the xxhash64 hash family (functions/hashing.py) unless the caller pins a
+# mode. Correctness harnesses (tools/check_correctness.py, the driver's
+# differential gate) run the default md5 oracle family — same operators,
+# same plans, different (cheaper) hash primitive.
+os.environ.setdefault("SPARK_GRAFT_HASH_MODE", "production")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod

@@ -1,45 +1,80 @@
-"""Deterministic cross-engine hashing.
+"""Deterministic cross-engine hashing with a pluggable family.
 
 MinHash/SimHash/LSH operators need hash functions that (a) run JVM-side in
-Spark, (b) can be reproduced exactly by the DuckDB oracle, and (c) are stable
-across partitioning/retries. Spark's builtin ``hash``/``xxhash64`` are not
-implemented in DuckDB, so we derive a 60-bit integer from the top 15 hex chars
-of md5 — available and bit-identical in both engines (and in hashlib for
-pandas-UDF code paths).
+Spark, (b) are stable across partitioning/retries, and — in differential-
+testing mode — (c) can be reproduced exactly by the DuckDB oracle. Two
+families satisfy different subsets:
+
+- ``oracle`` (default): a 60-bit integer from the top 15 hex chars of md5 —
+  available and bit-identical in Spark, DuckDB, and hashlib. This is the
+  mode the driver's correctness gate runs in; every ``oracle_sql`` replays
+  signatures bit-for-bit against it.
+- ``production``: Spark's builtin ``xxhash64`` masked to 60 bits. xxHash is
+  a few integer rounds per value vs md5's 64 rounds of full crypto mixing —
+  on the dedup ladder (one hash per shingle, the biggest scan in the
+  engine) that is the difference between hashing dominating the profile
+  and disappearing into it. Not reproducible in DuckDB, so it has no
+  oracle twin *by design*: any uniform hash family yields statistically
+  identical MinHash/SimHash behavior, and the exact-Jaccard /
+  exact-cosine verification stages downstream are hash-independent.
+
+Select with env var ``SPARK_GRAFT_HASH_MODE`` (``oracle`` | ``production``)
+or per call site via the ``mode`` argument. ``bench.py`` runs production
+mode; correctness harnesses run (and must run) the default.
 
 60 bits keeps the value strictly positive in a signed 64-bit integer, so
-right-shifts and comparisons behave identically everywhere.
+right-shifts, mod, and comparisons behave identically everywhere.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 HASH_BITS = 60
+HASH_MODE_ENV = "SPARK_GRAFT_HASH_MODE"
+_MODES = ("oracle", "production")
+_MASK60 = (1 << HASH_BITS) - 1
 
 
-def hash60(col: Column | str, salt: str | None = None) -> Column:
+def hash_mode() -> str:
+    """Resolve the active hash family (read at plan-build time)."""
+    mode = os.environ.get(HASH_MODE_ENV, "oracle")
+    if mode not in _MODES:
+        raise ValueError(f"{HASH_MODE_ENV}={mode!r}; expected one of {_MODES}")
+    return mode
+
+
+def hash60(col: Column | str, salt: str | None = None, mode: str | None = None) -> Column:
     """60-bit non-negative hash of a string column (Spark side).
 
     ``salt`` derives independent hash families (MinHash needs k of them).
-    Stays in whole-stage codegen: md5 + substring + conv + cast.
+    Both families stay in whole-stage codegen: md5 + substring + conv +
+    cast (oracle) or a single xxhash64 + bitmask (production).
     """
     c = F.col(col) if isinstance(col, str) else col
     if salt is not None:
         c = F.concat(F.lit(salt + ":"), c)
+    if (mode or hash_mode()) == "production":
+        return F.xxhash64(c.cast("string")).bitwiseAND(F.lit(_MASK60))
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
 
 
 def hash60_sql(expr: str, salt: str | None = None) -> str:
-    """The same hash as DuckDB SQL over an arbitrary expression."""
+    """The oracle-family hash as DuckDB SQL over an arbitrary expression.
+
+    Always md5-based: oracles exist precisely to replay the oracle family;
+    production-mode plans are never differentially compared.
+    """
     inner = f"'{salt}:' || {expr}" if salt is not None else expr
     return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
 
 
 def hash60_py(value: str, salt: str | None = None) -> int:
-    """The same hash in plain Python (for pandas-UDF code paths)."""
+    """The oracle-family hash in plain Python (pandas-UDF code paths and
+    driver-side derived constants, e.g. LSH plane seeds)."""
     s = f"{salt}:{value}" if salt is not None else value
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -70,3 +70,61 @@ def test_hash60_range_and_positivity():
 def test_hash60_py_rejects_none(bad):
     with pytest.raises(AttributeError):
         hash60_py(bad)
+
+
+def test_production_mode_uses_xxhash64(spark, monkeypatch):
+    """Production family: xxhash64-based, 60-bit non-negative, deterministic,
+    and selected either per-call or via SPARK_GRAFT_HASH_MODE."""
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import (
+        HASH_MODE_ENV,
+        hash_mode,
+    )
+
+    df = spark.createDataFrame([("abc",), ("",), ("é中\U0001f600",)], "s string")
+    col = hash60("s", mode="production")
+    assert "xxhash64" in col._jc.toString().lower()
+    rows = df.select(col.alias("h")).collect()
+    assert all(0 <= r["h"] < (1 << 60) for r in rows)
+    # deterministic across plans
+    rows2 = df.select(hash60("s", mode="production").alias("h")).collect()
+    assert [r["h"] for r in rows] == [r["h"] for r in rows2]
+    # salt derives a different value
+    salted = df.select(hash60("s", salt="w", mode="production").alias("h")).collect()
+    assert [r["h"] for r in salted] != [r["h"] for r in rows]
+
+    monkeypatch.setenv(HASH_MODE_ENV, "production")
+    assert hash_mode() == "production"
+    env_rows = df.select(hash60("s").alias("h")).collect()
+    assert [r["h"] for r in env_rows] == [r["h"] for r in rows]
+    monkeypatch.setenv(HASH_MODE_ENV, "bogus")
+    with pytest.raises(ValueError):
+        hash_mode()
+
+
+def test_dedup_ladder_in_production_mode(spark, tmp_path, monkeypatch):
+    """The dedup discovery path works identically under the production hash
+    family: planted near-dups are found, and the plan carries xxhash64
+    instead of md5 on the signature path."""
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import HASH_MODE_ENV
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+
+    monkeypatch.setenv(HASH_MODE_ENV, "production")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2", 1)
+    far = "one two three four five six seven eight nine ten " * 10
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, near, "en", "s", len(near)),
+         (3, far, "en", "s", len(far))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "docs_prod"
+    df.write.parquet(f"{out}/documents.parquet")
+
+    lsh = dedup.dedup_minhash_lsh(spark, str(out))
+    assert [(r.doc_a, r.doc_b) for r in lsh.collect()] == [(1, 2)]
+
+    sim = dedup.dedup_simhash(spark, str(out))
+    assert (1, 2) in [(r.doc_a, r.doc_b) for r in sim.collect()]
+
+    exact_plan = dedup.dedup_exact(spark, str(out))._jdf.queryExecution().toString()
+    assert "xxhash64" in exact_plan and "md5" not in exact_plan
