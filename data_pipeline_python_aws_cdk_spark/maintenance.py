@@ -201,18 +201,30 @@ def upsert(
         writer.save(tmp)
 
         if partition_cols:
-            swapped = 0
-            for vals in parts:
-                rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+            # The tmp output's partition directories are authoritative: Spark
+            # renders the paths itself (URL-escaped special chars, NULL as
+            # __HIVE_DEFAULT_PARTITION__, its own value formatting), so
+            # rebuilding f"{c}={v}" from collected Python values can miss —
+            # and a missed partition would silently discard its updates when
+            # tmp is cleaned up. Walk what was actually written and swap
+            # each leaf in at the same relative path.
+            rels = [
+                _os.path.relpath(leaf, tmp)
+                for leaf in _leaf_partitions(tmp)
+            ]
+            if len(rels) != len(parts):
+                raise RuntimeError(
+                    f"upsert wrote {len(rels)} partition directories but the "
+                    f"update set spans {len(parts)} partitions; refusing to "
+                    f"swap (written: {sorted(rels)!r})"
+                )
+            for rel in rels:
                 src, dst = _os.path.join(tmp, rel), _os.path.join(path, rel)
-                if not _os.path.isdir(src):
-                    continue
                 if _os.path.isdir(dst):
                     _shutil.rmtree(dst)
                 _os.makedirs(_os.path.dirname(dst), exist_ok=True)
                 _shutil.move(src, dst)
-                swapped += 1
-            return {"mode": "partitioned", "partitions_rewritten": swapped}
+            return {"mode": "partitioned", "partitions_rewritten": len(rels)}
         for f in _os.listdir(path):
             full = _os.path.join(path, f)
             if _is_data_file(f) and _os.path.isfile(full):

@@ -6,12 +6,14 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas`` so bytes never round-trip through Python
 row-at-a-time.
 
-The container has no imaging/audio libraries, so the real decoders are
-STUBS gated behind import-tries (``decode_image``/``sample_frames`` raise
-``NotImplementedError`` without PIL/av). The Spark-side plumbing — binary
-schema, Arrow batching, UDF signatures, partition behavior — is real and
-tested, with a deterministic fake decoder whose output the DuckDB oracle
-reproduces (md5-derived pseudo-dimensions).
+Decoders come in two interchangeable workers with identical signature,
+schema, and plan shape: ``real_decode_batch`` (PIL-backed, used by
+``decode_features`` wherever PIL is importable, conditionally tested) and
+``fake_decode_batch`` (deterministic md5-derived pseudo-dimensions the
+DuckDB oracle reproduces — the registered-query twin, and the fallback in
+containers without imaging libs). Video frame *decoding* still requires a
+PyAV/ffmpeg binding and stays an honest stub; the 1->N frame-expansion
+plumbing below is real and tested.
 
 Scale notes: payloads stay columnar (parquet binary) end to end; mapInPandas
 processes whole Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch
@@ -92,6 +94,67 @@ def sample_frames(payload: bytes, every_n: int = 30) -> list:
     )
 
 
+def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode real encoded images (PNG/JPEG/...) with
+    PIL, emitting the same FEATURE_SCHEMA as the fake twin.
+
+    This is the production decoder: identical signature, schema, Arrow
+    batching, and map-only plan shape as ``fake_decode_batch`` — the
+    operator swaps workers and nothing else changes. Animated formats
+    (GIF/multi-frame TIFF) report their true frame count; stills report 1.
+    Raises at call time if PIL is absent (gate with HAVE_PIL)."""
+    import io
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    for pdf in batches:
+        doc_ids, byte_lens, widths, heights, n_frames_col, channel_sums = (
+            [], [], [], [], [], []
+        )
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            img = PILImage.open(io.BytesIO(raw))
+            arr = np.asarray(img.convert("RGB"), dtype=np.uint64)
+            doc_ids.append(doc_id)
+            byte_lens.append(len(raw))
+            widths.append(img.width)
+            heights.append(img.height)
+            n_frames_col.append(int(getattr(img, "n_frames", 1)))
+            channel_sums.append(int(arr.sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "byte_len": pd.Series(byte_lens, dtype="int32"),
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "n_frames": pd.Series(n_frames_col, dtype="int32"),
+                "channel_sum": pd.Series(channel_sums, dtype="int64"),
+            }
+        )
+
+
+def decode_features(frame: DataFrame, decoder: str | None = None) -> DataFrame:
+    """Decode/feature-extract a multimodal frame (doc_id, payload, meta).
+
+    ``decoder``: ``"real"`` (PIL, raises if absent), ``"fake"`` (the
+    deterministic oracle-matched twin), or None to auto-select real when
+    PIL is importable. Either way the plan is the same single map-only
+    ArrowEvalPython stage over the scan.
+    """
+    if decoder is None:
+        decoder = "real" if HAVE_PIL else "fake"
+    if decoder == "real":
+        if not HAVE_PIL:
+            raise NotImplementedError("decoder='real' requires PIL")
+        worker = real_decode_batch
+    elif decoder == "fake":
+        worker = fake_decode_batch
+    else:
+        raise ValueError(f"decoder={decoder!r}; expected 'real', 'fake', or None")
+    return frame.mapInPandas(worker, schema=FEATURE_SCHEMA)
+
+
 # --- deterministic fake decoder (the tested plumbing) ---------------------
 
 FEATURE_SCHEMA = (
@@ -170,7 +233,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     frame = attach_payload(d)
-    return frame.mapInPandas(fake_decode_batch, schema=FEATURE_SCHEMA)
+    # decoder pinned to "fake": the registered query must replay the DuckDB
+    # oracle. Real media runs decode_features(frame) / decoder="real".
+    return decode_features(frame, decoder="fake")
 
 
 RESIZE_TARGET = 224  # longest-edge fit, aspect preserved

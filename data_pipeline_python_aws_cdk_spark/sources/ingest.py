@@ -31,6 +31,7 @@ from typing import Any
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .objectstore import configure_s3a, is_object_store_path
 from .rest import fetch_users, flatten_users, records_to_df
 
 ISO_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
@@ -86,6 +87,11 @@ def ingest_job(
     except Exception as exc:  # noqa: BLE001 — fetch errors -> 500, reference :91-96
         return {"statusCode": 500, "body": f"Error fetching data: {exc}"}
     try:
+        if is_object_store_path(output_root):
+            # Object-store roots (reference S7 writes to S3) get the s3a
+            # connector confs applied at the single entry point; the write
+            # itself is URI-agnostic (Hadoop FileSystem resolves the scheme).
+            configure_s3a(spark)
         df = flatten_users(records_to_df(spark, records))
         enriched = enrich(df, now=now)
         write_partitioned(enriched, output_root, fmt=fmt)

@@ -109,14 +109,21 @@ def flatten_users(df: DataFrame) -> DataFrame:
     )
 
 
-def distributed_fetch(
+def distributed_fetch_raw(
     spark: SparkSession,
     endpoints: list[str],
     fetch: Callable[[str], list[dict]] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
-    """Scale path for many endpoints: distribute URLs, fetch inside
-    mapInPandas (one HTTP call per endpoint row, whole-batch Arrow I/O),
-    parse into the nested schema.
+    """Distribute URLs and fetch inside mapInPandas (one HTTP call per
+    endpoint row, whole-batch Arrow I/O), returning ``(url, body, error)``.
+
+    Per-endpoint failures are captured in the explicit ``error`` column
+    (``body`` NULL) rather than encoded into the body, so callers can route
+    or retry them — nothing disappears in a downstream parse. With
+    ``strict=True`` a failure raises inside the task instead, so Spark's
+    task retry handles transient endpoint errors and the job fails loudly
+    on persistent ones.
 
     ``fetch`` is injectable for tests / offline runs; default is the
     requests-based fetch_users.
@@ -128,20 +135,50 @@ def distributed_fetch(
         import pandas as pd
 
         for pdf in batches:
-            payloads = []
+            bodies, errors = [], []
             for url in pdf["url"]:
                 try:
-                    payloads.append(json.dumps(fetcher(url)))
+                    bodies.append(json.dumps(fetcher(url)))
+                    errors.append(None)
                 except Exception as exc:  # noqa: BLE001 — per-endpoint isolation
-                    payloads.append(json.dumps({"__error__": str(exc)}))
-            yield pd.DataFrame({"url": pdf["url"], "body": payloads})
+                    if strict:
+                        raise RuntimeError(f"fetch failed for {url}: {exc}") from exc
+                    bodies.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame({"url": pdf["url"], "body": bodies, "error": errors})
 
-    raw = urls.repartition(max(1, min(len(endpoints), 64))).mapInPandas(
-        worker, schema="url string, body string"
+    return urls.repartition(max(1, min(len(endpoints), 64))).mapInPandas(
+        worker, schema="url string, body string, error string"
     )
-    users = raw.select(
-        F.explode(F.from_json("body", T.ArrayType(users_schema()))).alias("u")
-    ).select("u.*")
+
+
+def distributed_fetch(
+    spark: SparkSession,
+    endpoints: list[str],
+    fetch: Callable[[str], list[dict]] | None = None,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Scale path for many endpoints: fetch distributed, parse into the
+    nested users schema.
+
+    ``on_error`` controls failed endpoints:
+
+    - ``"fail"`` (default): the fetching task raises, so Spark retries it
+      and the job fails loudly if the endpoint stays down — an ingestion
+      run never silently produces a partial dataset.
+    - ``"skip"``: failed endpoints are dropped from the parsed output; use
+      ``distributed_fetch_raw`` to observe and route them.
+    """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error={on_error!r}; expected 'fail' or 'skip'")
+    raw = distributed_fetch_raw(
+        spark, endpoints, fetch=fetch, strict=(on_error == "fail")
+    )
+    users = (
+        raw.filter(F.col("error").isNull())
+        .select(F.explode(F.from_json("body", T.ArrayType(users_schema()))).alias("u"))
+        .select("u.*")
+    )
     return users
 
 

@@ -90,7 +90,18 @@ def hourly_event_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFr
 
 def sessionize_stream(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: events within ``gap`` of each other merge
-    into one session. Streaming twin of the batch lag-based sessionizer."""
+    into one session. Streaming twin of the batch lag-based sessionizer.
+
+    Boundary convention: ``session_window`` extends a session over the
+    half-open interval ``[ts, ts + gap)``, so an event landing *exactly*
+    ``gap`` after the previous one starts a NEW session. The batch
+    sessionizer (operators/analytics.events_sessionize) uses the opposite
+    closed convention (``lag > gap`` splits, exact tie stays). Each twin's
+    DuckDB oracle matches its own convention (``>=`` here, ``>`` there);
+    the two only disagree on exact-tie events, which the synthetic
+    microsecond-resolution timestamps make practically unreachable — and
+    each differential check is self-consistent regardless.
+    """
     return (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap), "user_id")

@@ -193,6 +193,43 @@ def test_multimodal_stubs_fail_loudly():
             multimodal.decode_image(b"not-an-image")
 
 
+def test_decode_features_selects_decoder(spark):
+    """decode_features auto-selects the fake decoder without PIL (and the
+    real one with it); asking for the real decoder without PIL raises."""
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    frame = multimodal.attach_payload(load_table(spark, SF_SMOKE, "documents"))
+    auto = multimodal.decode_features(frame)
+    assert auto.columns == ["doc_id", "byte_len", "width", "height", "n_frames", "channel_sum"]
+    assert auto.count() == 500
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_features(frame, decoder="real")
+    with pytest.raises(ValueError):
+        multimodal.decode_features(frame, decoder="bogus")
+
+
+def test_real_decode_batch_with_pil(spark):
+    """Conditional production-decoder test: real PNG payloads through the
+    identical mapInPandas plumbing. Runs only where PIL is installed."""
+    PILImage = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(w, h, rgb):
+        img = PILImage.new("RGB", (w, h), rgb)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    payloads = [(1, png_bytes(8, 4, (1, 2, 3))), (2, png_bytes(3, 5, (10, 0, 0)))]
+    frame = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in multimodal.decode_features(frame, decoder="real").collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (8, 4, 1)
+    assert rows[1].channel_sum == 8 * 4 * (1 + 2 + 3)
+    assert (rows[2].width, rows[2].height) == (3, 5)
+    assert rows[2].channel_sum == 3 * 5 * 10
+
+
 def test_multimodal_resize_preserves_aspect(spark):
     rows = multimodal.multimodal_resize(spark, SF_SMOKE).collect()
     assert len(rows) == 500

@@ -113,3 +113,32 @@ def test_upsert_last_writer_wins_partition_pruned(spark, tmp_path):
            partition_cols=["day"])
     again = {(r.id, r.val, r.version) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_upsert_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark URL-escapes in directory names (':' → '%3A')
+    must still be swapped in — the swap walks the written output rather than
+    rebuilding f'{col}={value}' paths from Python values."""
+    from data_pipeline_python_aws_cdk_spark.maintenance import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1, "2024:01"), (2, "b", 1, "2024 02")],
+        "id long, val string, version int, day string",
+    )
+    path = str(tmp_path / "ds_esc")
+    base.write.partitionBy("day").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 2, "2024:01"), (3, "c", 1, "2024 02")],
+        "id long, val string, version int, day string",
+    )
+    stats = upsert(spark, path, updates, key_cols=["id"], version_col="version",
+                   partition_cols=["day"])
+    assert stats == {"mode": "partitioned", "partitions_rewritten": 2}
+
+    got = {(r.id, r.val, r.version, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "a2", 2, "2024:01"),
+        (2, "b", 1, "2024 02"),
+        (3, "c", 1, "2024 02"),
+    }

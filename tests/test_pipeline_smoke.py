@@ -216,6 +216,64 @@ def test_distributed_fetch_plumbing(spark):
     assert rows[0].address.geo.lat == "10.1"
 
 
+def test_distributed_fetch_error_routing(spark):
+    """Failed endpoints surface as an explicit error column (raw), raise the
+    job in default fail mode, and are droppable only by opting into skip."""
+    import pytest
+
+    from data_pipeline_python_aws_cdk_spark.sources.rest import distributed_fetch_raw
+    from tests.fixtures_users import USERS_FIXTURE
+
+    def flaky_fetch(url: str):
+        if url.endswith("/down"):
+            raise ConnectionError("boom")
+        return USERS_FIXTURE
+
+    urls = ["https://x.test/users", "https://y.test/down"]
+
+    raw = {r.url: r for r in distributed_fetch_raw(spark, urls, fetch=flaky_fetch).collect()}
+    assert raw["https://y.test/down"].error == "ConnectionError: boom"
+    assert raw["https://y.test/down"].body is None
+    assert raw["https://x.test/users"].error is None
+
+    with pytest.raises(Exception, match="fetch failed for https://y.test/down"):
+        distributed_fetch(spark, urls, fetch=flaky_fetch).collect()
+
+    skipped = distributed_fetch(spark, urls, fetch=flaky_fetch, on_error="skip")
+    assert skipped.count() == 10
+
+
+def test_object_store_conf_and_uri_wiring(spark, tmp_path):
+    """s3a readiness (reference S7): committer confs are well-formed, the
+    fs.s3a.* Hadoop confs round-trip onto a live session, and the ingest
+    writer accepts scheme-qualified URIs (file:// exercises the same Hadoop
+    FileSystem resolution an s3a:// root takes — no S3 in this container)."""
+    from data_pipeline_python_aws_cdk_spark.sources.objectstore import (
+        S3A_COMMITTER_CONFS,
+        configure_s3a,
+        is_object_store_path,
+    )
+
+    assert S3A_COMMITTER_CONFS["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in S3A_COMMITTER_CONFS["spark.sql.sources.commitProtocolClass"]
+
+    applied = configure_s3a(spark, endpoint="http://minio.test:9000", path_style_access=True)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in applied.items():
+        assert hconf.get(k) == v
+    assert hconf.get("fs.s3a.endpoint") == "http://minio.test:9000"
+
+    assert is_object_store_path("s3a://bucket/raw-data")
+    assert not is_object_store_path(str(tmp_path))
+
+    uri_root = f"file://{tmp_path}/uri-lake"
+    res = ingest_job(spark, uri_root, records=USERS_FIXTURE, now=NOW)
+    assert res["statusCode"] == 200 and res["records"] == 10
+    back = spark.read.parquet(uri_root)
+    assert back.count() == 10
+    assert {"year", "month", "day"} <= set(back.columns)
+
+
 def test_csv_fidelity_mode(spark, tmp_path):
     """The reference stores headered CSV; fidelity mode round-trips it."""
     root = str(tmp_path / "csv-lake")
