@@ -102,10 +102,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: dim ⨝ fact ⨝ fact with selective filters + top-k.
 
-    customer (filtered to one segment) broadcasts into orders — no shuffle
-    of orders for the first join; orders⨝lineitem shuffles once on orderkey,
-    and the groupBy reuses that same key, so AQE collapses to a single
-    exchange. Top-k via TakeOrderedAndProject.
+    Fact-first join order: lineitem (the largest scan) is the streaming
+    side throughout, so it is never serialized into a broadcast hash-table
+    build. customer (filtered to one segment) broadcasts into orders;
+    their join result is the build side against streaming lineitem —
+    broadcast under the threshold locally, shuffle join at real scale via
+    AQE. The groupBy key includes l_orderkey, so the orderkey exchange is
+    reused. Top-k via TakeOrderedAndProject.
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -116,10 +119,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    joined = (
-        F.broadcast(c)
-        .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = li.join(
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
         joined.groupBy(
@@ -158,9 +160,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake join (3 dims + 2 facts) with a co-nation
-    constraint. All dimension sides broadcast; the single shuffle is
-    orders⨝lineitem on orderkey. The supplier co-nation predicate rides the
-    broadcast hash join as a residual condition."""
+    constraint.
+
+    Join order is fact-first — lineitem is the STREAMING side and every
+    smaller relation hangs off it as a broadcast build. Written dim-first
+    (region→nation→…→lineitem), Catalyst keeps the 5-row region chain as
+    the streamed side and builds broadcast hash tables over orders AND
+    lineitem — the biggest scans serialized into single-threaded hash-map
+    builds while 31 cores idle, and an OOM at cluster scale. Fact-first,
+    the 600 k-row scan is what parallelizes, probing small maps; the
+    orders side auto-broadcasts under the threshold locally and degrades
+    to a shuffle join at real scale (AQE re-plans from runtime sizes).
+    The supplier co-nation predicate rides the broadcast hash join as a
+    composite key."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -171,11 +183,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
-        F.broadcast(r)
-        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(
             F.broadcast(s),
             (F.col("s_suppkey") == F.col("l_suppkey"))
