@@ -430,3 +430,126 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- corpus n-gram statistics ----------------------------------------------
+
+NGRAM_TOP_K = 50
+
+
+@_register(
+    "corpus_bigram_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t
+    ),
+    shm AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram FROM idx)
+    SELECT bigram,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(*) AS occurrences
+    FROM shm
+    GROUP BY bigram
+    ORDER BY doc_freq DESC, occurrences DESC, bigram
+    LIMIT {NGRAM_TOP_K}
+    """,
+)
+def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-k bigrams by document frequency.
+
+    The vocabulary/contamination-analysis primitive of a training-data
+    pipeline: which n-grams dominate the corpus, and in how many documents.
+    Execution shape at 100 TB: explode is map-side (fused with the scan);
+    the aggregation is ONE shuffle keyed by bigram — count(distinct doc_id)
+    plans as a two-phase partial/final aggregate over (bigram, doc_id),
+    never a per-group set materialization — and top-k plans
+    TakeOrderedAndProject (per-partition heaps + single k-row merge, no
+    global sort). Deterministic total order: doc_freq, occurrences, bigram.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    shm = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        shm.groupBy("bigram")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("occurrences"),
+        )
+        .orderBy(
+            F.col("doc_freq").desc(), F.col("occurrences").desc(), F.col("bigram")
+        )
+        .limit(NGRAM_TOP_K)
+    )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Patterns restricted to syntax both regex engines (Java in Spark, RE2 in
+# DuckDB) interpret identically: no lookarounds, no backreferences.
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+@_register(
+    "pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_URL}')) AS n_urls,
+           len(regexp_extract_all(regexp_replace(text, '{PII_URL}', '<URL>', 'g'),
+               '{PII_EMAIL}')) AS n_emails,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_URL}', '<URL>', 'g'),
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g')) AS clean_md5
+    FROM documents
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: URLs, then emails, then phone-like digit runs are
+    replaced with typed placeholder tokens — the standard scrub pass before
+    training-data release.
+
+    Map-only column expressions (three regexp_replace fused into the scan
+    by codegen; zero shuffle, zero Python). Redaction order is significant
+    (an email inside a URL must be swallowed by the URL rule) and pinned
+    identically in the oracle. The synthetic corpus contains no PII, so the
+    differential check proves the engines' regex dialects agree on finding
+    nothing; the planted-PII unit test carries the positive cases.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_URL), F.lit(0))).alias(
+            "n_urls"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(F.col("text"), PII_URL, "<URL>"),
+                F.lit(PII_EMAIL),
+                F.lit(0),
+            )
+        ).alias("n_emails"),
+        F.md5(
+            redact_text(F.col("text")).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
+def redact_text(col: "F.Column") -> "F.Column":
+    """The reusable redaction expression: URL -> EMAIL -> PHONE order."""
+    c = F.regexp_replace(col, PII_URL, "<URL>")
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(c, PII_PHONE, "<PHONE>")

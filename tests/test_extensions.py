@@ -314,3 +314,32 @@ def test_kmeans_recovers_planted_clusters(spark):
         mapping.setdefault(r.label, set()).add(r.prediction)
     assert all(len(v) == 1 for v in mapping.values())  # each blob intact
     assert len({next(iter(v)) for v in mapping.values()}) == 3  # and distinct
+
+
+def test_pii_redact_planted_cases(spark):
+    """The corpus has no PII, so plant the positive cases: URL swallows the
+    email inside it, standalone email and phone get typed placeholders."""
+    rows = [
+        (1, "contact me at alice@example.com or +1 (555) 123-4567 today"),
+        (2, "see https://example.com/u?user=bob@example.com for details"),
+        (3, "plain text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.clean for r in df.select(
+        "doc_id", text.redact_text(F.col("text")).alias("clean")).collect()}
+    assert out[1] == "contact me at <EMAIL> or <PHONE> today"
+    assert out[2] == "see <URL> for details"
+    assert out[3] == rows[2][1]
+
+
+def test_corpus_bigram_stats_shape(spark):
+    """Top-k bigram stats: deterministic order, doc_freq <= occurrences,
+    and the plan is TakeOrderedAndProject (no global sort)."""
+    df = text.corpus_bigram_stats(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == text.NGRAM_TOP_K
+    assert all(r.doc_freq <= r.occurrences for r in rows)
+    keys = [(-r.doc_freq, -r.occurrences, r.bigram) for r in rows]
+    assert keys == sorted(keys)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
