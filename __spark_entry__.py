@@ -80,7 +80,9 @@ _PRIORITY = (
     "documents_stratified_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "simhash_signatures",
+    # simhash_signatures rotates out (its machinery is covered by
+    # dedup_simhash above) to keep the cluster-resolution stage in window
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "similarity_threshold",
     "similarity_topk",

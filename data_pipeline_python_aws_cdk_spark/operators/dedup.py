@@ -236,7 +236,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle_parts() -> tuple[str, str]:
+    """(CTE chain, final pair-select) of the MinHash+LSH oracle, separated
+    so dedup_clusters can embed the pair derivation as its edge source."""
     base = hash60_sql("s")
     r = MINHASH_K // MINHASH_BANDS
     min_cols = ", ".join(
@@ -251,9 +253,8 @@ def _minhash_oracle() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    return (
-        "WITH "
-        + _SHINGLES_CTE
+    ctes = (
+        _SHINGLES_CTE
         + ",\n"
         + f"hb AS (SELECT doc_id, {base} AS base FROM sh),\n"
         + f"mh AS (SELECT doc_id, {min_cols} FROM hb GROUP BY doc_id),\n"
@@ -267,13 +268,21 @@ def _minhash_oracle() -> str:
         + "common AS (SELECT c.doc_a, c.doc_b, count(*) AS common\n"
         + "           FROM cand c JOIN sh a ON a.doc_id = c.doc_a\n"
         + "                       JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s\n"
-        + "           GROUP BY 1, 2)\n"
-        + "SELECT doc_a, doc_b,\n"
-        + "       ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard\n"
-        + "FROM common JOIN cnt ca ON ca.doc_id = doc_a\n"
-        + "            JOIN cnt cb ON cb.doc_id = doc_b\n"
-        + f"WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}"
+        + "           GROUP BY 1, 2)"
     )
+    final = (
+        "SELECT doc_a, doc_b,\n"
+        "       ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard\n"
+        "FROM common JOIN cnt ca ON ca.doc_id = doc_a\n"
+        "            JOIN cnt cb ON cb.doc_id = doc_b\n"
+        f"WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}"
+    )
+    return ctes, final
+
+
+def _minhash_oracle() -> str:
+    ctes, final = _minhash_oracle_parts()
+    return "WITH " + ctes + "\n" + final
 
 
 @_register("dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -367,6 +376,108 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def _clusters_oracle() -> str:
+    ctes, final = _minhash_oracle_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    members AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT cluster_id, doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM members
+    ORDER BY cluster_id, doc_id
+    """
+
+
+@_register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: verified near-dup pairs -> connected
+    components -> (cluster_id, doc_id, cluster_size).
+
+    The last stage of the dedup pipeline: pairwise output is not
+    actionable until transitive duplicates collapse into one group with a
+    canonical representative (the min doc_id, which IS the cluster_id).
+
+    Algorithm: iterative min-label propagation. Every vertex starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels; convergence (no label changed) is reached after
+    ~diameter rounds. Scale shape:
+
+    - All state is SUBGRAPH-scale — vertices and edges of the near-dup
+      pair graph (the interesting fraction of the corpus), never corpus-
+      scale. Each round is one shuffle keyed by doc_id over that subgraph.
+    - ``localCheckpoint`` truncates lineage every round — without it the
+      plan doubles per iteration and Catalyst re-derives the whole LSH
+      pipeline each round.
+    - Near-dup clusters are shallow (dup chains, not long paths), so the
+      round count is small and data-independent of corpus size. A corpus
+      with adversarially long chains would switch to the alternating
+      large-star/small-star formulation (O(log n) rounds, same per-round
+      shape); plain propagation is the right default here.
+
+    DuckDB oracle: recursive-CTE transitive closure with min-label
+    aggregation — tractable because the pair graph is candidate-scale.
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "label")
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("label").alias("cluster_id"),
+        "doc_id",
+        F.count("*").over(Window.partitionBy("label")).alias("cluster_size"),
+    ).orderBy("cluster_id", "doc_id")
 
 
 def _simhash_sig_sql() -> str:

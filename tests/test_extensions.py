@@ -343,3 +343,32 @@ def test_corpus_bigram_stats_shape(spark):
     assert keys == sorted(keys)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path):
+    """Label propagation must group a transitive chain A~B~C into ONE
+    cluster even when A and C are not directly near-duplicates."""
+    toks = [f"w{i}" for i in range(60)]
+    a = " ".join(toks)
+    b = " ".join(["X" if i in (5, 10, 15) else t for i, t in enumerate(toks)])
+    c = " ".join(["X" if i in (5, 10, 15) else ("Y" if i in (25, 30, 35) else t)
+                  for i, t in enumerate(toks)])
+    far = " ".join(f"z{i}" for i in range(60))
+    rows = [(1, a), (2, b), (3, c), (9, far)]
+    out = tmp_path / "chain"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, str(out)).collect()}
+    clusters = dedup.dedup_clusters(spark, str(out)).collect()
+    by_doc = {r.doc_id: r.cluster_id for r in clusters}
+    members = {r.doc_id for r in clusters}
+    # every doc in a pair is clustered; all chained docs share one cluster
+    assert members == {d for p in pairs for d in p}
+    chained = {d for p in pairs for d in p} & {1, 2, 3}
+    assert len({by_doc[d] for d in chained}) == 1
+    assert by_doc[min(chained)] == min(chained)  # canonical = min doc_id
+    sizes = {r.cluster_id: r.cluster_size for r in clusters}
+    assert sizes[min(chained)] == len(chained)
