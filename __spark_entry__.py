@@ -123,7 +123,7 @@ def _optional_registries():
     out = []
     modpaths = [
         f"data_pipeline_python_aws_cdk_spark.operators.{m}"
-        for m in ("analytics", "text", "dedup", "similarity", "multimodal", "profiling")
+        for m in ("analytics", "tpch", "text", "dedup", "similarity", "multimodal", "profiling")
     ] + ["data_pipeline_python_aws_cdk_spark.streaming.events"]
     for modpath in modpaths:
         try:

