@@ -30,17 +30,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the registry in insertion order and round 1 showed it
 # caps at the first 50 entries. Order the registry so the evaluation window
-# always covers the queries that still need a hard correctness signal:
-# round-1 erroring/hash-failing entries first (now fixed), then the entire
-# extension tier (text/dedup/similarity/multimodal/profiling/streaming) that
-# round 1 never reached, then two bench headliners, then the 31 queries that
-# already hold a green CORRECTNESS_r01 row. Union over rounds = full coverage.
+# always covers the queries that still need a hard correctness signal.
+# Slots 1-31 are fixed by the round-1 verdict's done-criteria: the 17 red
+# rows (2 hash-fails + 15 events-nanos errors, all since fixed) and the 14
+# judge-named must-verify entries. The remaining 19 slots take one
+# representative per still-unverified operator family plus three round-2
+# TPC-H shapes; everything else (remaining tpch, lang_stats,
+# doc_rolling_fingerprint, embedding_kmeans, simhash_signatures) holds a
+# green local-differential result and rotates into round 3's window.
+# Union over rounds = full coverage.
 _PRIORITY = (
-    # fixed round-1 failures: oracle type parity + events nanos reads
+    # round-1 hash-fails: oracle type parity (HUGEINT vs BIGINT), fixed
     "missing_fields",
     "completeness_by_field",
+    # round-1 errors: events TIMESTAMP(NANOS) read, fixed in load_table
     "data_freshness",
     "extraction_trends",
+    "events_sessionize",
+    "events_hourly_windows",
+    "events_asof_purchase",
+    "events_distinct_users",
+    "events_value_percentiles",
+    "events_time_rollup",
+    "events_props_extract",
+    "events_range_join",
+    "events_daily_pivot",
+    "users_click_and_purchase",
+    "users_click_not_purchase",
+    "events_approx_sketch",
+    "events_conversion_funnel",
     # judge-named must-verify set
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -56,45 +74,28 @@ _PRIORITY = (
     "streaming_click_purchase_join",
     "orders_revenue_moving_avg",
     "cheapest_line_per_part",
-    # events tier (erred on the nanos read in round 1)
-    "events_sessionize",
-    "events_hourly_windows",
-    "events_asof_purchase",
-    "events_distinct_users",
-    "events_value_percentiles",
-    "events_time_rollup",
-    "events_props_extract",
-    "events_range_join",
-    "events_daily_pivot",
-    "users_click_and_purchase",
-    "users_click_not_purchase",
-    "events_approx_sketch",
-    "events_conversion_funnel",
-    # extension tier, never evaluated in round 1
+    # one representative per unverified extension family
     "text_token_stats",
     "text_quality",
     "lang_id",
-    "lang_stats",
     "doc_fingerprint",
-    "doc_rolling_fingerprint",
     "documents_stratified_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # simhash_signatures rotates out (its machinery is covered by
-    # dedup_simhash above) to keep the cluster-resolution stage in window
     "dedup_clusters",
     "dedup_embedding_cosine",
     "similarity_threshold",
     "similarity_topk",
-    "embedding_kmeans",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # round-2 additions (corpus n-gram stats, PII scrub) — never evaluated;
-    # the former headliner slots (q1/q5) hold green round-1 rows and stay
-    # covered by the bench, so the window is spent on unverified entries.
     "corpus_bigram_stats",
     "pii_redact",
+    # round-2 TPC-H additions with genuinely new plan shapes (outer-join
+    # histogram, decorrelated scalar subquery, exists/not-exists audit)
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
 )
 
 
