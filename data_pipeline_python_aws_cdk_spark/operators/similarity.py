@@ -462,3 +462,56 @@ def kmeans_assign(
     )
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(e)
     return model.transform(e).drop("features")
+
+
+# --- embedding diagnostics ---------------------------------------------------
+
+
+@_register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+             AS l2_norm,
+           ROUND(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum') / len(embedding), 6)
+             AS mean_val,
+           ROUND(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norm/moment diagnostics: the sanity gate before ANN.
+
+    Unnormalized or degenerate (all-zero, exploding) embeddings silently
+    wreck cosine-based dedup and search; this operator surfaces them as a
+    map-only projection — dimension, L2 norm, mean component, max |x| per
+    vector via JVM higher-order functions (``aggregate``/``transform``
+    fold inside codegen; no UDF, no shuffle). At 100 TB this scans at
+    parquet-read speed; both engines fold the sum left-to-right over the
+    array so the doubles agree bit-for-bit before the 6dp round.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    x1 = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(x2), 6).alias("l2_norm"),
+            F.round(x1 / F.size("embedding"), 6).alias("mean_val"),
+            F.round(
+                F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+                6,
+            ).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )

@@ -553,3 +553,101 @@ def redact_text(col: "F.Column") -> "F.Column":
     c = F.regexp_replace(col, PII_URL, "<URL>")
     c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
     return F.regexp_replace(c, PII_PHONE, "<PHONE>")
+
+
+# --- repetition / duplication quality signals --------------------------------
+
+
+@_register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    w AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words, unnest(toks) AS word
+          FROM t2),
+    wc AS (SELECT doc_id, n_words, word, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+    wstat AS (SELECT doc_id, n_words, COUNT(*) AS distinct_words,
+                     MAX(c) AS top_word_count
+              FROM wc GROUP BY 1, 2),
+    idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+            FROM t2),
+    bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram FROM idx),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY 1)
+    SELECT ws.doc_id, ws.n_words, ws.distinct_words,
+           ROUND(CAST(ws.top_word_count AS DOUBLE) / ws.n_words, 6)
+             AS top_word_frac,
+           ROUND(1 - CAST(ws.distinct_words AS DOUBLE) / ws.n_words, 6)
+             AS dup_word_frac,
+           ROUND(CAST(bs.top_bigram_count AS DOUBLE) / (ws.n_words - 1), 6)
+             AS top_bigram_frac
+    FROM wstat ws JOIN bstat bs ON ws.doc_id = bs.doc_id
+    ORDER BY ws.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style rules): per document,
+    the fraction held by the most frequent word / bigram and the duplicate-
+    word fraction — the filters that catch boilerplate, keyword stuffing,
+    and generation loops before pre-training.
+
+    Execution shape: explode is map-side; the (doc_id, word) count is one
+    shuffle whose partial aggregation collapses each document's repeats
+    map-side (every doc lives in one input split, so the exchange carries
+    ~distinct-words-per-doc rows, not tokens). The per-doc fold-up rides
+    the same hash partitioning (doc_id is a prefix of the (doc_id, word)
+    key, but Spark re-shuffles on doc_id alone — per-doc-aggregate rows
+    only). Word and bigram pipelines join on doc_id at per-doc cardinality.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    words = t.select(
+        "doc_id", F.size("toks").alias("n_words"), F.explode("toks").alias("word")
+    )
+    wstat = (
+        words.groupBy("doc_id", "n_words", "word")
+        .count()
+        .groupBy("doc_id", "n_words")
+        .agg(
+            F.count("*").alias("distinct_words"),
+            F.max("count").alias("top_word_count"),
+        )
+    )
+    bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    bstat = (
+        bigrams.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_count"))
+        .withColumnRenamed("doc_id", "b_doc_id")
+    )
+    return (
+        wstat.join(bstat, F.col("doc_id") == F.col("b_doc_id"))
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_words",
+            F.round(
+                F.col("top_word_count").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+            F.round(
+                1 - F.col("distinct_words").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("top_bigram_count").cast("double") / (F.col("n_words") - 1), 6
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )

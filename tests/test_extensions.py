@@ -372,3 +372,42 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
     assert by_doc[min(chained)] == min(chained)  # canonical = min doc_id
     sizes = {r.cluster_id: r.cluster_size for r in clusters}
     assert sizes[min(chained)] == len(chained)
+
+
+def test_repetition_stats_planted_loop(spark, tmp_path):
+    """A generation-loop document (one word repeated) must score
+    top_word_frac ~1 and dup_word_frac near 1; a all-distinct document
+    scores top_word_frac = 1/n and dup_word_frac = 0."""
+    loop = " ".join(["spam"] * 40)
+    clean = " ".join(f"w{i}" for i in range(40))
+    out = tmp_path / "rep"
+    spark.createDataFrame(
+        [(1, loop, "en", "s", len(loop)), (2, clean, "en", "s", len(clean))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    rows = {r.doc_id: r for r in text.text_repetition_stats(spark, str(out)).collect()}
+    assert rows[1].top_word_frac == 1.0
+    assert rows[1].top_bigram_frac == 1.0
+    assert abs(rows[1].dup_word_frac - (1 - 1 / 40)) < 1e-9
+    assert abs(rows[2].top_word_frac - 1 / 40) < 1e-9
+    assert rows[2].dup_word_frac == 0.0
+
+
+def test_embedding_norm_stats_flags_degenerate_vectors(spark, tmp_path):
+    """Norm diagnostics must expose all-zero and unnormalized vectors, and
+    the compute must be JVM higher-order functions (no Python eval)."""
+    from data_pipeline_python_aws_cdk_spark.operators import similarity
+
+    out = tmp_path / "emb"
+    spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0], 0), (2, [3.0, 4.0, 0.0, 0.0], 0),
+         (3, [0.5, 0.5, 0.5, 0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{out}/embeddings.parquet")
+    df = similarity.embedding_norm_stats(spark, str(out))
+    rows = {r.vec_id: r for r in df.collect()}
+    assert rows[1].l2_norm == 0.0
+    assert rows[2].l2_norm == 5.0 and rows[2].max_abs == 4.0
+    assert rows[3].l2_norm == 1.0 and rows[3].mean_val == 0.5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
