@@ -651,3 +651,92 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- end-to-end corpus cleaning pipeline -------------------------------------
+
+CLEAN_MIN_TOKENS = 20
+CLEAN_MAX_PUNCT_RATIO = 0.1
+CLEAN_TRAIN_PCT = 90
+
+
+def _clean_oracle() -> str:
+    fp = hash60_sql("lower(regexp_replace(t, '\\s+', ' ', 'g'))")
+    split = hash60_sql("CAST(doc_id AS VARCHAR)", salt="split")
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang, trim(text) AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             length(text) AS chars
+      FROM documents
+    ),
+    k AS (SELECT * FROM q
+          WHERE n_tokens >= {CLEAN_MIN_TOKENS}
+            AND CAST(n_punct AS DOUBLE) / chars < {CLEAN_MAX_PUNCT_RATIO}),
+    fp AS (SELECT doc_id, lang, n_tokens, {fp} AS fp60,
+                  CASE WHEN {split} % 100 < {CLEAN_TRAIN_PCT}
+                       THEN 'train' ELSE 'val' END AS split
+           FROM k),
+    d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp60 ORDER BY doc_id) AS rn
+          FROM fp)
+    SELECT lang, split, COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM d WHERE rn = 1
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """
+
+
+@_register("documents_clean_corpus", oracle=_clean_oracle())
+def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline: quality filter -> exact
+    dedup -> deterministic train/val split -> per-(lang, split) manifest.
+
+    One operator exercising the composition story end-to-end, ordered for
+    scale: the map-only quality gate (token count, punctuation ratio) runs
+    first so the dedup shuffle only carries survivors; dedup keys the ONE
+    wide shuffle on the 60-bit fingerprint carrying a skinny
+    (fp60, doc_id, lang, n_tokens, split) tuple — bodies never move; the
+    split tag is a salted hash of doc_id, so membership is replayable at
+    any parallelism and stable under re-runs (the property that makes the
+    output a *manifest* rather than a random draw). The final rollup is a
+    tiny-key aggregation. At 100 TB: one scan, one skinny shuffle, one
+    aggregate — nothing else.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.length("text")
+    n_tokens = ws_token_count("text")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    )
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    kept = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        chars.alias("chars"),
+        hash60(normalized).alias("fp60"),
+        F.when(
+            hash60(F.col("doc_id").cast("string"), salt="split") % 100
+            < CLEAN_TRAIN_PCT,
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+    ).filter(
+        (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+        & (F.col("n_punct").cast("double") / F.col("chars") < CLEAN_MAX_PUNCT_RATIO)
+    )
+    first_per_fp = Window.partitionBy("fp60").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(first_per_fp))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -411,3 +411,25 @@ def test_embedding_norm_stats_flags_degenerate_vectors(spark, tmp_path):
     assert rows[3].l2_norm == 1.0 and rows[3].mean_val == 0.5
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_clean_corpus_filters_dedups_and_splits(spark, tmp_path):
+    """The composed pipeline must drop short/punct-heavy docs, keep one
+    copy per duplicate group, and assign hash-deterministic splits."""
+    good = " ".join(f"w{i}" for i in range(30))
+    dup = good  # exact duplicate, higher doc_id -> must be dropped
+    short = "too short"
+    punct = "!!! ??? *** " * 20
+    out = tmp_path / "clean"
+    rows = [(1, good), (2, dup), (3, short), (4, punct)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    res = text.documents_clean_corpus(spark, str(out)).collect()
+    # only doc 1 survives (2 is a dup, 3 too short, 4 too punct-y)
+    assert sum(r.docs for r in res) == 1
+    assert sum(r.total_tokens for r in res) == 30
+    # replayable: second run produces the identical manifest
+    again = text.documents_clean_corpus(spark, str(out)).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
