@@ -1383,3 +1383,68 @@ def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+@_register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH day AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+    ),
+    bounds AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM day
+               GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+             FROM bounds),
+    cnt AS (SELECT user_id, hr, COUNT(*) AS n FROM day GROUP BY user_id, hr)
+    SELECT g.user_id, strftime(g.hr, '%Y-%m-%d %H:00') AS hour,
+           COALESCE(c.n, 0) AS n_events
+    FROM grid g
+    LEFT JOIN cnt c ON g.user_id = c.user_id AND g.hr = c.hr
+    ORDER BY g.user_id, hour
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user dense hourly grid with zero-filled
+    counts — the resample/asfreq operator relational engines lack natively,
+    built from sequence + explode + outer join.
+
+    The grid derives from each user's own [min, max] hour (no global-span
+    cartesian): bounds is a per-user aggregate, the hour series explodes
+    map-side from one row per user, and the left join runs on the same
+    (user_id, hr) key the count aggregation just shuffled on. Output is
+    users x active-hours — never rows x hours. The one-day slice predicate
+    pushes to the scan.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-06").cast("timestamp"))
+        )
+        .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
+    )
+    bounds = ev.groupBy("user_id").agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr"),
+    )
+    cnt = (
+        ev.groupBy("user_id", "hr")
+        .agg(F.count("*").alias("n"))
+        .withColumnsRenamed({"user_id": "c_user", "hr": "c_hr"})
+    )
+    return (
+        grid.join(
+            cnt,
+            (F.col("user_id") == F.col("c_user")) & (F.col("hr") == F.col("c_hr")),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        )
+        .orderBy("user_id", "hour")
+    )
