@@ -88,3 +88,29 @@ def diff_schemas(old: T.StructType, new: T.StructType) -> dict[str, list[str]]:
 
 def register_view_over(df: DataFrame, name: str) -> None:
     df.createOrReplaceTempView(name)
+
+
+def analyze_table(
+    spark: SparkSession, qualified: str, columns: list[str] | None = None
+) -> dict[str, str | None]:
+    """Collect table- and column-level statistics into the metastore —
+    the ANALYZE step a 100 TB warehouse runs after ingest/compaction so
+    Catalyst's cost-based optimizer has real cardinalities: join
+    reordering, broadcast decisions past the static size threshold, and
+    aggregate estimates all consume these stats (spark.sql.cbo.enabled).
+
+    The reference's crawler records row counts in Glue table properties as
+    a side effect of crawling (reference data_pipeline_stack.py:104-123);
+    this is the Spark-native equivalent, split from ``crawl`` because at
+    scale statistics collection is a scan-bearing job you schedule, not a
+    metadata call you make implicitly.
+    """
+    spark.sql(f"ANALYZE TABLE {qualified} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {qualified} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(columns)
+        )
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect()
+    stats = next((r.data_type for r in rows if r.col_name == "Statistics"), None)
+    return {"table": qualified, "statistics": stats}

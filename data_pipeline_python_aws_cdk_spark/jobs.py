@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     p_bkt.add_argument("--location", required=True)
     p_bkt.add_argument("--buckets", type=int, default=None)
 
+    p_an = sub.add_parser(
+        "analyze", help="collect table/column statistics for the cost-based optimizer"
+    )
+    p_an.add_argument("--path", default=None, help="crawl this path first")
+    p_an.add_argument("--database", default="data_pipeline_db")
+    p_an.add_argument("--table", default="raw_data")
+    p_an.add_argument("--columns", default="", help="comma-separated column stats")
+
     p_up = sub.add_parser("upsert", help="merge updates by key, last writer wins")
     p_up.add_argument("--path", required=True)
     p_up.add_argument("--updates", required=True, help="parquet path of update rows")
@@ -110,6 +118,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if st.state == "SUCCEEDED" else 1
+
+    if args.cmd == "analyze":
+        from .catalog import analyze_table
+
+        if args.path:
+            crawl(spark, args.path, args.database, args.table)
+        cols = [c for c in args.columns.split(",") if c]
+        info = analyze_table(spark, f"{args.database}.{args.table}", columns=cols or None)
+        print(json.dumps({"statusCode": 200, **info}))
+        return 0
 
     if args.cmd == "janitor":
         ex = QueryExecutor(spark, args.results)

@@ -740,3 +740,52 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# --- weighted sampling (Efraimidis-Spirakis) ---------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def _weighted_oracle() -> str:
+    u = f"(CAST({hash60_sql('CAST(doc_id AS VARCHAR)', salt='wsample')} AS DOUBLE) + 1) / 1152921504606846976"
+    return f"""
+    SELECT doc_id, lang, n_chars,
+           ROUND(ln({u}) / n_chars, 9) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """
+
+
+@_register("documents_weighted_sample", oracle=_weighted_oracle())
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis-Spirakis
+    A-ES): per row, key = ln(u)/w with u a deterministic hash-uniform in
+    (0, 1] and w = n_chars; the global top-k by key IS a weighted sample —
+    the standard way to char-budget a training mixture so long documents
+    are drawn proportionally more often.
+
+    One distributed top-k (TakeOrderedAndProject: per-partition heaps of k,
+    single k-row merge on the driver — no global sort, no shuffle of the
+    corpus) over a map-computed key. Same determinism contract as
+    documents_stratified_sample: membership is a pure function of the row,
+    replayable at any parallelism; both engines compute bit-identical keys
+    (same hash, same IEEE doubles), so the selected set is bit-stable
+    cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        hash60(F.col("doc_id").cast("string"), salt="wsample").cast("double") + 1
+    ) / float(1 << 60)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )

@@ -433,3 +433,26 @@ def test_clean_corpus_filters_dedups_and_splits(spark, tmp_path):
     # replayable: second run produces the identical manifest
     again = text.documents_clean_corpus(spark, str(out)).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_prefers_heavy_docs_and_plans_topk(spark, tmp_path):
+    """A-ES sampling: a document with overwhelming weight must be selected;
+    the plan must be TakeOrderedAndProject (no global sort)."""
+    out = tmp_path / "ws"
+    rows = [(i, "x " * 10, "en", "s", 20) for i in range(1, 50)]
+    rows.append((999, "y " * 10, "en", "s", 10_000_000))  # whale weight
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    import data_pipeline_python_aws_cdk_spark.operators.text as textmod
+
+    old_k = textmod.WEIGHTED_SAMPLE_K
+    textmod.WEIGHTED_SAMPLE_K = 10
+    try:
+        df = textmod.documents_weighted_sample(spark, str(out))
+        picked = {r.doc_id for r in df.collect()}
+    finally:
+        textmod.WEIGHTED_SAMPLE_K = old_k
+    assert 999 in picked and len(picked) == 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

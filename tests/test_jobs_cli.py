@@ -142,3 +142,32 @@ def test_upsert_escaped_partition_values(spark, tmp_path):
         (2, "b", 1, "2024 02"),
         (3, "c", 1, "2024 02"),
     }
+
+
+def test_analyze_feeds_cost_based_optimizer(spark, tmp_path, capsys):
+    """ANALYZE must land rowCount/sizeInBytes in the metastore and the
+    CBO-enabled optimizer must see the exact cardinality."""
+    import json as _json
+
+    from data_pipeline_python_aws_cdk_spark import catalog, jobs
+
+    lake = str(tmp_path / "lake")
+    spark.range(0, 1000).selectExpr(
+        "id", "id % 7 as grp", "cast(id % 3 as string) as part"
+    ).write.partitionBy("part").parquet(lake)
+    rc = jobs.main(
+        ["analyze", "--path", lake, "--database", "cbo_db", "--table", "t1",
+         "--columns", "id,grp"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "1000 rows" in out["statistics"]
+    old = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        st = spark.table("cbo_db.t1")._jdf.queryExecution().optimizedPlan().stats()
+        assert st.rowCount().isDefined() and int(str(st.rowCount().get())) == 1000
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS cbo_db.t1")
+        spark.sql("DROP DATABASE IF EXISTS cbo_db")
