@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     p_bkt.add_argument("--location", required=True)
     p_bkt.add_argument("--buckets", type=int, default=None)
 
+    p_cl = sub.add_parser(
+        "cluster", help="range-cluster a dataset by key for row-group skipping"
+    )
+    p_cl.add_argument("--path", required=True)
+    p_cl.add_argument("--out", required=True)
+    p_cl.add_argument("--by", required=True, help="comma-separated cluster keys")
+    p_cl.add_argument("--files", type=int, default=8)
+
     p_an = sub.add_parser(
         "analyze", help="collect table/column statistics for the cost-based optimizer"
     )
@@ -118,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if st.state == "SUCCEEDED" else 1
+
+    if args.cmd == "cluster":
+        from .maintenance import cluster
+
+        info = cluster(
+            spark, args.path, args.by.split(","), args.out, files_per_partition=args.files
+        )
+        print(json.dumps({"statusCode": 200, **info}))
+        return 0
 
     if args.cmd == "analyze":
         from .catalog import analyze_table

@@ -235,3 +235,34 @@ def upsert(
         return {"mode": "full", "partitions_rewritten": 1}
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def cluster(
+    spark: SparkSession,
+    path: str,
+    by: list[str],
+    out: str,
+    files_per_partition: int = 1,
+) -> dict:
+    """Rewrite a dataset sorted by ``by`` within each output file so parquet
+    row-group min/max statistics become selective — the data-layout half of
+    predicate pushdown. A pushed filter can only *skip* row groups whose
+    stat range excludes it; on unclustered data every row group spans the
+    full key range and nothing skips. At 100 TB, clustering hot filter keys
+    turns full-table scans into touch-one-file scans.
+
+    ``repartitionByRange`` assigns DISJOINT key ranges to output files via
+    sampled boundaries (a hash repartition would scatter overlapping
+    ranges across every file and skip nothing) — global range clustering
+    without a global sort; ``sortWithinPartitions`` then orders rows so
+    row groups inside a file hold narrow sub-ranges. The write is the one
+    shuffle; no driver-side data movement.
+    """
+    df = spark.read.parquet(path)
+    (
+        df.repartitionByRange(max(1, files_per_partition), *[F.col(c) for c in by])
+        .sortWithinPartitions(*by)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return {"input": path, "output": out, "clustered_by": by}

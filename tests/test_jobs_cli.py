@@ -171,3 +171,42 @@ def test_analyze_feeds_cost_based_optimizer(spark, tmp_path, capsys):
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql("DROP TABLE IF EXISTS cbo_db.t1")
         spark.sql("DROP DATABASE IF EXISTS cbo_db")
+
+
+def test_cluster_narrows_rowgroup_stats_for_skipping(spark, tmp_path):
+    """Clustering must leave each output file/row-group with a narrow key
+    range so a pushed equality filter skips almost everything; on the
+    interleaved source, every row group covers every key."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline_python_aws_cdk_spark import maintenance
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "clustered")
+    spark.range(0, 200_000).selectExpr("id % 40 as k", "id as payload").write.parquet(src)
+
+    maintenance.cluster(spark, src, ["k"], out, files_per_partition=8)
+
+    def covering_rowgroups(root, key=7):
+        import os
+
+        cover = total = 0
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            kidx = md.schema.to_arrow_schema().get_field_index("k")
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(kidx).statistics
+                total += 1
+                if st.min <= key <= st.max:
+                    cover += 1
+        return cover, total
+
+    c_src, t_src = covering_rowgroups(src)
+    c_out, t_out = covering_rowgroups(out)
+    assert c_src == t_src  # interleaved: no skipping possible
+    assert c_out <= max(1, t_out // 4)  # clustered: key lives in few groups
+    # same data, fewer rows decoded: results must agree
+    a = spark.read.parquet(src).filter("k = 7").count()
+    b = spark.read.parquet(out).filter("k = 7").count()
+    assert a == b == 5000
