@@ -200,6 +200,56 @@ def run_to_files(
     q.awaitTermination()
 
 
+def run_upsert_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """Incremental materialization: drain the stream through ``foreachBatch``
+    into a keyed warehouse table with MERGE semantics (last writer wins by
+    ``version_col``) — the sink side the plain file sink cannot provide,
+    because append-only emission can never *revise* a row.
+
+    Each micro-batch reuses ``maintenance.upsert``: existing rows not in the
+    batch survive, key collisions resolve by highest version. The checkpoint
+    makes delivery effectively-once end-to-end: a replayed batch re-merges
+    the same keys at the same versions, which is idempotent by construction
+    — the exactly-once-sink recipe for engines without transactional
+    streaming tables. State scales with keys-per-batch, not table size: the
+    merge rewrite is partition-pruned to the partitions the batch touches.
+    """
+    import os
+
+    from ..maintenance import upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            spark = batch_df.sparkSession
+            if os.path.isdir(table_path) and any(
+                not f.startswith((".", "_")) for f in os.listdir(table_path)
+            ):
+                upsert(
+                    spark,
+                    table_path,
+                    batch_df,
+                    key_cols=key_cols,
+                    version_col=version_col,
+                )
+            else:
+                batch_df.write.mode("overwrite").parquet(table_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- driver-registry entries ----------------------------------------------
 # Each runs the REAL Structured Streaming query (readStream -> watermarked
 # aggregation -> availableNow drain) and returns the drained result as a

@@ -236,3 +236,44 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_upsert_sink_revises_rows(spark, tmp_path):
+    """The foreachBatch MERGE sink must let a later batch REVISE a row the
+    file sink could only append: same key, higher version, one survivor —
+    across two separately-triggered availableNow runs sharing a checkpoint."""
+    from data_pipeline_python_aws_cdk_spark.streaming.events import run_upsert_sink
+
+    src = tmp_path / "src"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, version long, score double"
+    src.mkdir()
+
+    def batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "10")
+            .parquet(f"{src}/*")
+        )
+        run_upsert_sink(stream, table, ckpt, key_cols=["user_id"], version_col="version")
+
+    batch([(1, 1, 0.1), (2, 1, 0.2), (3, 1, 0.3)], "b1")
+    run()
+    batch([(2, 2, 9.9), (4, 1, 0.4)], "b2")
+    run()
+
+    rows = {r.user_id: r for r in spark.read.parquet(table).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2].version == 2 and rows[2].score == 9.9  # revised, not appended
+    assert rows[1].version == 1 and rows[3].version == 1 and rows[4].version == 1
+
+    # replaying the same inputs with the same checkpoint is a no-op
+    run()
+    again = {r.user_id: (r.version, r.score) for r in spark.read.parquet(table).collect()}
+    assert again == {u: (r.version, r.score) for u, r in rows.items()}
