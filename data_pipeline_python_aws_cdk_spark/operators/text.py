@@ -789,3 +789,89 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), F.col("doc_id"))
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+# --- unigram LM scoring (CCNet-style quality signal) -------------------------
+
+LM_VOCAB_SIZE = 1000
+LM_OOV_PENALTY = 10  # OOV probability floor = 1 / (corpus_tokens * PENALTY)
+
+
+def _lm_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w),
+    vc AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    vocab AS (SELECT word, c FROM vc ORDER BY c DESC, word LIMIT {LM_VOCAB_SIZE}),
+    scored AS (
+      SELECT w.doc_id,
+             CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov,
+             CASE WHEN v.word IS NULL
+                  THEN -ln(1.0 / (tot.n * {LM_OOV_PENALTY}))
+                  ELSE -ln(CAST(v.c AS DOUBLE) / tot.n) END AS nll
+      FROM w LEFT JOIN vocab v ON w.word = v.word CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           ROUND(AVG(CAST(oov AS DOUBLE)), 6) AS oov_rate,
+           ROUND(AVG(nll), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@_register("text_lm_score", oracle=_lm_oracle())
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring (CCNet-style, simplified):
+    fit p(w) on the corpus itself, score each document by average negative
+    log-probability and out-of-vocabulary rate — gibberish and
+    wrong-language text score high NLL, natural in-domain text scores low.
+
+    The two-pass broadcast-model shape that scales: pass 1 aggregates word
+    counts (one shuffle, map-side combined) and keeps the top-V vocabulary
+    via TakeOrderedAndProject with a deterministic (count, word) tie-break
+    — the boundary is bit-stable cross-engine; the fitted model (V rows +
+    one scalar) broadcasts back onto the exploded token stream, so pass 2
+    is map-side scoring plus one per-doc aggregation. Corpus bodies are
+    never joined or shuffled wide.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("word"),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word"))
+        .limit(LM_VOCAB_SIZE)
+        .withColumnRenamed("word", "v_word")
+    )
+    total = words.agg(F.count("*").cast("double").alias("n"))
+    oov = F.col("v_word").isNull()
+    scored = (
+        words.join(F.broadcast(vocab), F.col("word") == F.col("v_word"), "left")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            oov.cast("double").alias("oov"),
+            F.when(
+                oov, -F.log(F.lit(1.0) / (F.col("n") * LM_OOV_PENALTY))
+            )
+            .otherwise(-F.log(F.col("c").cast("double") / F.col("n")))
+            .alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg("oov"), 6).alias("oov_rate"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -456,3 +456,28 @@ def test_weighted_sample_prefers_heavy_docs_and_plans_topk(spark, tmp_path):
     assert 999 in picked and len(picked) == 10
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_score_separates_gibberish_from_indomain(spark, tmp_path):
+    """Docs made of corpus-frequent words must score lower avg_nll than a
+    doc of hapaxes; OOV appears only for words outside the top-V vocab."""
+    import data_pipeline_python_aws_cdk_spark.operators.text as textmod
+
+    out = tmp_path / "lm"
+    common = "the cat sat on the mat " * 20
+    rows = [(i, common, "en", "s", len(common)) for i in range(1, 9)]
+    gibberish = " ".join(f"zq{i}x" for i in range(120))
+    rows.append((99, gibberish, "en", "s", len(gibberish)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    old_v = textmod.LM_VOCAB_SIZE
+    textmod.LM_VOCAB_SIZE = 5  # exactly the common words fit the vocab
+    try:
+        res = {r.doc_id: r for r in textmod.text_lm_score(spark, str(out)).collect()}
+    finally:
+        textmod.LM_VOCAB_SIZE = old_v
+    assert res[1].oov_rate == 0.0
+    assert res[99].oov_rate == 1.0
+    assert res[99].avg_nll > res[1].avg_nll

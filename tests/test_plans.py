@@ -147,6 +147,7 @@ QUADRATIC_BY_DESIGN = {
     "text_tfidf_topk",       # cross join against a ONE-ROW aggregate (corpus doc
                              # count): broadcasting a scalar, not a relation
     "q22_idle_rich_customers",  # cross join against a ONE-ROW average, same class
+    "text_lm_score",            # cross join against the ONE-ROW corpus token count
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
