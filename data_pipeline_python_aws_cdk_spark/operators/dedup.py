@@ -701,3 +701,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "vb")
         .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"), "cosine")
     )
+
+
+# --- train/test decontamination ----------------------------------------------
+
+DECON_NGRAM = 8
+DECON_TRAIN_PCT = 90  # same salted split as documents_clean_corpus
+
+
+def _decon_oracle() -> str:
+    split = hash60_sql("CAST(doc_id AS VARCHAR)", salt="split")
+    gram = hash60_sql("array_to_string(toks[i:i+{m}], ' ')".format(m=DECON_NGRAM - 1))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             {split} % 100 < {DECON_TRAIN_PCT} AS is_train,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, is_train, toks,
+             unnest(generate_series(1, len(toks) - {DECON_NGRAM - 1})) AS i
+      FROM t WHERE len(toks) >= {DECON_NGRAM}
+    ),
+    sh AS (SELECT DISTINCT doc_id, is_train, {gram} AS sh60 FROM idx),
+    train_sh AS (SELECT DISTINCT sh60 FROM sh WHERE is_train),
+    test_sh AS (SELECT doc_id, sh60 FROM sh WHERE NOT is_train)
+    SELECT e.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.sh60 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN tr.sh60 IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_ratio
+    FROM test_sh e
+    LEFT JOIN train_sh tr ON e.sh60 = tr.sh60
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+@_register("corpus_decontaminate", oracle=_decon_oracle())
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: for every held-out document, the fraction
+    of its distinct word 8-grams that appear anywhere in the training
+    split — the overlap audit run before any benchmark evaluation, here
+    over the same salted hash split ``documents_clean_corpus`` materializes.
+
+    Scale shape: documents never meet documents. Both sides reduce to
+    streams of (doc_id, shingle-hash) pairs — 8-grams are hashed to 60-bit
+    ints at the scan, texts are dropped immediately — and the ONE wide
+    shuffle is the equi-join on shingle hash. The train side deduplicates
+    to a distinct hash set (map-side combined); at 100 TB that set can
+    further shrink to a bloom filter broadcast with identical plan shape.
+    Per-doc rollup rides doc_id at test-split cardinality.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        hash60(F.col("doc_id").cast("string"), salt="split") % 100 < DECON_TRAIN_PCT
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    t = d.select("doc_id", is_train.alias("is_train"), toks.alias("toks")).filter(
+        F.size("toks") >= DECON_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {DECON_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {DECON_NGRAM}), ' '))"
+    )
+    sh = (
+        t.select("doc_id", "is_train", F.explode(grams).alias("gram"))
+        .select("doc_id", "is_train", hash60(F.col("gram")).alias("sh60"))
+        .distinct()
+    )
+    train_sh = (
+        sh.filter(F.col("is_train")).select("sh60").distinct().withColumn("hit", F.lit(1))
+    )
+    test_sh = sh.filter(~F.col("is_train")).select("doc_id", "sh60")
+    joined = test_sh.join(train_sh, "sh60", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("contamination_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -481,3 +481,31 @@ def test_lm_score_separates_gibberish_from_indomain(spark, tmp_path):
     assert res[1].oov_rate == 0.0
     assert res[99].oov_rate == 1.0
     assert res[99].avg_nll > res[1].avg_nll
+
+
+def test_decontaminate_flags_planted_leak(spark, tmp_path):
+    """A test-split document sharing an 8-gram with a train document must
+    show contamination; a fully novel test document must show zero."""
+    import data_pipeline_python_aws_cdk_spark.operators.dedup as dedupmod
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import hash60_py
+
+    # find doc_ids on each side of the salted split
+    train_id = next(i for i in range(1, 100) if hash60_py(str(i), salt="split") % 100 < 90)
+    test_ids = [i for i in range(1, 100) if hash60_py(str(i), salt="split") % 100 >= 90]
+    leak_id, clean_id = test_ids[0], test_ids[1]
+
+    shared = "one two three four five six seven eight"
+    train_text = f"{shared} alpha beta gamma delta epsilon zeta eta theta"
+    leak_text = f"prefix words here {shared} suffix words trailing after"
+    clean_text = " ".join(f"nv{i}" for i in range(16))
+    out = tmp_path / "decon"
+    spark.createDataFrame(
+        [(train_id, train_text, "en", "s", 1), (leak_id, leak_text, "en", "s", 1),
+         (clean_id, clean_text, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+
+    res = {r.doc_id: r for r in dedupmod.corpus_decontaminate(spark, str(out)).collect()}
+    assert set(res) == {leak_id, clean_id}
+    assert res[leak_id].n_contaminated >= 1
+    assert res[clean_id].n_contaminated == 0 and res[clean_id].contamination_ratio == 0.0
