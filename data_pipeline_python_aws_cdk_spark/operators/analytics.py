@@ -1448,3 +1448,51 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@_register(
+    "events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM activity
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM marked
+    WHERE date_diff('day', cohort_day, day) <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    on each subsequent day-offset (the product-analytics staple).
+
+    Single-shuffle formulation: the naive plan joins a per-user MIN(day)
+    aggregate back onto activity (two shuffles + a user-cardinality join);
+    here the cohort day comes from a window MIN over the (user_id, day)
+    distinct set, so the user_id exchange that dedup already required is
+    the ONLY corpus shuffle and the retention rollup aggregates
+    cohort x offset keys (tiny). The offset cap bounds output width.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    marked = activity.withColumn("cohort_day", F.min("day").over(w)).withColumn(
+        "day_offset", F.datediff(F.col("day"), F.col("cohort_day"))
+    )
+    return (
+        marked.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "day_offset")
+    )
