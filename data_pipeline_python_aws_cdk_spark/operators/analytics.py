@@ -1496,3 +1496,50 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort", "day_offset")
     )
+
+
+@_register(
+    "events_key_skew_profile",
+    oracle="""
+    WITH kc AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n, COUNT(*) AS n_keys FROM kc)
+    SELECT kc.user_id, kc.cnt,
+           ROUND(kc.cnt / tot.n, 6) AS share,
+           ROUND(kc.cnt * tot.n_keys / tot.n, 6) AS skew_factor
+    FROM kc CROSS JOIN tot
+    ORDER BY kc.cnt DESC, kc.user_id
+    LIMIT 10
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter / skew diagnostics for a join-or-group key: the top
+    keys by row count with their corpus share and skew factor (ratio to
+    the uniform per-key expectation) — the measurement that decides
+    whether a key needs salting (operators/analytics.segment_revenue_salted)
+    or AQE skew splitting before a 100 TB join.
+
+    One map-combined aggregation to key cardinality; the scalar totals
+    come from re-aggregating that (tiny) key-count table and broadcast
+    back as a one-row cross join; top-10 plans TakeOrderedAndProject.
+    The corpus is scanned once and only (key, count) pairs ever shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = kc.agg(
+        F.sum("cnt").cast("double").alias("n"), F.count("*").alias("n_keys")
+    )
+    return (
+        kc.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("n"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(10)
+    )

@@ -148,6 +148,7 @@ QUADRATIC_BY_DESIGN = {
                              # count): broadcasting a scalar, not a relation
     "q22_idle_rich_customers",  # cross join against a ONE-ROW average, same class
     "text_lm_score",            # cross join against the ONE-ROW corpus token count
+    "events_key_skew_profile",  # cross join against the ONE-ROW key-count totals
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
