@@ -45,9 +45,12 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     New files appearing under ``events_dir`` become micro-batch input — the
     streaming mirror of the ingest path's append-only daily drops.
 
-    The driver testdata stores ts as parquet TIMESTAMP(NANOS) (surfaced as
-    epoch-nanos int64 under spark.sql.legacy.parquet.nanosAsLong); detect
-    that from the batch footer and convert exactly like tables.load_table.
+    The driver testdata has stored ts two ways across rounds: parquet
+    TIMESTAMP(NANOS) (surfaced as epoch-nanos int64 under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ). Detect the layout
+    from the batch footer and normalize to session-zoned TIMESTAMP exactly
+    like tables.load_table.
     """
     from data_pipeline_python_aws_cdk_spark.tables import ensure_session_confs
 
@@ -62,6 +65,16 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         )
         stream = spark.readStream.schema(raw_schema).parquet(events_dir)
         return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if batch_dtypes.get("ts") == "timestamp_ntz":
+        raw_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+        stream = spark.readStream.schema(raw_schema).parquet(events_dir)
+        # Session TZ is pinned UTC, so the cast preserves the wall clock.
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
 
 

@@ -52,6 +52,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (events.ts,
+    # o_orderdate, l_shipdate in the current testdata) would otherwise infer
+    # as TIMESTAMP_NTZ, which TIMESTAMP-only expressions (unix_micros,
+    # watermarks) reject. Disabling NTZ inference surfaces them as
+    # session-zoned TIMESTAMP at the scan itself — no cast above the scan,
+    # so filter pushdown on timestamp columns is preserved — and with the
+    # UTC session timezone the wall clock matches DuckDB's naive reading.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,12 +71,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it surfaces as epoch-nanos.
-        # Truncate to micros — the same truncation DuckDB applies — so both
-        # engines see identical timestamps.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts as parquet TIMESTAMP(NANOS); with
+            # spark.sql.legacy.parquet.nanosAsLong it surfaces as epoch-nanos.
+            # Truncate to micros — the same truncation DuckDB applies — so
+            # both engines see identical timestamps.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # events.ts as parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+            # surfaces as TIMESTAMP_NTZ. The session timezone is pinned UTC
+            # above, so casting to the session-zoned TIMESTAMP preserves the
+            # wall clock exactly while restoring the type every downstream
+            # operator (unix_micros, window(), watermarks) expects.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _CACHE[key] = df
     return df
 
