@@ -285,38 +285,25 @@ def _minhash_oracle() -> str:
     return "WITH " + ctes + "\n" + final
 
 
-@_register("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: the 100 TB discovery path.
+def _minhash_candidates(d: DataFrame) -> DataFrame:
+    """LSH candidate pairs (doc_a, doc_b) from the banded minhash index.
 
-    shingle -> k=16 salted min-hashes -> 4 bands x 4 rows -> band-bucket
-    self-join -> exact-Jaccard verification of candidates only.
+    All 16 min-hashes in ONE groupBy(doc_id) pass over ONE base hash per
+    shingle: the universal-hash family derives h_i = (a_i*h + b_i) mod P
+    from the shared base, so per-row cost is one hash + K integer ops, and
+    the only corpus-scale shuffle carries |docs| x K integers (map-side
+    partial mins). At 100 TB this is the difference between hashing the
+    corpus K times and once.
 
-    Candidate generation never materializes the quadratic pair space: the
-    band join shuffles (band, band_key) — 4 small rows per doc — and only
-    colliding buckets produce pairs. Hash family is the deterministic
-    md5-based hash60, so Spark and the oracle agree on every signature.
-
-    Shuffle discipline (the sf0.1 profile drove these choices):
-
-    - Signatures read the RAW shingle stream: MIN is duplicate-insensitive,
-      so the corpus-wide ``distinct()`` shuffle is skipped entirely — the
-      only corpus-scale shuffle is the map-side-combined groupBy(doc_id).
-    - Verification re-derives shingles from the candidate docs only
-      (a broadcast semi-join on the candidate id set), so the distinct()
-      that Jaccard counting genuinely needs runs on the near-dup subset,
-      not the corpus. At 100 TB the candidate set is the interesting
-      fraction of the data; the corpus-sized shingle index is never
-      shuffled or pinned.
+    The band index (4 small rows per doc) carries NO localCheckpoint cut
+    point: both self-join sides hang off the SAME groupBy(doc_id) shuffle,
+    which Spark reuses (ReusedExchange — gated by
+    tests/test_plans.py::test_banded_self_join_reuses_signature_exchange),
+    so the corpus-scale shingle scan + partial aggregation run exactly once;
+    only the doc-scale band projection (4 md5s/doc) is duplicated. Skipping
+    the checkpoint avoids a doc-scale materialization to executor-local disk
+    and one serial job barrier.
     """
-    d = load_table(spark, sf_dir, "documents")
-
-    # All 16 min-hashes in ONE groupBy(doc_id) pass over ONE md5 per shingle:
-    # the universal-hash family derives h_i = (a_i*h + b_i) mod P from the
-    # shared base hash, so per-row cost is one md5 + K integer ops, and the
-    # only shuffle carries |docs| x K integers (map-side partial mins). At
-    # 100 TB this is the difference between hashing the corpus K times and
-    # once.
     base = hash60(F.col("s")) % MINHASH_PRIME
     hb = _shingles(d, distinct=False).select("doc_id", base.alias("base"))
     mins = hb.groupBy("doc_id").agg(
@@ -344,21 +331,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for band in range(MINHASH_BANDS)
     ]
-    # 4 (band, 16-byte key) rows per doc — the LSH index. Materialized once:
-    # the self-join below consumes it on both sides, and without a cut point
-    # each side would re-run the corpus-scale shingle+signature aggregation.
     bands = mins.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bc")
     ).select(
         "doc_id", F.col("bc.band").alias("band"), F.col("bc.bkey").alias("bkey")
-    ).localCheckpoint()
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
-    cand = (
+    return (
         a.join(b, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+@_register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: the 100 TB discovery path.
+
+    shingle -> k=16 salted min-hashes -> 4 bands x 4 rows -> band-bucket
+    self-join -> exact-Jaccard verification of candidates only.
+
+    Candidate generation never materializes the quadratic pair space: the
+    band join shuffles (band, band_key) — 4 small rows per doc — and only
+    colliding buckets produce pairs. Hash family is the deterministic
+    md5-based hash60, so Spark and the oracle agree on every signature.
+
+    Shuffle discipline (the sf0.1 profile drove these choices):
+
+    - Signatures read the RAW shingle stream: MIN is duplicate-insensitive,
+      so the corpus-wide ``distinct()`` shuffle is skipped entirely — the
+      only corpus-scale shuffle is the map-side-combined groupBy(doc_id).
+    - Verification re-derives shingles from the candidate docs only
+      (a broadcast semi-join on the candidate id set), so the distinct()
+      that Jaccard counting genuinely needs runs on the near-dup subset,
+      not the corpus. At 100 TB the candidate set is the interesting
+      fraction of the data; the corpus-sized shingle index is never
+      shuffled or pinned.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cand = (
+        _minhash_candidates(d)
         # Candidate pairs are consumed by four downstream subtrees; without a
         # cut point each would re-run the corpus-scale signature pipeline.
         # The pair set is candidate-scale (near-dup fraction of the corpus),
@@ -587,9 +601,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_signatures(spark, sf_dir)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    # 4 (chunk, signature) rows per doc; materialized once — both sides of
-    # the banded self-join consume it, and without a cut point each side
-    # would re-run the corpus-scale signature aggregation.
+    # 4 (chunk, signature) rows per doc; materialized once. Exchange reuse
+    # would cover the corpus-scale shingle scan here too (see
+    # dedup_minhash_lsh), but the post-shuffle signature projection — a
+    # 60-branch CASE + conv(,2,10) per doc — is expensive enough that
+    # running it twice loses to one cut point (interleaved A/B at sf0.1:
+    # ~0.95 s with the checkpoint vs ~1.3-1.5 s without).
     keyed = sig.select(
         "doc_id",
         "simhash",

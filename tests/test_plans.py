@@ -121,6 +121,23 @@ def test_dedup_candidates_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_banded_self_join_reuses_signature_exchange(spark):
+    # The minhash band self-join deliberately carries NO localCheckpoint cut
+    # point: both join sides hang off the same groupBy(doc_id) signature
+    # shuffle, and Spark must reuse that exchange so the corpus-scale
+    # shingle scan + partial aggregation run exactly once. This gate
+    # executes the candidate stage and asserts the reuse actually happened —
+    # a divergence (e.g. one side picking up an extra projection that
+    # defeats canonicalization) would silently double the dominant 100 TB
+    # cost.
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    cand = dedup._minhash_candidates(load_table(spark, SF_SMOKE, "documents"))
+    cand.collect()  # AQE: reuse is visible only in the final executed plan
+    assert "ReusedExchange" in _plan(cand)
+
+
 def test_arrow_cosine_is_vectorized_not_row_python(spark):
     # Candidate scoring must go through ArrowEvalPython (vectorized pandas
     # UDF), never BatchEvalPython (row-at-a-time pickle).
