@@ -8,6 +8,10 @@ filters/column pruning into the parquet reader.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,6 +40,41 @@ TABLE_NAMES = (
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# applicationIds whose executors already received the package zip.
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Pandas-UDF / mapInPandas closures that reference module-level helpers
+    are cloudpickled BY REFERENCE to this package, so the worker must be
+    able to ``import data_pipeline_python_aws_cdk_spark`` itself. A
+    caller-supplied session (the driver's harness, a spark-submit job)
+    carries no such guarantee: the driver process may have the repo on
+    ``sys.path`` while its workers do not. ``addPyFile`` is the
+    cluster-grade answer — the zip is distributed to every executor and
+    prepended to the worker's ``sys.path`` — and in local mode it covers
+    the spawned Python workers the same way. Once per SparkContext.
+    """
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.mkdtemp(prefix="dpacs_pyfiles_"),
+        "data_pipeline_python_aws_cdk_spark",
+    )
+    zip_path = shutil.make_archive(
+        base,
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(app)
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs every caller-supplied session needs to read the testdata.
 
@@ -60,6 +99,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # so filter pushdown on timestamp columns is preserved — and with the
     # UTC session timezone the wall clock matches DuckDB's naive reading.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ensure_package_shipped(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
