@@ -875,3 +875,99 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- sequence packing for training shards ------------------------------------
+
+# Token budget of one packed training sequence (a stand-in context length;
+# real pipelines pass their model's).
+PACK_SEQ_LEN = 512
+# Independent packing streams. Each bucket is one deterministic token stream
+# packed in isolation, so packing parallelism == bucket count with no
+# cross-bucket coordination; at 100 TB this is thousands of buckets, each a
+# single in-partition window pass.
+PACK_BUCKETS = 8
+
+
+def _pack_oracle() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", salt="pack")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {h} AS h,
+             len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS doc_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, h % {PACK_BUCKETS} AS bucket, doc_tokens,
+             CAST(COALESCE(SUM(doc_tokens) OVER (
+               PARTITION BY h % {PACK_BUCKETS}
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_start
+      FROM toks WHERE doc_tokens > 0
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           tok_start // {PACK_SEQ_LEN} AS seq_id,
+           tok_start, CAST(doc_tokens AS BIGINT) AS doc_tokens,
+           (tok_start + doc_tokens - 1) // {PACK_SEQ_LEN}
+             > tok_start // {PACK_SEQ_LEN} AS straddles
+    FROM ordered
+    ORDER BY bucket, tok_start, doc_id
+    """
+
+
+@_register("corpus_pack_sequences", oracle=_pack_oracle())
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    The export step of an LLM data pipeline: concatenate documents into a
+    contiguous token stream and chop it into PACK_SEQ_LEN-token training
+    sequences. Each doc gets the sequence containing its first token
+    (``seq_id``, bucket-local), its offset in the stream (``tok_start``),
+    and whether it straddles a sequence boundary (``straddles`` — the docs
+    a loader must split across samples).
+
+    Determinism contract: bucket assignment AND within-bucket order are
+    pure functions of doc_id (cross-engine hash60, salt "pack"), so the
+    packing is replayable at any parallelism and incrementally stable —
+    the same properties as documents_stratified_sample, extended to an
+    ordering. No RNG, no partition-index dependence.
+
+    Shape at 100 TB: one shuffle (hash-partition by bucket), then a single
+    in-partition window pass computes every running offset; token counting
+    fuses into the scan. Buckets bound window-partition size, so no
+    single-reducer global ordering exists anywhere — scale the bucket
+    count with the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"), salt="pack")
+    toks = d.select(
+        "doc_id",
+        h.alias("h"),
+        bpe_ish_token_count("text").alias("doc_tokens"),
+    ).filter(F.col("doc_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.withColumn("bucket", (F.col("h") % PACK_BUCKETS).cast("bigint"))
+        .withColumn(
+            "tok_start",
+            F.coalesce(F.sum("doc_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.expr(f"tok_start DIV {PACK_SEQ_LEN}").alias("seq_id"),
+            "tok_start",
+            F.col("doc_tokens").cast("bigint").alias("doc_tokens"),
+            (
+                F.expr(f"(tok_start + doc_tokens - 1) DIV {PACK_SEQ_LEN}")
+                > F.expr(f"tok_start DIV {PACK_SEQ_LEN}")
+            ).alias("straddles"),
+        )
+    )
+    return packed.orderBy("bucket", "tok_start", "doc_id")

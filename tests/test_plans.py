@@ -138,6 +138,21 @@ def test_banded_self_join_reuses_signature_exchange(spark):
     assert "ReusedExchange" in _plan(cand)
 
 
+def test_pack_sequences_single_bucket_shuffle_no_global_window(spark):
+    # Sequence packing must be one hash-partition shuffle on bucket feeding
+    # an in-partition window — never a global (empty-partition) window,
+    # which would serialize the corpus through one reducer. The trailing
+    # orderBy adds its range-partition exchange for output presentation;
+    # the window itself must consume the bucket partitioning.
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    plan = _plan(text.corpus_pack_sequences(spark, SF_SMOKE))
+    assert "hashpartitioning(bucket" in plan
+    assert "Window [" in plan
+    # the Window's partition spec is non-empty (bucket-local running sum)
+    assert "windowspecdefinition(bucket" in plan
+
+
 def test_arrow_cosine_is_vectorized_not_row_python(spark):
     # Candidate scoring must go through ArrowEvalPython (vectorized pandas
     # UDF), never BatchEvalPython (row-at-a-time pickle).
