@@ -808,3 +808,71 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- per-source curation report ----------------------------------------------
+
+
+def _source_report_oracle() -> str:
+    fp = hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, source, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS t,
+             {fp} AS fp60
+      FROM documents
+    ),
+    n AS (SELECT *, COUNT(*) OVER (PARTITION BY fp60) AS n FROM fp)
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           ROUND(AVG(CASE WHEN n > 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS dup_rate,
+           ROUND(AVG(CAST(t AS DOUBLE)), 6) AS avg_ws_tokens,
+           COUNT(DISTINCT lang) AS langs
+    FROM n
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@_register("source_curation_report", oracle=_source_report_oracle())
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: duplicate contribution and size mix.
+
+    The decision table of corpus curation — which ingestion sources feed
+    the pipeline exact duplicates (corpus-wide normalized-text fingerprint
+    seen more than once, attributed to every source holding a copy), how
+    long their documents run, and how many languages they span.
+
+    Shape: fingerprint + token count fuse into the scan; ONE corpus-scale
+    shuffle (window count over fp60 — duplicate groups are tiny, so
+    partitions stay balanced) and a small per-source aggregation. No join
+    against a fingerprint table: the window form halves the shuffle count
+    of the naive groupBy-then-join spelling.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textfns import ws_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    fp = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        ws_token_count("text").alias("t"),
+        hash60(norm).alias("fp60"),
+    )
+    n = fp.withColumn("n", F.count("*").over(Window.partitionBy("fp60")))
+    is_dup = F.when(F.col("n") > 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_docs"),
+            F.round(F.avg(is_dup), 6).alias("dup_rate"),
+            F.round(F.avg(F.col("t").cast("double")), 6).alias("avg_ws_tokens"),
+            F.countDistinct("lang").alias("langs"),
+        )
+        .orderBy("source")
+    )
