@@ -690,7 +690,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _signatures
     from ..functions.vectors import cosine_arrow
 
-    chunks = _signatures(spark, sf_dir, EMBEDDING_LSH_BITS, EMBEDDING_LSH_BANDS)
+    # checkpoint=False + merge hint: the symmetric self-join's two band-key
+    # exchanges canonicalize equal, so ReuseExchange serves both sides from
+    # one Arrow signature scan (same pattern as _minhash_candidates; the
+    # reuse is gated there by test_banded_self_join_reuses_signature_exchange).
+    chunks = _signatures(
+        spark, sf_dir, EMBEDDING_LSH_BITS, EMBEDDING_LSH_BANDS, checkpoint=False
+    ).hint("merge")
     a = chunks.select(F.col("vec_id").alias("va"), "band", "chunk")
     b = chunks.select(F.col("vec_id").alias("vb"), "band", "chunk")
     cand = (

@@ -215,15 +215,24 @@ def _ann_oracle() -> str:
 
 
 def _signatures(
-    spark: SparkSession, sf_dir: str, n_bits: int = LSH_BITS, n_bands: int = LSH_BANDS
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int = LSH_BITS,
+    n_bands: int = LSH_BANDS,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(vec_id, band, chunk): banded LSH signature via JVM-side fold.
 
     The bits x 64 plane matrix is embedded as literals — it broadcasts with
-    the plan itself; signature computation is a map-only projection. The
-    result (``n_bands`` small rows per vector) is localCheckpoint-ed: every
-    consumer self-joins it, and without a cut point both join sides would
-    re-run the dot-product scan over the corpus.
+    the plan itself; signature computation is a map-only projection. With
+    ``checkpoint`` (default) the result (``n_bands`` small rows per vector)
+    is localCheckpoint-ed: consumers that join it against an *asymmetric*
+    other side (the ANN query-vs-corpus paths) would otherwise re-run the
+    dot-product scan per consumer. Symmetric self-join consumers (the
+    embedding dedup path) pass ``checkpoint=False`` and force a shuffle
+    join instead, so the two identical band-key exchanges canonicalize
+    equal and Spark's ReuseExchange serves both sides from ONE Arrow scan
+    — no cut-point barrier and no executor-disk materialization.
 
     Chunk width (bits/bands) sets the bucket count and therefore the
     random-collision rate; callers pick it per workload — few wide buckets
@@ -260,11 +269,12 @@ def _signatures(
         )
         for band in range(n_bands)
     ]
-    return sig.select(
+    out = sig.select(
         "vec_id", F.explode(F.array(*bands)).alias("bc")
     ).select(
         "vec_id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
-    ).localCheckpoint()
+    )
+    return out.localCheckpoint() if checkpoint else out
 
 
 @_register("similarity_ann_lsh", oracle=_ann_oracle())
