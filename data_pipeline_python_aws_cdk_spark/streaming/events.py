@@ -466,3 +466,56 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_event_stream(spark, _stream_dir(sf_dir))
     out = _drain(spark, click_purchase_join_stream(stream), "append")
     return out.orderBy("click_id", "purchase_id")
+
+
+def enrich_with_segment(stream: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static broadcast join + per-segment aggregation.
+
+    The canonical enrichment topology: the static dimension (customer
+    segment) is broadcast to every task, so each micro-batch joins
+    map-side with no stream-side shuffle; the only stateful operator is
+    the small per-segment aggregation. The static side is re-resolved per
+    micro-batch — on a real deployment that makes slowly-changing
+    dimension updates visible to the stream without a restart.
+    """
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        stream.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join drained with availableNow.
+
+    Streaming twin of the batch join+agg over the same inputs: every event
+    is enriched with its user's market segment from the static customer
+    table, then counted per segment. Distinct aggregates are unsupported
+    in streaming, so the rollup sticks to COUNT/SUM.
+    """
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    customer = load_table(spark, sf_dir, "customer")
+    out = _drain(spark, enrich_with_segment(stream, customer), "complete")
+    return out.orderBy("segment")
