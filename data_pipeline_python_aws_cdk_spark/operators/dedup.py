@@ -127,47 +127,35 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
       avoid enumerating the quadratic pair space.
     - candidates: one groupBy packs each candidate doc's shingle set into a
       sorted array (candidate docs are the near-dup fraction, so the arrays
-      are few), then two broadcast joins attach both sets to each pair and
-      ``array_intersect`` computes overlap in a single map stage — 3 stages
-      total vs 6 for the inverted-index shape, with no corpus-scale state.
+      are few), then ONE broadcast of that set table serves both pair-side
+      joins — the two join sides are alias references to the identical
+      broadcast child, so their BroadcastExchanges canonicalize equal and
+      Spark reuses the first build (ReusedExchange). ``array_intersect``
+      then computes overlap in a single map stage. No cut point and no
+      corpus-scale state: the set-building lineage executes exactly once,
+      inside the one broadcast build.
     """
     if pairs is not None:
-        # Materialized once: both join sides below consume the per-doc sets,
-        # and the input lineage (shingle re-derivation of candidate docs)
-        # shouldn't run twice. Candidate-scale, so bounded.
         sets = sh.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("s")).alias("sset"),
             F.count("*").alias("n"),
-        ).localCheckpoint()
+        )
+        sa = F.broadcast(sets).alias("sa")
+        sb = F.broadcast(sets).alias("sb")
         return (
-            pairs.join(
-                F.broadcast(
-                    sets.select(
-                        F.col("doc_id").alias("doc_a"),
-                        F.col("sset").alias("set_a"),
-                        F.col("n").alias("na"),
-                    )
-                ),
-                "doc_a",
+            pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .withColumn(
+                "common",
+                F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset"))),
             )
-            .join(
-                F.broadcast(
-                    sets.select(
-                        F.col("doc_id").alias("doc_b"),
-                        F.col("sset").alias("set_b"),
-                        F.col("n").alias("nb"),
-                    )
-                ),
-                "doc_b",
-            )
-            .withColumn("common", F.size(F.array_intersect("set_a", "set_b")))
             .withColumn(
                 "jaccard",
                 F.col("common")
                 * F.lit(1.0)
-                / (F.col("na") + F.col("nb") - F.col("common")),
+                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
             )
-            .drop("set_a", "set_b")
+            .select("doc_a", "doc_b", "common", "jaccard")
         )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
