@@ -1543,3 +1543,108 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@_register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_POP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS events,
+           CAST(SUM(CASE WHEN ABS((e.value - s.mu) / s.sigma) >= {ZSCORE_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier summary per event type — the monitoring pass that
+    flags value anomalies before they poison downstream aggregates.
+
+    Two-pass shape: a tiny per-type moment aggregation (map-side combined,
+    |event types| rows) broadcasts back onto the stream, so the corpus is
+    scanned twice but shuffled never beyond the per-type partials — the
+    standard trade when the stats table is broadcastable. No global
+    window, no per-row state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.when(z >= ZSCORE_THRESHOLD, 1).otherwise(0)).alias("outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT r * 100 + f * 10 + m AS segment,
+           COUNT(*) AS customers
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartile codes.
+
+    Classic marketing-analytics shape: reduce the fact table to one row
+    per customer, then three unpartitioned NTILE windows score each
+    dimension 1-4 and concatenate into a segment code (111 = best across
+    the board). Same global-window discipline as customer_spend_quartiles
+    — the sort only ever sees |customers| rows, never raw orders; custkey
+    tie-breaks make every quartile boundary deterministic cross-engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return (
+        rfm.withColumn("r", F.ntile(4).over(r_w))
+        .withColumn("f", F.ntile(4).over(f_w))
+        .withColumn("m", F.ntile(4).over(m_w))
+        .select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("customers"))
+        .orderBy("segment")
+    )

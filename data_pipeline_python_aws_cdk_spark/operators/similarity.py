@@ -525,3 +525,48 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "embedding_dim_stats",
+    oracle=f"""
+    SELECT g.i AS dim,
+           ROUND(AVG(embedding[g.i]::DOUBLE), 4) + 0 AS mean,
+           ROUND(STDDEV_POP(embedding[g.i]::DOUBLE), 4) + 0 AS std,
+           ROUND(MIN(embedding[g.i]::DOUBLE), 4) + 0 AS min_v,
+           ROUND(MAX(embedding[g.i]::DOUBLE), 4) + 0 AS max_v
+    FROM embeddings, generate_series(1, {DIM}) g(i)
+    GROUP BY g.i
+    ORDER BY g.i
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding space.
+
+    The feature-diagnostics pass before ANN indexing: a collapsed or
+    heavy-tailed dimension (std near 0, or extreme min/max) degrades both
+    hyperplane LSH and IVF centroid geometry, and this is the table that
+    shows it. posexplode keeps the whole computation JVM-side; the only
+    shuffle carries (dim, partial moments) — DIM groups regardless of
+    corpus size, with map-side combine doing all the heavy lifting.
+    DuckDB's list index is 1-based; +1 on posexplode's 0-based position
+    keeps the dim labels identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    # "+ 0.0" (here and in the oracle) normalizes IEEE negative zero: a mean
+    # that rounds to -0.0 in one engine and +0.0 in the other would be a
+    # spurious hash mismatch.
+    return (
+        v.groupBy("dim")
+        .agg(
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean"),
+            (F.round(F.stddev_pop("v"), 4) + F.lit(0.0)).alias("std"),
+            (F.round(F.min("v"), 4) + F.lit(0.0)).alias("min_v"),
+            (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
