@@ -509,3 +509,58 @@ def test_decontaminate_flags_planted_leak(spark, tmp_path):
     assert set(res) == {leak_id, clean_id}
     assert res[leak_id].n_contaminated >= 1
     assert res[clean_id].n_contaminated == 0 and res[clean_id].contamination_ratio == 0.0
+
+
+def test_pack_sequences_offsets_are_contiguous_per_bucket(spark):
+    # Within every bucket the token stream must be gapless: sorted by
+    # tok_start, each doc begins exactly where the previous one ended, the
+    # first begins at 0, and seq_id/straddles are pure functions of
+    # (tok_start, doc_tokens). A violation means the window frame or the
+    # ordering key drifted.
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        PACK_SEQ_LEN,
+        corpus_pack_sequences,
+    )
+
+    rows = corpus_pack_sequences(spark, SF_SMOKE).collect()
+    assert rows
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.tok_start)
+        expected = 0
+        for r in rs:
+            assert r.tok_start == expected, (bucket, r)
+            assert r.seq_id == r.tok_start // PACK_SEQ_LEN
+            assert r.straddles == (
+                (r.tok_start + r.doc_tokens - 1) // PACK_SEQ_LEN > r.seq_id
+            )
+            expected += r.doc_tokens
+
+
+def test_rfm_segments_cover_all_customers_with_valid_codes(spark):
+    from data_pipeline_python_aws_cdk_spark.operators.analytics import (
+        orders_rfm_segments,
+    )
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    rows = orders_rfm_segments(spark, SF_SMOKE).collect()
+    total = sum(r.customers for r in rows)
+    n_customers = (
+        load_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    )
+    assert total == n_customers
+    for r in rows:
+        digits = (r.segment // 100, (r.segment // 10) % 10, r.segment % 10)
+        assert all(1 <= d <= 4 for d in digits), r.segment
+
+
+def test_anomaly_zscore_bounds(spark):
+    from data_pipeline_python_aws_cdk_spark.operators.analytics import (
+        events_anomaly_zscore,
+    )
+
+    for r in events_anomaly_zscore(spark, SF_SMOKE).collect():
+        assert 0 <= r.outliers <= r.events
+        assert r.max_abs_z >= 0
