@@ -941,19 +941,28 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     count with the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
-    h = hash60(F.col("doc_id").cast("string"), salt="pack")
     toks = d.select(
-        "doc_id",
-        h.alias("h"),
-        bpe_ish_token_count("text").alias("doc_tokens"),
+        "doc_id", bpe_ish_token_count("text").alias("doc_tokens")
     ).filter(F.col("doc_tokens") > 0)
+    return _pack_offsets(toks).orderBy("bucket", "tok_start", "doc_id")
+
+
+def _pack_offsets(toks: DataFrame) -> DataFrame:
+    """Packing core over a (doc_id, doc_tokens) table: hash-bucket, order,
+    running token offset, sequence id, straddle flag. Shared by
+    corpus_pack_sequences (whole corpus) and corpus_shard_manifest
+    (cleaned-survivor subset); the input is already skinny — two integers
+    per doc — so nothing corpus-scale beyond the one bucket shuffle moves.
+    """
+    h = hash60(F.col("doc_id").cast("string"), salt="pack")
     w = (
         Window.partitionBy("bucket")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    packed = (
-        toks.withColumn("bucket", (F.col("h") % PACK_BUCKETS).cast("bigint"))
+    return (
+        toks.withColumn("h", h)
+        .withColumn("bucket", (F.col("h") % PACK_BUCKETS).cast("bigint"))
         .withColumn(
             "tok_start",
             F.coalesce(F.sum("doc_tokens").over(w), F.lit(0)).cast("bigint"),
@@ -970,4 +979,109 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("straddles"),
         )
     )
-    return packed.orderBy("bucket", "tok_start", "doc_id")
+
+
+def _manifest_oracle() -> str:
+    fp = hash60_sql("lower(regexp_replace(t, '\\s+', ' ', 'g'))")
+    split = hash60_sql("CAST(doc_id AS VARCHAR)", salt="split")
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", salt="pack")
+    return f"""
+    WITH q AS (
+      SELECT doc_id, trim(text) AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             length(text) AS chars,
+             len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe
+      FROM documents
+    ),
+    k AS (SELECT * FROM q
+          WHERE n_tokens >= {CLEAN_MIN_TOKENS}
+            AND CAST(n_punct AS DOUBLE) / chars < {CLEAN_MAX_PUNCT_RATIO}),
+    fp AS (SELECT doc_id, bpe, {fp} AS fp60,
+                  CASE WHEN {split} % 100 < {CLEAN_TRAIN_PCT}
+                       THEN 'train' ELSE 'val' END AS split
+           FROM k),
+    d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp60 ORDER BY doc_id) AS rn
+          FROM fp),
+    surv AS (SELECT doc_id, bpe AS doc_tokens, {h} AS h
+             FROM d WHERE rn = 1 AND split = 'train' AND bpe > 0),
+    packed AS (
+      SELECT doc_id, h % {PACK_BUCKETS} AS bucket, doc_tokens,
+             CAST(COALESCE(SUM(doc_tokens) OVER (
+               PARTITION BY h % {PACK_BUCKETS}
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_start
+      FROM surv
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS docs,
+           CAST(COUNT(DISTINCT tok_start // {PACK_SEQ_LEN}) AS BIGINT) AS seqs,
+           CAST(SUM(doc_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN (tok_start + doc_tokens - 1) // {PACK_SEQ_LEN}
+                              > tok_start // {PACK_SEQ_LEN}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
+    FROM packed
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+@_register("corpus_shard_manifest", oracle=_manifest_oracle())
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data export manifest: quality filter ->
+    exact dedup -> train split -> sequence packing -> per-bucket shard
+    stats (docs, sequences, tokens, boundary-straddling docs).
+
+    This is the composition a real pipeline ships: the number a capacity
+    plan needs (sequences per shard) and the number a loader needs
+    (straddle rate) computed in one job. Scale shape: the quality gate and
+    token counters fuse into the scan; the dedup window shuffles a skinny
+    (fp60, doc_id, counts) tuple; packing shuffles two integers per
+    surviving doc; the manifest is a PACK_BUCKETS-row aggregate. Document
+    bodies never move.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.length("text")
+    n_tokens = ws_token_count("text")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    )
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    kept = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        chars.alias("chars"),
+        bpe_ish_token_count("text").alias("doc_tokens"),
+        hash60(normalized).alias("fp60"),
+        F.when(
+            hash60(F.col("doc_id").cast("string"), salt="split") % 100
+            < CLEAN_TRAIN_PCT,
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+    ).filter(
+        (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+        & (F.col("n_punct").cast("double") / F.col("chars") < CLEAN_MAX_PUNCT_RATIO)
+    )
+    first_per_fp = Window.partitionBy("fp60").orderBy("doc_id")
+    surv = (
+        kept.withColumn("rn", F.row_number().over(first_per_fp))
+        .filter(
+            (F.col("rn") == 1) & (F.col("split") == "train") & (F.col("doc_tokens") > 0)
+        )
+        .select("doc_id", "doc_tokens")
+    )
+    packed = _pack_offsets(surv)
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("seq_id").alias("seqs"),
+            F.sum("doc_tokens").alias("tokens"),
+            F.sum(F.when(F.col("straddles"), 1).otherwise(0)).alias("straddlers"),
+        )
+        .orderBy("bucket")
+    )
