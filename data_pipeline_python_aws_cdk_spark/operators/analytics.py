@@ -1648,3 +1648,58 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("customers"))
         .orderBy("segment")
     )
+
+
+@_register(
+    "events_user_features",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
+             AS purchase_value,
+           CAST(COUNT(DISTINCT DATE_TRUNC('day', ts)) AS BIGINT) AS active_days,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the feature-store export for a
+    propensity/churn model: per-type event counts, purchase value, days
+    active, last-seen timestamp.
+
+    ONE aggregation pass computes every feature (conditional sums instead
+    of a pivot or per-type scans), so the corpus is read once and the only
+    shuffle carries per-user partials. COUNT(DISTINCT day) rides the same
+    groupBy — Spark plans the distinct via a partial expand, still one
+    scan. At 100 TB this is the shape that matters: feature count grows
+    the projection, never the number of passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            cnt("click").alias("clicks"),
+            cnt("view").alias("views"),
+            cnt("purchase").alias("purchases"),
+            cnt("signup").alias("signups"),
+            cnt("error").alias("errors"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                4,
+            ).alias("purchase_value"),
+            F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("active_days"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )
