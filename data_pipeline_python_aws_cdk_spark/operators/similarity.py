@@ -127,11 +127,14 @@ def similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the exact baseline.
 
-    Query side is tiny -> broadcast; the corpus streams through once with a
-    fused zip_with/aggregate dot product (no UDF, stays in codegen). The
-    window's per-query top-k shuffles only (query_id, neighbor, cosine)
-    tuples. Linear in corpus size; the 100 TB path as long as queries fit in
-    a broadcast (use similarity_ann_lsh otherwise).
+    Query side is tiny -> broadcast; the corpus streams through once and
+    cosine scoring runs in the Arrow-vectorized pandas UDF (one numpy
+    matmul per batch — plan-gated as ArrowEvalPython, never row-at-a-time
+    BatchEvalPython; measured faster than the JVM higher-order-function
+    fold, which is interpreted per element). The window's per-query top-k
+    shuffles only (query_id, neighbor, cosine) tuples. Linear in corpus
+    size; the 100 TB path as long as queries fit in a broadcast (use
+    similarity_ann_lsh otherwise).
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
