@@ -35,10 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows (2 hash-fails + 15 events-nanos errors, all since fixed) and the 14
 # judge-named must-verify entries. The remaining 19 slots take one
 # representative per still-unverified operator family plus three round-2
-# TPC-H shapes; everything else (remaining tpch, lang_stats,
-# doc_rolling_fingerprint, embedding_kmeans, simhash_signatures) holds a
-# green local-differential result and rotates into round 3's window.
-# Union over rounds = full coverage.
+# TPC-H shapes. The ~60 overflow entries (remaining tpch, the round-2
+# operator additions, lang_stats, embedding_kmeans, ...) each hold a green
+# result in the local differential harness (tools/check_correctness.py,
+# driver-grade type-sensitive compare, vanilla session) at sf0.01 AND
+# sf0.1, plus the vanilla-session execution sweep (tools/vanilla_sweep.py);
+# they rotate into round 3's window. Union over rounds = full coverage.
 _PRIORITY = (
     # round-1 hash-fails: oracle type parity (HUGEINT vs BIGINT), fixed
     "missing_fields",
