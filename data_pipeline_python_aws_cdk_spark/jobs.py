@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     p_an.add_argument("--table", default="raw_data")
     p_an.add_argument("--columns", default="", help="comma-separated column stats")
 
+    p_pack = sub.add_parser(
+        "pack", help="pack documents into token-budget training sequences"
+    )
+    p_pack.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_pack.add_argument("--output", required=True, help="output directory")
+
     p_up = sub.add_parser("upsert", help="merge updates by key, last writer wins")
     p_up.add_argument("--path", required=True)
     p_up.add_argument("--updates", required=True, help="parquet path of update rows")
@@ -126,6 +132,37 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if st.state == "SUCCEEDED" else 1
+
+    if args.cmd == "pack":
+        import os
+
+        from .operators.text import corpus_pack_sequences, corpus_shard_manifest
+
+        # The packed assignment, partitioned by bucket: a trainer shard
+        # reads exactly one directory, already in token-stream order.
+        assignment_dir = os.path.join(args.output, "assignment")
+        (
+            corpus_pack_sequences(spark, args.sf_dir)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(assignment_dir)
+        )
+        manifest = [r.asDict() for r in corpus_shard_manifest(spark, args.sf_dir).collect()]
+        manifest_path = os.path.join(args.output, "manifest.json")
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "assignment": assignment_dir,
+                    "manifest": manifest_path,
+                    "buckets": len(manifest),
+                    "train_tokens": sum(m["tokens"] for m in manifest),
+                }
+            )
+        )
+        return 0
 
     if args.cmd == "cluster":
         from .maintenance import cluster

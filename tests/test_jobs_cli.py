@@ -210,3 +210,26 @@ def test_cluster_narrows_rowgroup_stats_for_skipping(spark, tmp_path):
     a = spark.read.parquet(src).filter("k = 7").count()
     b = spark.read.parquet(out).filter("k = 7").count()
     assert a == b == 5000
+
+
+def test_cli_pack_writes_bucketed_assignment_and_manifest(spark, tmp_path, capsys):
+    import json as _json
+
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "packed")
+    rc = jobs.main(["pack", "--sf-dir", SF_SMOKE, "--output", out])
+    assert rc == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["statusCode"] == 200
+    assert status["train_tokens"] > 0
+    # assignment is Hive-partitioned by bucket — one directory per shard
+    buckets = [p.name for p in (tmp_path / "packed" / "assignment").iterdir()
+               if p.name.startswith("bucket=")]
+    assert buckets
+    manifest = _json.loads(open(status["manifest"]).read())
+    assert len(manifest) == status["buckets"]
+    # assignment must round-trip through the partitioned layout
+    back = spark.read.parquet(str(tmp_path / "packed" / "assignment"))
+    assert back.count() > 0
+    assert set(["doc_id", "seq_id", "tok_start", "doc_tokens", "straddles", "bucket"]) <= set(back.columns)
