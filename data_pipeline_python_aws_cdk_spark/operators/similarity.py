@@ -573,3 +573,87 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def ivf_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVF inverted lists: the persisted-index half of the
+    similarity_ann_ivf docstring's 100 TB story.
+
+    Writes (vec_id, embedding) Hive-partitioned by assigned centroid_id, so
+    a later probe that knows its centroid list becomes a partition-pruned
+    scan — (1 - NPROBE/NLIST) of the corpus is skipped at the FILE level,
+    never read, never decoded. Build cost is the one assignment pass the
+    inline query already pays; at scale this is the classic
+    write-once/probe-many amortization.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    ac = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
+    assign = (
+        ac.withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(index_dir)
+
+
+def ivf_probe_indexed(
+    spark: SparkSession, index_dir: str, sf_dir: str
+) -> DataFrame:
+    """Probe the persisted IVF index with partition pruning.
+
+    Query-side centroid ranking is computed exactly like the inline
+    similarity_ann_ivf; the candidate fetch then filters the index read on
+    ``centroid_id IN (probed)``, which Catalyst turns into partition-path
+    pruning (gated in tests — PartitionFilters on the scan, only probed
+    directories listed). Result set matches the inline query.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "qe",
+        "centroid_id",
+        F.round(cosine_arrow(F.col("qe"), F.col("ce")), 6).alias("c6"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "centroid_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    probed_ids = [
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+    ]
+    index = spark.read.parquet(index_dir).filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(index, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    scored = cand.join(F.broadcast(qe), "query_id").select(
+        "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+    )
