@@ -1703,3 +1703,44 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+HIST_BIN_WIDTH = 50.0
+
+
+@_register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution view
+    behind dashboards and drift monitors.
+
+    Binning is a pure projection (floor division), so the histogram is ONE
+    map-side-combined aggregation on (type, bin): shuffle volume is bounded
+    by |types| x |occupied bins| regardless of corpus size — the reason
+    fixed-width bins beat exact percentiles for continuous monitoring
+    (events_value_percentiles exists for the exact one-off).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / HIST_BIN_WIDTH).cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -86,3 +86,30 @@ def _profile_oracle() -> str:
 def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile the documents table's metadata columns in one scan."""
     return profile(load_table(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+_CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _customer_profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS "column",
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM customer
+        """
+        for c in _CUSTOMER_COLS
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+@_register("customer_profile", oracle=_customer_profile_oracle())
+def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile the customer dimension with the same generic one-scan
+    profiler as documents_profile — the point of ``profile(df, cols)`` is
+    that any table drops in with zero per-table code."""
+    return profile(load_table(spark, sf_dir, "customer"), _CUSTOMER_COLS)
