@@ -11,6 +11,10 @@ and adds true streaming equivalents for the event analytics:
 - ``user_running_stats``    custom stateful operator via
                             ``applyInPandasWithState`` — running per-user
                             totals across triggers with explicit GroupState
+- ``enrich_with_segment``   stream-static broadcast dimension join (static
+                            side re-resolved per micro-batch)
+- sinks: memory drain (``run_available_now``), durable checkpointed file
+  sink (``run_to_files``), foreachBatch MERGE (``run_upsert_sink``)
 
 Scale notes: all state is keyed (window x type, session x user, user), so it
 shards across executors; watermarks bound state size; ``availableNow``
