@@ -9,9 +9,11 @@ compilation, parquet reader class loading, Arrow/pandas-UDF worker spin-up —
 which are per-process, not per-dataset, and would otherwise be billed to
 whichever query ran first. The timed sf0.1 pass still pays full Catalyst
 planning, scan, shuffle, and collect for every query (fresh DataFrame,
-uncached data). Per-query time = best of 2 runs of build + execute +
-collect (damps local-mode scheduler jitter; tools/baseline_duckdb.py uses
-the identical best-of-2 rule so the comparison stays symmetric).
+uncached data). Per-query time = best of 3 runs of build + execute +
+collect (local-mode totals swing ~±20% run-to-run with page-cache/JIT/GC
+state; the min-of-3 statistic tightens that materially, and
+tools/baseline_duckdb.py uses the identical best-of-3 rule so the
+comparison stays symmetric).
 """
 
 from __future__ import annotations
@@ -91,7 +93,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _attempt in range(2):
+        for _attempt in range(3):
             t0 = time.time()
             df = registry[name](spark, sf_dir)  # fresh plan each attempt
             _ = df.collect()  # full materialization; results are small
