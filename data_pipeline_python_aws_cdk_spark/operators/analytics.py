@@ -1744,3 +1744,58 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+COOC_TOP = 20
+
+
+@_register(
+    "events_item_cooccurrence",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS users
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, users
+    FROM pairs
+    ORDER BY users DESC, item_a, item_b
+    LIMIT {COOC_TOP}
+    """,
+)
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-occurrence: the recsys data-prep join ("users who clicked X
+    also clicked Y"), top pairs by shared-user count.
+
+    Shape: dedupe to the distinct (user, item) incidence first — the
+    self-join then blows up per-user as activity^2, so the dedup is what
+    bounds the pair space (a user clicking one item 1000 times contributes
+    once, not 10^6 pairs). The join co-partitions on user_id (one shuffle
+    each side, and Spark reuses the single distinct's exchange for both),
+    pair counting is map-side combined, and the global top-N is
+    TakeOrderedAndProject. Skewed power-users are the known hot key at
+    100 TB — cap per-user activity upstream or salt, as
+    events_key_skew_profile measures.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("users"))
+    )
+    return pairs.orderBy(F.col("users").desc(), "item_a", "item_b").limit(COOC_TOP)
