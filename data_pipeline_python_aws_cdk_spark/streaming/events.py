@@ -523,3 +523,34 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     out = _drain(spark, enrich_with_segment(stream, customer), "complete")
     return out.orderBy("segment")
+
+
+@_register(
+    "streaming_hourly_final",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           e.event_type,
+           COUNT(*) AS events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e, wm
+    GROUP BY 1, 2, wm.w
+    HAVING date_trunc('hour', MIN(e.ts)) + INTERVAL 1 HOUR <= wm.w
+    ORDER BY 1, 2
+    """,
+)
+def streaming_hourly_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation: only FINALIZED windows are emitted.
+
+    The semantics none of the complete-mode twins exercise: a window row
+    appears exactly once, when the watermark (max event time - 2 h)
+    passes its end — the contract downstream consumers rely on for
+    exactly-once incremental loads. The oracle replays the same rule in
+    SQL: emit hourly windows whose end is at or before max(ts) - 2 h; the
+    last ~2 h of windows are open state, not results. State size stays
+    O(open windows x types) because emission deletes the row from the
+    store.
+    """
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    out = _drain(spark, hourly_event_counts(stream), "append")
+    return out.orderBy("window_start", "event_type")
