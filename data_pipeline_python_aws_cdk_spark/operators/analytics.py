@@ -1799,3 +1799,60 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("users"))
     )
     return pairs.orderBy(F.col("users").desc(), "item_a", "item_b").limit(COOC_TOP)
+
+
+PATHS_TOP = 15
+
+
+@_register(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           COUNT(*) AS occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY occurrences DESC, path
+    LIMIT {PATHS_TOP}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step event-type paths — funnel discovery over raw streams.
+
+    Each event pairs with its two successors via LEAD over the per-user
+    time order (ties broken by event_id for cross-engine determinism), so
+    path extraction is one per-user window pass — the shuffle carries
+    (user, type, ts) tuples once, and every 3-gram is materialized as a
+    skinny string. Counting is map-side combined; the global top-N plans
+    TakeOrderedAndProject. The same shape extends to k-step paths by
+    adding LEAD offsets, never extra shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            "user_id",
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy(F.col("occurrences").desc(), "path")
+        .limit(PATHS_TOP)
+    )
