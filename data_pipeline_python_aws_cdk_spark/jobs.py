@@ -136,13 +136,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "pack":
         import os
 
-        from .operators.text import corpus_pack_sequences, corpus_shard_manifest
+        from .operators.text import clean_survivor_packing, corpus_shard_manifest
 
-        # The packed assignment, partitioned by bucket: a trainer shard
-        # reads exactly one directory, already in token-stream order.
+        # The packed assignment of the CLEANED train split (quality filter
+        # -> exact dedup -> split -> pack), partitioned by bucket: a trainer
+        # shard reads exactly one directory, already in token-stream order.
+        # The manifest below aggregates the SAME packing — writing the raw
+        # whole-corpus packing here would leak val-split docs and exact
+        # duplicates into training shards and desynchronize every manifest
+        # count from the data on disk.
         assignment_dir = os.path.join(args.output, "assignment")
         (
-            corpus_pack_sequences(spark, args.sf_dir)
+            clean_survivor_packing(spark, args.sf_dir)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(assignment_dir)

@@ -304,7 +304,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     e = load_table(spark, sf_dir, "embeddings")
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # Broadcast only the query vectors; a full-table broadcast would ship
+    # the whole corpus for a join only query ids can survive.
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     scored = (
         cand.join(F.broadcast(qe), "query_id")
@@ -417,7 +421,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # Broadcast only the QUERY vectors (vec_id < N_QUERIES) — a full-table
+    # broadcast would ship the whole corpus for rows of which only the
+    # query ids can survive the join.
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     scored = (
         cand.join(F.broadcast(qe), "query_id")
@@ -635,20 +644,28 @@ def ivf_probe_indexed(
         .filter(F.col("rn") <= IVF_NPROBE)
         .select("query_id", "centroid_id")
     )
-    probed_ids = [
-        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
-    ]
+    # One driver-side materialization of the (query, centroid) probe table
+    # — bounded at N_QUERIES x NPROBE rows. The collected rows both drive
+    # the partition filter AND rebuild the broadcast side as a literal
+    # DataFrame, so the corpus-vs-centroid scoring lineage executes exactly
+    # once (joining `probes` directly would re-run the whole ranking scan
+    # inside the broadcast build).
+    probe_rows = probes.collect()
+    probed_ids = sorted({r.centroid_id for r in probe_rows})
+    probes_lit = spark.createDataFrame(probe_rows, probes.schema)
     index = spark.read.parquet(index_dir).filter(
         F.col("centroid_id").isin(probed_ids)
     )
     cand = (
-        F.broadcast(probes)
+        F.broadcast(probes_lit)
         .join(index, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    scored = cand.join(F.broadcast(qe), "query_id").select(
+    # Rerank joins only the QUERY vectors back in — broadcasting the full
+    # embeddings table would ship (and at 100 TB, OOM on) the whole corpus
+    # for rows of which only query_id < N_QUERIES can survive the join.
+    scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))

@@ -1027,19 +1027,14 @@ def _manifest_oracle() -> str:
     """
 
 
-@_register("corpus_shard_manifest", oracle=_manifest_oracle())
-def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end training-data export manifest: quality filter ->
-    exact dedup -> train split -> sequence packing -> per-bucket shard
-    stats (docs, sequences, tokens, boundary-straddling docs).
+def clean_survivor_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed sequence assignment of the CLEANED corpus: quality filter ->
+    exact dedup -> train split -> _pack_offsets over the survivors.
 
-    This is the composition a real pipeline ships: the number a capacity
-    plan needs (sequences per shard) and the number a loader needs
-    (straddle rate) computed in one job. Scale shape: the quality gate and
-    token counters fuse into the scan; the dedup window shuffles a skinny
-    (fp60, doc_id, counts) tuple; packing shuffles two integers per
-    surviving doc; the manifest is a PACK_BUCKETS-row aggregate. Document
-    bodies never move.
+    This is the packing the export job materializes; corpus_shard_manifest
+    is its per-bucket aggregate — both must describe the SAME packing, so
+    they share this builder (jobs pack writes this assignment and derives
+    the manifest from the same survivor set).
     """
     d = load_table(spark, sf_dir, "documents")
     chars = F.length("text")
@@ -1074,7 +1069,25 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "doc_tokens")
     )
-    packed = _pack_offsets(surv)
+    return _pack_offsets(surv)
+
+
+@_register("corpus_shard_manifest", oracle=_manifest_oracle())
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data export manifest: quality filter ->
+    exact dedup -> train split -> sequence packing -> per-bucket shard
+    stats (docs, sequences, tokens, boundary-straddling docs).
+
+    This is the composition a real pipeline ships: the number a capacity
+    plan needs (sequences per shard) and the number a loader needs
+    (straddle rate) computed in one job. Scale shape: the quality gate and
+    token counters fuse into the scan; the dedup window shuffles a skinny
+    (fp60, doc_id, counts) tuple; packing shuffles two integers per
+    surviving doc; the manifest is a PACK_BUCKETS-row aggregate. Document
+    bodies never move. The per-doc assignment behind these stats is
+    clean_survivor_packing — the export job writes that exact packing.
+    """
+    packed = clean_survivor_packing(spark, sf_dir)
     return (
         packed.groupBy("bucket")
         .agg(

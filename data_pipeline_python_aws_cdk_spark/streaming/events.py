@@ -51,10 +51,11 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
     The driver testdata has stored ts two ways across rounds: parquet
     TIMESTAMP(NANOS) (surfaced as epoch-nanos int64 under
-    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
-    isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ). Detect the layout
-    from the batch footer and normalize to session-zoned TIMESTAMP exactly
-    like tables.load_table.
+    spark.sql.legacy.parquet.nanosAsLong, converted below) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (which ensure_session_confs'
+    NTZ-inference-off conf surfaces as session-zoned TIMESTAMP at the scan
+    — no branch needed). Detect the layout from the batch footer and
+    normalize exactly like tables.load_table.
     """
     from data_pipeline_python_aws_cdk_spark.tables import ensure_session_confs
 
@@ -69,16 +70,6 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         )
         stream = spark.readStream.schema(raw_schema).parquet(events_dir)
         return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if batch_dtypes.get("ts") == "timestamp_ntz":
-        raw_schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
-                for f in EVENT_SCHEMA.fields
-            ]
-        )
-        stream = spark.readStream.schema(raw_schema).parquet(events_dir)
-        # Session TZ is pinned UTC, so the cast preserves the wall clock.
-        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
 
 

@@ -111,21 +111,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # events.ts as parquet TIMESTAMP(NANOS); with
-            # spark.sql.legacy.parquet.nanosAsLong it surfaces as epoch-nanos.
-            # Truncate to micros — the same truncation DuckDB applies — so
-            # both engines see identical timestamps.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # events.ts as parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
-            # surfaces as TIMESTAMP_NTZ. The session timezone is pinned UTC
-            # above, so casting to the session-zoned TIMESTAMP preserves the
-            # wall clock exactly while restoring the type every downstream
-            # operator (unix_micros, window(), watermarks) expects.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts as parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it surfaces as epoch-nanos.
+        # Truncate to micros — the same truncation DuckDB applies — so both
+        # engines see identical timestamps. (The round-2 TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) layout needs no branch here: with NTZ
+        # inference disabled in ensure_session_confs it surfaces as
+        # session-zoned TIMESTAMP directly at the scan.)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     _CACHE[key] = df
     return df
 

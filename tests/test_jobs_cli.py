@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pyspark.sql.functions as F
+
 from data_pipeline_python_aws_cdk_spark import jobs
 from tests.fixtures_users import USERS_FIXTURE
 
@@ -229,7 +231,18 @@ def test_cli_pack_writes_bucketed_assignment_and_manifest(spark, tmp_path, capsy
     assert buckets
     manifest = _json.loads(open(status["manifest"]).read())
     assert len(manifest) == status["buckets"]
-    # assignment must round-trip through the partitioned layout
+    # assignment must round-trip through the partitioned layout AND agree
+    # exactly with the manifest: same packing, bucket by bucket (a raw-
+    # corpus assignment paired with a cleaned-survivor manifest would leak
+    # val docs into training shards with counts that match nothing).
     back = spark.read.parquet(str(tmp_path / "packed" / "assignment"))
-    assert back.count() > 0
     assert set(["doc_id", "seq_id", "tok_start", "doc_tokens", "straddles", "bucket"]) <= set(back.columns)
+    # partition columns read back as strings (type inference deliberately
+    # off in the engine session) — cast for the comparison
+    per_bucket = {
+        r.bucket: (r.docs, r.tokens)
+        for r in back.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.count("*").alias("docs"), F.sum("doc_tokens").alias("tokens"))
+        .collect()
+    }
+    assert per_bucket == {m["bucket"]: (m["docs"], m["tokens"]) for m in manifest}

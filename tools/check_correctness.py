@@ -11,6 +11,7 @@ Usage: python tools/check_correctness.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -35,7 +36,12 @@ def vanilla_spark():
     return (
         SparkSession.builder.appName("check-correctness-vanilla")
         .master("local[*]")
-        .config("spark.sql.shuffle.partitions", "32")
+        # SPARK_GRAFT_SHUFFLE lets the adversarial-parallelism gate vary
+        # the partition count (e.g. =7); results must not change with it.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )

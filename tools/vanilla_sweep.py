@@ -33,7 +33,10 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "16"),
+        )
         .appName("vanilla-sweep")
         .getOrCreate()
     )
