@@ -36,3 +36,21 @@ def bpe_ish_tokens(col: Column | str) -> Column:
 
 def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(bpe_ish_tokens(col))
+
+
+def lower_ws_tokens(col: Column | str = "text") -> Column:
+    """Lowercased whitespace tokens of trimmed text — THE tokenization
+    contract shared with every DuckDB oracle
+    (``regexp_split_to_array(lower(trim(text)), '\\s+')``). All operator
+    sites must use this helper: the contract is replayed in SQL, so a
+    change applied to one inline copy would silently diverge the others.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), WS_PATTERN)
+
+
+# Adjacent-pair (2-gram) expansion over a token array column named `toks`:
+# Spark transform/sequence twin of the oracles' generate_series loop.
+BIGRAM_EXPR = (
+    "transform(sequence(1, size(toks)-1), i -> concat_ws(' ', toks[i-1], toks[i]))"
+)

@@ -172,7 +172,16 @@ def upsert(
         for vals in parts:
             clause = F.lit(True)
             for c, v in zip(partition_cols, vals):
-                clause = clause & (F.col(c) == F.lit(v))
+                if v is None or v == "":
+                    # Hive's path layout renders NULL and '' to the same
+                    # __HIVE_DEFAULT_PARTITION__ directory (and reading it
+                    # back yields NULL), so the prune must treat them as one
+                    # partition — a plain equality is never true for NULL
+                    # and would silently exclude the base rows whose
+                    # directory the swap below then replaces (data loss).
+                    clause = clause & (F.col(c).isNull() | (F.col(c) == ""))
+                else:
+                    clause = clause & F.col(c).eqNullSafe(F.lit(v))
             pred = clause if pred is None else (pred | clause)
         affected_base = base.filter(pred) if pred is not None else base.limit(0)
     else:
@@ -212,11 +221,16 @@ def upsert(
                 _os.path.relpath(leaf, tmp)
                 for leaf in _leaf_partitions(tmp)
             ]
-            if len(rels) != len(parts):
+            # The written directories are authoritative; distinct Python
+            # tuples can legitimately collapse into fewer directories (NULL
+            # and '' both render __HIVE_DEFAULT_PARTITION__), so an exact
+            # count match would abort valid merges. The dangerous state is
+            # updates that produced NO directories at all.
+            if parts and not rels:
                 raise RuntimeError(
-                    f"upsert wrote {len(rels)} partition directories but the "
-                    f"update set spans {len(parts)} partitions; refusing to "
-                    f"swap (written: {sorted(rels)!r})"
+                    "upsert wrote no partition directories for a non-empty "
+                    f"update set spanning {len(parts)} partitions; refusing "
+                    "to swap"
                 )
             for rel in rels:
                 src, dst = _os.path.join(tmp, rel), _os.path.join(path, rel)

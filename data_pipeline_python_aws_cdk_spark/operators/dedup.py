@@ -35,6 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.hashing import hash60, hash60_sql
+from ..functions.textfns import BIGRAM_EXPR, lower_ws_tokens
 from ..tables import load_table
 
 QUERIES = {}
@@ -101,15 +102,12 @@ def _shingles(d: DataFrame, distinct: bool = True) -> DataFrame:
     are filtered (DuckDB's generate_series is empty there; Spark's sequence
     would count *down* and fabricate shingles).
     """
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = lower_ws_tokens("text")
     t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
     shm = t.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks)-1),"
-                " i -> concat_ws(' ', toks[i-1], toks[i]))"
-            )
+            F.expr(BIGRAM_EXPR)
         ).alias("s"),
     )
     return shm.distinct() if distinct else shm
@@ -769,7 +767,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_train = (
         hash60(F.col("doc_id").cast("string"), salt="split") % 100 < DECON_TRAIN_PCT
     )
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = lower_ws_tokens("text")
     t = d.select("doc_id", is_train.alias("is_train"), toks.alias("toks")).filter(
         F.size("toks") >= DECON_NGRAM
     )

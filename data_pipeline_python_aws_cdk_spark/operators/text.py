@@ -19,7 +19,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import hash60, hash60_sql
-from ..functions.textfns import BPE_ISH_PATTERN, bpe_ish_token_count, ws_token_count
+from ..functions.textfns import (
+    BIGRAM_EXPR,
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    lower_ws_tokens,
+    ws_token_count,
+)
 from ..tables import load_table
 
 QUERIES = {}
@@ -298,7 +304,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CAST(conv(substring(md5(toks[i + j - 1]), 1, 15), 16, 10) AS BIGINT)"
         f" % {ROLL_M})"
     )
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = lower_ws_tokens("text")
     t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= ROLL_W)
     windows = t.select(
         "doc_id",
@@ -365,7 +371,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+        F.explode(lower_ws_tokens("text")).alias("term"),
     ).filter(F.col("term") != "")
     tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
     dl = Window.partitionBy("doc_id")
@@ -470,15 +476,12 @@ def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort). Deterministic total order: doc_freq, occurrences, bigram.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = lower_ws_tokens("text")
     t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
     shm = t.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks)-1),"
-                " i -> concat_ws(' ', toks[i-1], toks[i]))"
-            )
+            F.expr(BIGRAM_EXPR)
         ).alias("bigram"),
     )
     return (
@@ -603,7 +606,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     only). Word and bigram pipelines join on doc_id at per-doc cardinality.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = lower_ws_tokens("text")
     t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
     words = t.select(
         "doc_id", F.size("toks").alias("n_words"), F.explode("toks").alias("word")
@@ -620,10 +623,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = t.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks)-1),"
-                " i -> concat_ws(' ', toks[i-1], toks[i]))"
-            )
+            F.expr(BIGRAM_EXPR)
         ).alias("bigram"),
     )
     bstat = (
@@ -842,7 +842,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("word"),
+        F.explode(lower_ws_tokens("text")).alias("word"),
     )
     vocab = (
         words.groupBy("word")

@@ -212,4 +212,30 @@ class QueryExecutor:
                     self._statuses.pop(sub.name, None)
                     self._futures.pop(sub.name, None)
                 removed += 1
+        # Terminal queries that never produced a result directory (FAILED
+        # before the write, CANCELLED) have no on-disk artifact for the
+        # sweep above to key on — purge them here or a long-lived executor
+        # fed failing SQL grows its dicts without bound.
+        with self._lock:
+            dead = [
+                qid
+                for qid, st in self._statuses.items()
+                if st.state in ("FAILED", "CANCELLED")
+                and not (self.results_root / qid).exists()
+            ]
+            for qid in dead:
+                self._statuses.pop(qid, None)
+                self._futures.pop(qid, None)
         return removed
+
+    def close(self, wait: bool = True) -> None:
+        """Shut the worker pool down; idempotent. Long-lived services should
+        call this (or use the executor as a context manager) so non-daemon
+        pool threads don't pin interpreter exit."""
+        self._pool.shutdown(wait=wait)
+
+    def __enter__(self) -> "QueryExecutor":
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        self.close()

@@ -214,6 +214,7 @@ def run_upsert_sink(
     checkpoint_dir: str,
     key_cols: list[str],
     version_col: str,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Incremental materialization: drain the stream through ``foreachBatch``
     into a keyed warehouse table with MERGE semantics (last writer wins by
@@ -225,28 +226,50 @@ def run_upsert_sink(
     makes delivery effectively-once end-to-end: a replayed batch re-merges
     the same keys at the same versions, which is idempotent by construction
     — the exactly-once-sink recipe for engines without transactional
-    streaming tables. State scales with keys-per-batch, not table size: the
-    merge rewrite is partition-pruned to the partitions the batch touches.
+    streaming tables. Pass ``partition_cols`` so each merge rewrites only
+    the partitions the batch touches (without them every batch is a
+    full-table rewrite — fine for small materializations, wrong at scale).
     """
-    import os
+    from pyspark.sql import Window as W
 
     from ..maintenance import upsert
+
+    def _table_exists(spark: SparkSession) -> bool:
+        # Scheme-agnostic existence probe: os.path only understands bare
+        # local paths, which would make every file:///s3a:// table look
+        # absent and turn each micro-batch into a destructive overwrite.
+        try:
+            spark.read.parquet(table_path).schema
+            return True
+        except Exception:  # noqa: BLE001 — missing/empty path in any scheme
+            return False
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
             spark = batch_df.sparkSession
-            if os.path.isdir(table_path) and any(
-                not f.startswith((".", "_")) for f in os.listdir(table_path)
-            ):
+            if _table_exists(spark):
                 upsert(
                     spark,
                     table_path,
                     batch_df,
                     key_cols=key_cols,
                     version_col=version_col,
+                    partition_cols=partition_cols,
                 )
             else:
-                batch_df.write.mode("overwrite").parquet(table_path)
+                # Bootstrap write must apply the same last-writer-wins
+                # reduction as the merge path: a cold start over a backlog
+                # delivers several versions of one key in a single batch.
+                w = W.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+                winners = (
+                    batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                writer = winners.write.mode("overwrite")
+                if partition_cols:
+                    writer = writer.partitionBy(*partition_cols)
+                writer.parquet(table_path)
 
     q = (
         stream.writeStream.foreachBatch(_merge)

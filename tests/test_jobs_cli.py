@@ -246,3 +246,33 @@ def test_cli_pack_writes_bucketed_assignment_and_manifest(spark, tmp_path, capsy
         .collect()
     }
     assert per_bucket == {m["bucket"]: (m["docs"], m["tokens"]) for m in manifest}
+
+
+def test_upsert_null_partition_preserves_base_rows(spark, tmp_path):
+    """Updates touching the NULL partition must MERGE with the base rows in
+    day=__HIVE_DEFAULT_PARTITION__, not replace them: a null-unsafe prune
+    predicate excludes the base side and the directory swap then deletes
+    every pre-existing key in that partition."""
+    from data_pipeline_python_aws_cdk_spark.maintenance import upsert
+
+    path = str(tmp_path / "tbl")
+    schema = "k long, version long, v string, day string"
+    spark.createDataFrame(
+        [(1, 1, "keep-me", None), (2, 1, "old", None), (3, 1, "other-day", "d1")],
+        schema,
+    ).write.partitionBy("day").parquet(path)
+
+    updates = spark.createDataFrame([(2, 2, "new", None)], schema)
+    upsert(
+        spark,
+        path,
+        updates,
+        key_cols=["k"],
+        version_col="version",
+        partition_cols=["day"],
+    )
+
+    rows = {r.k: r for r in spark.read.parquet(path).collect()}
+    assert set(rows) == {1, 2, 3}, "base row in the null partition was lost"
+    assert rows[2].version == 2 and rows[2].v == "new"
+    assert rows[1].v == "keep-me" and rows[3].v == "other-day"

@@ -354,15 +354,39 @@ def test_q7_q8_q9_broadcast_all_dims_single_fact_shuffle(spark):
         assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, q.__name__
 
 
-def test_q13_outer_join_keeps_condition_in_join(spark):
+def test_q13_outer_join_keeps_condition_in_join(spark, tmp_path):
     """Q13's priority predicate must stay in the LEFT JOIN condition —
-    pushing it to a WHERE would silently drop zero-order customers."""
+    pushing it to a WHERE (or degrading to an inner join) silently drops
+    zero-order customers. The smoke data has no such customers, so build
+    the case the join must preserve: one customer with only URGENT orders
+    and one with no orders at all must both land in the c_count=0 bucket.
+    """
     from data_pipeline_python_aws_cdk_spark.operators import tpch
 
     df = tpch.q13_customer_distribution(spark, SF_SMOKE)
-    # zero-order bucket must exist at smoke scale after the non-urgent filter
-    assert df.filter(F.col("c_count") == 0).count() >= 0  # executes the outer join
     assert "LeftOuter" in _optimized(df)
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a", 0, 0.0, "BUILDING"), (2, "b", 0, 0.0, "BUILDING"),
+         (3, "c", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 1.0, "1995-01-01 00:00:00", "3-MEDIUM"),
+         (11, 1, "O", 1.0, "1995-01-02 00:00:00", "3-MEDIUM"),
+         (12, 2, "O", 1.0, "1995-01-03 00:00:00", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ).write.parquet(f"{sf}/orders.parquet")
+    out = {r.c_count: r.custdist for r in tpch.q13_customer_distribution(spark, sf).collect()}
+    # customer 1: two medium orders; customers 2 (urgent-only) and 3
+    # (orderless) must survive into the zero bucket
+    assert out == {2: 1, 0: 2}
 
 
 def test_q17_decorrelates_to_broadcast_joins(spark):
@@ -395,6 +419,10 @@ def test_q19_part_side_prefilter_reaches_scan(spark):
     from data_pipeline_python_aws_cdk_spark.operators import tpch
 
     plan = _plan(tpch.q19_disjunctive_revenue(spark, SF_SMOKE))
-    scan_part = plan.split("PushedFilters")[1].splitlines()[0] if "p_brand" in plan else ""
-    assert "In(p_brand" in plan
+    # the brand filter must appear in a PushedFilters clause of a FileScan
+    # (i.e. reach the parquet reader), not merely as a post-scan Filter node
+    import re
+
+    m = re.search(r"PushedFilters: \[[^\]]*In\(p_brand", plan)
+    assert m is not None, "p_brand IN filter did not reach the part scan"
     assert "BroadcastHashJoin" in plan

@@ -277,3 +277,28 @@ def test_foreachbatch_upsert_sink_revises_rows(spark, tmp_path):
     run()
     again = {r.user_id: (r.version, r.score) for r in spark.read.parquet(table).collect()}
     assert again == {u: (r.version, r.score) for u, r in rows.items()}
+
+
+def test_upsert_sink_bootstrap_dedups_backlog(spark, tmp_path):
+    """Cold start over a backlog: both files are present BEFORE the first
+    run, so one micro-batch delivers two versions of the same key — the
+    bootstrap write must apply the same last-writer-wins reduction as the
+    merge path, not persist both rows."""
+    from data_pipeline_python_aws_cdk_spark.streaming.events import run_upsert_sink
+
+    src = tmp_path / "src"
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, version long, score double"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 1, 0.1), (2, 1, 0.2), (2, 2, 9.9)], schema
+    ).coalesce(1).write.parquet(str(src / "backlog"))
+
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    run_upsert_sink(stream, table, ckpt, key_cols=["user_id"], version_col="version")
+
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 2  # one survivor per key, no duplicate user_id=2
+    by_key = {r.user_id: r for r in rows}
+    assert by_key[2].version == 2 and by_key[2].score == 9.9

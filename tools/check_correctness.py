@@ -17,6 +17,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# The differential gate compares Spark against md5-based oracles, so the
+# hash family MUST be the oracle mode regardless of what the invoking shell
+# exports (bench shells run production/xxhash64, which has no oracle twin by
+# design — inheriting it here would spray spurious mismatches across the
+# whole dedup/sampling/split tier).
+os.environ["SPARK_GRAFT_HASH_MODE"] = "oracle"
+
 import duckdb
 
 import __spark_entry__ as entrymod
