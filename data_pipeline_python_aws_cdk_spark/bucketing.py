@@ -56,7 +56,6 @@ def bucketize_facts(
     names = []
     for table, key, name in specs:
         df = load_table(spark, sf_dir, table)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             df.repartition(n_buckets, F.col(key))
             .write.bucketBy(n_buckets, key)

@@ -40,21 +40,54 @@ def crawl(
     upsert semantics) and re-discovers partitions."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     qualified = f"{database}.{table}"
-    existing = [t.name for t in spark.catalog.listTables(database)]
-    if table in existing:
-        old = spark.table(qualified).schema
-        reader = spark.read.format(fmt)
-        if fmt == "csv":
-            reader = reader.option("header", True).option("inferSchema", True)
-        new = reader.load(path).schema
-        diff_schemas(old, new)  # logged; additive drift handled by re-create
-        spark.sql(f"DROP TABLE {qualified}")
-    opts = "OPTIONS (header 'true', inferSchema 'true')" if fmt == "csv" else ""
-    spark.sql(
-        f"CREATE TABLE {qualified} USING {fmt} {opts} LOCATION '{path}'"
-    )
-    spark.catalog.recoverPartitions(qualified)
-    return qualified
+    if "'" in path:
+        # LOCATION is a quoted SQL string literal; refuse rather than build
+        # a broken (or injectable) statement — especially since a failed
+        # re-create after DROP would lose the existing registration.
+        raise ValueError(f"dataset path must not contain a single quote: {path!r}")
+    # listTables also returns session TEMP VIEWS (empty namespace); matching
+    # on bare names would both false-positive here and crash the qualified
+    # spark.table() lookup below, so consult the persistent catalog only.
+    # deleteBehavior=LOG: a column removed from NEW files must stay
+    # queryable as long as old files still carry it. Parquet inference
+    # normally reads one footer; merging all footers keeps the union
+    # schema — the same retention a Glue crawler provides — both for the
+    # drift comparison and for the schema CREATE TABLE stores.
+    prev_merge = spark.conf.get("spark.sql.parquet.mergeSchema", "false")
+    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
+    try:
+        if spark.catalog.tableExists(qualified):
+            old = spark.table(qualified).schema
+            reader = spark.read.format(fmt)
+            if fmt == "csv":
+                reader = reader.option("header", True).option("inferSchema", True)
+            new = reader.load(path).schema
+            drift = diff_schemas(old, new)
+            if not (drift["added"] or drift["removed"] or drift["changed"]):
+                # Zero drift: re-registering would only destroy ANALYZE
+                # statistics and partition metadata for nothing.
+                _recover_partitions(spark, qualified)
+                return qualified
+            spark.sql(f"DROP TABLE {qualified}")
+        opts = "OPTIONS (header 'true', inferSchema 'true')" if fmt == "csv" else ""
+        spark.sql(
+            f"CREATE TABLE {qualified} USING {fmt} {opts} LOCATION '{path}'"
+        )
+        _recover_partitions(spark, qualified)
+        return qualified
+    finally:
+        spark.conf.set("spark.sql.parquet.mergeSchema", prev_merge)
+
+
+def _recover_partitions(spark: SparkSession, qualified: str) -> None:
+    """MSCK for partitioned layouts; a non-partitioned dataset is a valid
+    crawl target and simply has no partitions to recover."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.catalog.recoverPartitions(qualified)
+    except AnalysisException:
+        pass
 
 
 def introspect(spark: SparkSession, database: str = DEFAULT_DB) -> dict[str, list[str]]:
@@ -62,6 +95,12 @@ def introspect(spark: SparkSession, database: str = DEFAULT_DB) -> dict[str, lis
     test_pipeline.py:85-103,389-391)."""
     out: dict[str, list[str]] = {}
     for t in spark.catalog.listTables(database):
+        if t.tableType == "TEMPORARY":
+            # listTables(db) also returns session temp views, whose
+            # db-qualified name does NOT resolve in listColumns (verified:
+            # TABLE_OR_VIEW_NOT_FOUND) — introspection covers the
+            # persistent catalog.
+            continue
         out[t.name] = [c.name for c in spark.catalog.listColumns(f"{database}.{t.name}")]
     return out
 

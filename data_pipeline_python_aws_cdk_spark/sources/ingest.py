@@ -34,9 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from .objectstore import configure_s3a, is_object_store_path
 from .rest import fetch_users, flatten_users, records_to_df
 
-ISO_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-
-
 def enrich(df: DataFrame, now: datetime | None = None) -> DataFrame:
     """Add extraction_timestamp (ISO string) + zero-padded partition columns
     (reference data_extractor.py:56,69-70)."""

@@ -70,11 +70,12 @@ def s3a_hadoop_confs(
     on-prem gateways); leave unset for AWS.
     """
     confs = {
-        # Credential chain (env -> profile -> instance role); never keys in
-        # config. This is the only sanctioned credential source.
-        "fs.s3a.aws.credentials.provider": (
-            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
-        ),
+        # Credential source: S3A's DEFAULT provider chain (env -> profile ->
+        # instance role) — deliberately NOT pinned by class name, because the
+        # v1 SDK class (com.amazonaws.auth.DefaultAWSCredentialsProviderChain)
+        # breaks on Hadoop 3.4+/SDK v2 while omitting the key yields the
+        # same chain on every Hadoop line. Never keys in config.
+        #
         # Upload buffering on disk: bounded executor memory no matter how
         # wide the write is; multipart chunks sized so a 128 MiB part-file
         # is 1-2 parts.

@@ -174,9 +174,29 @@ def distributed_fetch(
     raw = distributed_fetch_raw(
         spark, endpoints, fetch=fetch, strict=(on_error == "fail")
     )
+    # A body that fetched fine but is NOT a JSON array of users parses to
+    # NULL (PERMISSIVE mode) and explode(NULL) drops the endpoint — the
+    # silent-partial outcome on_error='fail' promises to prevent. Surface
+    # parse failures into the error channel before the explode.
+    parsed = raw.withColumn(
+        "__parsed", F.from_json("body", T.ArrayType(users_schema()))
+    ).withColumn(
+        "error",
+        F.coalesce(
+            F.col("error"),
+            F.when(
+                F.col("body").isNotNull() & F.col("__parsed").isNull(),
+                F.lit("ParseError: body is not a JSON array of user records"),
+            ),
+        ),
+    )
+    if on_error == "fail":
+        bad = [r.url for r in parsed.filter(F.col("error").isNotNull()).select("url").collect()]
+        if bad:
+            raise RuntimeError(f"unparseable response body from endpoints: {bad}")
     users = (
-        raw.filter(F.col("error").isNull())
-        .select(F.explode(F.from_json("body", T.ArrayType(users_schema()))).alias("u"))
+        parsed.filter(F.col("error").isNull())
+        .select(F.explode("__parsed").alias("u"))
         .select("u.*")
     )
     return users
@@ -199,7 +219,9 @@ try:  # pyspark >= 4.0
 
     class HttpJsonReader(DataSourceReader):
         def __init__(self, options: dict):
-            self._urls = [u for u in options.get("urls", "").split(",") if u]
+            # Newline-separated: commas are legal inside URLs (query
+            # strings), newlines are not — the writer side joins with "\n".
+            self._urls = [u for u in options.get("urls", "").splitlines() if u]
             self._timeout = float(options.get("timeout", FETCH_TIMEOUT_SECONDS))
 
         def partitions(self):
@@ -251,5 +273,5 @@ def read_http_json(spark: SparkSession, urls: list[str]) -> DataFrame:
     """Read one or more JSON endpoints through the registered source."""
     register_http_source(spark)
     return (
-        spark.read.format("http_json").option("urls", ",".join(urls)).load()
+        spark.read.format("http_json").option("urls", "\n".join(urls)).load()
     )

@@ -327,3 +327,28 @@ def test_http_json_datasource_partitions_and_flatten(spark, tmp_path):
     src = {u["id"]: u for u in USERS_FIXTURE}
     some = next(iter(src))
     assert by_id[some].address_city == src[some]["address"]["city"]
+
+
+def test_catalog_survives_session_temp_views(spark, tmp_path):
+    """listTables(db) also returns session TEMP views, whose db-qualified
+    names do not resolve — introspect must skip them and crawl must not
+    mistake one for the persistent table (both crashed before)."""
+    from data_pipeline_python_aws_cdk_spark import catalog
+
+    lake = str(tmp_path / "lake")
+    spark.range(5).selectExpr("id", "cast(id as string) as v").write.parquet(lake)
+    spark.range(1).createOrReplaceTempView("tv_smoke_probe")
+    try:
+        qualified = catalog.crawl(
+            spark, lake, database="tvdb", table="tv_smoke_probe"
+        )  # same name as the temp view: must still register the real table
+        assert spark.table(qualified).count() == 5
+        cols = catalog.introspect(spark, "tvdb")
+        assert cols["tv_smoke_probe"] == ["id", "v"]
+        # re-crawl with zero drift is a no-op (stats preserved), not a
+        # drop/recreate
+        assert catalog.crawl(spark, lake, database="tvdb", table="tv_smoke_probe") == qualified
+    finally:
+        spark.catalog.dropTempView("tv_smoke_probe")
+        spark.sql("DROP TABLE IF EXISTS tvdb.tv_smoke_probe")
+        spark.sql("DROP DATABASE IF EXISTS tvdb")
