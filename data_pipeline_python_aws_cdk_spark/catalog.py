@@ -63,9 +63,14 @@ def crawl(
                 reader = reader.option("header", True).option("inferSchema", True)
             new = reader.load(path).schema
             drift = diff_schemas(old, new)
-            if not (drift["added"] or drift["removed"] or drift["changed"]):
-                # Zero drift: re-registering would only destroy ANALYZE
-                # statistics and partition metadata for nothing.
+            same_location = _table_location(spark, qualified) == _norm_path(path)
+            if same_location and not (
+                drift["added"] or drift["removed"] or drift["changed"]
+            ):
+                # Zero drift over the SAME location: re-registering would
+                # only destroy ANALYZE statistics and partition metadata.
+                # A crawl that re-points the table at a different path must
+                # always re-create, identical schema or not.
                 _recover_partitions(spark, qualified)
                 return qualified
             spark.sql(f"DROP TABLE {qualified}")
@@ -77,6 +82,22 @@ def crawl(
         return qualified
     finally:
         spark.conf.set("spark.sql.parquet.mergeSchema", prev_merge)
+
+
+def _norm_path(p: str) -> str:
+    """Scheme-insensitive path normalization ('file:/x', 'file:///x', '/x'
+    compare equal; trailing slashes ignored)."""
+    for prefix in ("file:///", "file://", "file:"):
+        if p.startswith(prefix):
+            p = "/" + p[len(prefix):].lstrip("/")
+            break
+    return p.rstrip("/")
+
+
+def _table_location(spark: SparkSession, qualified: str) -> str | None:
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect()
+    loc = next((r.data_type for r in rows if r.col_name == "Location"), None)
+    return _norm_path(loc) if loc else None
 
 
 def _recover_partitions(spark: SparkSession, qualified: str) -> None:

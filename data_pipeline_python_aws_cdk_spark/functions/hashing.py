@@ -55,6 +55,8 @@ def hash60(col: Column | str, salt: str | None = None, mode: str | None = None) 
     Both families stay in whole-stage codegen: md5 + substring + conv +
     cast (oracle) or a single xxhash64 + bitmask (production).
     """
+    if mode is not None and mode not in _MODES:
+        raise ValueError(f"mode={mode!r}; expected one of {_MODES}")
     c = F.col(col) if isinstance(col, str) else col
     if salt is not None:
         c = F.concat(F.lit(salt + ":"), c)

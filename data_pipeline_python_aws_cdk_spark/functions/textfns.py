@@ -50,7 +50,15 @@ def lower_ws_tokens(col: Column | str = "text") -> Column:
 
 
 # Adjacent-pair (2-gram) expansion over a token array column named `toks`:
-# Spark transform/sequence twin of the oracles' generate_series loop.
+# Spark transform/sequence twin of the oracles' generate_series loop. The
+# size guard is load-bearing: Spark's sequence(1, 0) counts DOWN (and with
+# an explicit positive step raises ILLEGAL_SEQUENCE_BOUNDARIES), so a
+# single-token document would fabricate bigrams or crash under ANSI mode,
+# while DuckDB's generate_series(1, 0) is simply empty. Any parameterized
+# n-gram variant of this expression needs the same WHEN size(toks) >= n
+# guard.
 BIGRAM_EXPR = (
-    "transform(sequence(1, size(toks)-1), i -> concat_ws(' ', toks[i-1], toks[i]))"
+    "CASE WHEN size(toks) >= 2 THEN"
+    " transform(sequence(1, size(toks)-1), i -> concat_ws(' ', toks[i-1], toks[i]))"
+    " ELSE array() END"
 )

@@ -48,7 +48,12 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm2(a) * norm2(b))
+    # Zero-norm guard: under the vanilla session's default ANSI mode a
+    # plain division would raise DIVIDE_BY_ZERO on a degenerate (all-zero)
+    # vector; emit NaN instead — the same value the Arrow twin's numpy
+    # division produces, keeping the two implementations' contract aligned.
+    den = norm2(a) * norm2(b)
+    return F.when(den == 0, F.lit(float("nan"))).otherwise(dot(a, b) / den)
 
 
 # Return type is a DataType instance, not a DDL string: string types are

@@ -113,10 +113,15 @@ def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             [], [], [], [], [], []
         )
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            doc_ids.append(doc_id)
+            if payload is None:
+                # NULL payload -> NULL features, same as the fake twin
+                for col in (byte_lens, widths, heights, n_frames_col, channel_sums):
+                    col.append(None)
+                continue
             raw = bytes(payload)
             img = PILImage.open(io.BytesIO(raw))
             arr = np.asarray(img.convert("RGB"), dtype=np.uint64)
-            doc_ids.append(doc_id)
             byte_lens.append(len(raw))
             widths.append(img.width)
             heights.append(img.height)
@@ -125,11 +130,11 @@ def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "byte_len": pd.Series(byte_lens, dtype="int32"),
-                "width": pd.Series(widths, dtype="int32"),
-                "height": pd.Series(heights, dtype="int32"),
-                "n_frames": pd.Series(n_frames_col, dtype="int32"),
-                "channel_sum": pd.Series(channel_sums, dtype="int64"),
+                "byte_len": pd.Series(byte_lens, dtype="Int32"),
+                "width": pd.Series(widths, dtype="Int32"),
+                "height": pd.Series(heights, dtype="Int32"),
+                "n_frames": pd.Series(n_frames_col, dtype="Int32"),
+                "channel_sum": pd.Series(channel_sums, dtype="Int64"),
             }
         )
 
@@ -170,15 +175,26 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     and schema plumbing is verifiable without any media library.
     """
     for pdf in batches:
-        texts = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
+        raws = pdf["payload"].map(lambda b: None if b is None else bytes(b))
+        texts = raws.map(lambda b: None if b is None else b.decode("utf-8"))
+
+        def h(salt: str, mod: int, off: int = 0):
+            return texts.map(
+                lambda t: None if t is None else hash60_py(t, salt) % mod + off
+            )
+
+        # byte_len is the BYTE count (len of the raw payload) — the oracle
+        # computes octet_length(encode(text)), and the real PIL twin len(raw);
+        # a character count diverges on any non-ASCII text. NULL payloads
+        # propagate as NULL-valued rows, matching the oracle's md5(NULL).
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": texts.str.len().astype("int32"),
-                "width": texts.map(lambda t: hash60_py(t, "w") % 1920 + 1).astype("int32"),
-                "height": texts.map(lambda t: hash60_py(t, "h") % 1080 + 1).astype("int32"),
-                "n_frames": texts.map(lambda t: hash60_py(t, "f") % 240 + 1).astype("int32"),
-                "channel_sum": texts.map(lambda t: hash60_py(t, "c") % 1_000_000),
+                "byte_len": raws.map(lambda b: None if b is None else len(b)).astype("Int32"),
+                "width": h("w", 1920, 1).astype("Int32"),
+                "height": h("h", 1080, 1).astype("Int32"),
+                "n_frames": h("f", 240, 1).astype("Int32"),
+                "channel_sum": h("c", 1_000_000).astype("Int64"),
             }
         )
 
@@ -206,10 +222,13 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_W = hash60_sql("'w:' || text")
-_H = hash60_sql("'h:' || text")
-_F = hash60_sql("'f:' || text")
-_C = hash60_sql("'c:' || text")
+# Salted via the helper's own parameter so the "salt:" joining convention
+# lives in exactly one place (hashing.py), mirrored by the hash60_py calls
+# in the fake workers.
+_W = hash60_sql("text", salt="w")
+_H = hash60_sql("text", salt="h")
+_F = hash60_sql("text", salt="f")
+_C = hash60_sql("text", salt="c")
 
 
 @_register(
@@ -252,17 +271,26 @@ def fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     a resized-payload column; rows in = rows out either way.
     """
     for pdf in batches:
-        texts = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
-        w = texts.map(lambda t: hash60_py(t, "w") % 1920 + 1)
-        h = texts.map(lambda t: hash60_py(t, "h") % 1080 + 1)
-        longest = w.combine(h, max)
+        texts = pdf["payload"].map(
+            lambda b: None if b is None else bytes(b).decode("utf-8")
+        )
+        w = texts.map(lambda t: None if t is None else hash60_py(t, "w") % 1920 + 1)
+        h = texts.map(lambda t: None if t is None else hash60_py(t, "h") % 1080 + 1)
+        # NULL payloads keep their row with NULL dims (the oracle's
+        # arithmetic over NULL width/height); nullable Int dtypes carry
+        # that through Arrow. combine(max) and // both propagate None.
+        longest = w.combine(h, lambda a, b: None if a is None else max(a, b))
+        scale = lambda x: x.combine(  # noqa: E731
+            longest,
+            lambda v, lg: None if v is None else max(1, v * RESIZE_TARGET // lg),
+        )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": w.astype("int32"),
-                "height": h.astype("int32"),
-                "out_w": (w * RESIZE_TARGET // longest).clip(lower=1).astype("int32"),
-                "out_h": (h * RESIZE_TARGET // longest).clip(lower=1).astype("int32"),
+                "width": w.astype("Int32"),
+                "height": h.astype("Int32"),
+                "out_w": scale(w).astype("Int32"),
+                "out_h": scale(h).astype("Int32"),
             }
         )
 
@@ -308,6 +336,10 @@ def fake_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     for pdf in batches:
         out_doc, out_idx, out_hash = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # oracle: generate_series over NULL n_frames unnests to
+                # zero rows — a NULL video contributes no frames
+                continue
             t = bytes(payload).decode("utf-8")
             n_frames = hash60_py(t, "f") % 240 + 1
             for idx in range(0, n_frames, FRAME_SAMPLE_EVERY):

@@ -45,7 +45,11 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            # coalesce: SUM over zero rows is NULL, but an empty data drop
+            # must profile as 0 nulls (the oracle's COUNT(*)-COUNT(c) does)
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"{c}__nulls"
+            ),
             F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),

@@ -29,15 +29,17 @@ TABLE_NAMES = (
 )
 
 
-# (application id, sf_dir, table) -> DataFrame. A DataFrame is an immutable
-# logical plan, so handing the same object to every caller is safe; caching
-# skips the parquet footer read + schema inference that spark.read.parquet
-# pays per call (~0.1 s x tables x queries of pure driver-side overhead —
-# the dominant cost of short queries, and exactly what a warm catalog
-# amortizes on a real cluster). Keyed on applicationId (stable, unique per
-# live SparkContext) rather than id(spark), which CPython can reuse after a
-# stopped session is garbage-collected.
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (application id, session id, sf_dir, table) -> DataFrame. A DataFrame is
+# an immutable logical plan, so handing the same object to every caller is
+# safe; caching skips the parquet footer read + schema inference that
+# spark.read.parquet pays per call (~0.1 s x tables x queries of pure
+# driver-side overhead — the dominant cost of short queries, and exactly
+# what a warm catalog amortizes on a real cluster). Keyed on applicationId
+# (stable, unique per live SparkContext — id(spark) alone is reusable after
+# GC) PLUS the session: sibling sessions of one context (newSession) have
+# separate catalogs and confs, so a DataFrame cached for one must not be
+# served — or have its temp views registered — to another.
+_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 # applicationIds whose executors already received the package zip.
@@ -60,19 +62,30 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     if app in _SHIPPED:
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    base = os.path.join(
-        tempfile.mkdtemp(prefix="dpacs_pyfiles_"),
-        "data_pipeline_python_aws_cdk_spark",
-    )
-    zip_path = shutil.make_archive(
-        base,
-        "zip",
-        root_dir=os.path.dirname(pkg_dir),
-        base_dir=os.path.basename(pkg_dir),
-    )
-    spark.sparkContext.addPyFile(zip_path)
+    spark.sparkContext.addPyFile(_package_zip())
     _SHIPPED.add(app)
+
+
+# Holds the TemporaryDirectory containing the one per-process package zip;
+# the object reference keeps it alive for the process and its finalizer
+# removes it at interpreter exit — repeated session restarts reuse the same
+# zip instead of leaking one mkdtemp per SparkContext.
+_ZIP_DIR: tempfile.TemporaryDirectory | None = None
+_ZIP_PATH: str | None = None
+
+
+def _package_zip() -> str:
+    global _ZIP_DIR, _ZIP_PATH
+    if _ZIP_PATH is None or not os.path.exists(_ZIP_PATH):
+        _ZIP_DIR = tempfile.TemporaryDirectory(prefix="dpacs_pyfiles_")
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        _ZIP_PATH = shutil.make_archive(
+            os.path.join(_ZIP_DIR.name, "data_pipeline_python_aws_cdk_spark"),
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+    return _ZIP_PATH
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -105,7 +118,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _CACHE.get(key)
     if cached is not None:
         return cached

@@ -1,0 +1,76 @@
+"""Generate a hostile mini-testdata directory for edge-case differentials.
+
+The driver REGENERATES testdata between rounds, so operators must not rely
+on the current data's conveniences (all-ASCII text, no NULLs, >=10 tokens
+per doc, no zero vectors). This writes a documents/embeddings pair that
+concentrates the known traps:
+
+- NULL text, empty text, whitespace-only text, single-token text
+  (Spark sequence(1,0) counts DOWN / raises under ANSI; bytes(None) crashes
+  a careless pandas worker; explode(NULL) silently drops rows)
+- non-ASCII text in two scripts (char count != byte count)
+- exact duplicate docs across sources (dedup/fingerprint paths)
+- an all-zero embedding (cosine division by zero under ANSI mode)
+
+Usage:
+    python tools/hostile_dataset.py /tmp/hostile_sf
+    python tools/check_correctness.py /tmp/hostile_sf [name ...]
+
+The other eight tables are copied (truncated) from sf0.001 so the harness
+can register every view.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+BASE = "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hostile_sf"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE documents AS SELECT * FROM (VALUES
+          (0, 'hello', 'en', 'web', 5),
+          (1, NULL, 'en', 'web', 0),
+          (2, 'café au lait crème brûlée déjà vu encore une fois bien sûr', 'fr', 'books', 59),
+          (3, '', 'en', 'web', 0),
+          (4, 'the quick brown fox jumps over the lazy dog again and again', 'en', 'web', 60),
+          (5, 'the quick brown fox jumps over the lazy dog again and again', 'en', 'cc', 60),
+          (6, '日本語 テキスト の 短い 文書 です これは 単なる テスト', 'ja', 'cc', 30),
+          (7, 'one', 'en', 'web', 3),
+          (8, '   ', 'en', 'web', 3)
+        ) t(doc_id, text, lang, source, n_chars)
+        """
+    )
+    con.execute(f"COPY documents TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(
+        """
+        CREATE TABLE embeddings AS
+        SELECT vec_id,
+               CASE WHEN vec_id = 3
+                    THEN list_transform(range(64), x -> CAST(0.0 AS FLOAT))
+                    ELSE list_transform(range(64), x -> CAST(sin(vec_id * 64 + x) AS FLOAT))
+               END AS embedding,
+               CAST(vec_id % 3 AS INT) AS label
+        FROM range(9) t(vec_id)
+        """
+    )
+    con.execute(f"COPY embeddings TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+        con.execute(
+            f"COPY (SELECT * FROM '{BASE}/{t}.parquet' LIMIT 100)"
+            f" TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    print(f"hostile testdata written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
