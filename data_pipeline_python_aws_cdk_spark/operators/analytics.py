@@ -321,9 +321,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Microsecond-exact gap: the oracle compares the full interval, and a
+    # floor-to-second cast would miss true gaps in (1800s, 1801s) — same
+    # precision contract as events_asof_purchase.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
     ).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)
@@ -585,7 +589,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+            # try_divide: an all-zero-revenue slice yields NULL like the
+            # oracle, not an ANSI DIVIDE_BY_ZERO crash
+            F.round(F.try_divide(F.lit(100.0) * F.sum(promo), F.sum(rev)), 4).alias(
                 "promo_revenue_pct"
             ),
             F.count("*").alias("lines"),
@@ -665,13 +671,19 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "events_props_extract",
     oracle="""
+    WITH kx AS (
+      SELECT event_type,
+             CAST(ROUND(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                  AS BIGINT) AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS events,
-           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
-           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
+           ROUND(AVG(k), 6) AS avg_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM kx
+    WHERE k IS NOT NULL
     GROUP BY event_type
     """,
 )
@@ -687,7 +699,12 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the projection).
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # Extraction contract (shared with the oracle): try_cast to DOUBLE, so a
+    # non-numeric k becomes NULL instead of an ANSI CAST_INVALID_INPUT crash,
+    # then ROUND half-away-from-zero to BIGINT (both engines round the same
+    # way at this spelling; a direct string->bigint cast truncates in one
+    # engine and rounds in the other).
+    k = F.round(F.get_json_object("props", "$.k").try_cast("double")).cast("bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull())
@@ -1581,7 +1598,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
     )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    # try_divide: sigma=0 (constant group) yields NULL like the oracle's
+    # division, instead of an ANSI DIVIDE_BY_ZERO crash
+    z = F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
@@ -1753,7 +1772,9 @@ COOC_TOP = 20
     "events_item_cooccurrence",
     oracle=f"""
     WITH ui AS (
-      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      SELECT DISTINCT user_id,
+             CAST(ROUND(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                  AS BIGINT) AS item
       FROM events WHERE event_type = 'click'
     ),
     pairs AS (
@@ -1786,7 +1807,9 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .select(
             "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+            F.round(
+                F.get_json_object("props", "$.k").try_cast("double")
+            ).cast("bigint").alias("item"),
         )
         .distinct()
     )
@@ -1846,7 +1869,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seq.select(
             "user_id",
-            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+            # F.concat (NULL-propagating, like the oracle's ||) — concat_ws
+            # would silently skip a NULL event_type and fabricate 2-step paths
+            F.concat("e1", F.lit(">"), "e2", F.lit(">"), "e3").alias("path"),
         )
         .groupBy("path")
         .agg(

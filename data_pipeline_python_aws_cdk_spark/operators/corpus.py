@@ -469,7 +469,7 @@ def extraction_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_profiles",
     oracle="""
     SELECT c_custkey, c_name,
-           CONCAT(c_mktsegment, ', nation-', CAST(c_nationkey AS VARCHAR))
+           c_mktsegment || ', nation-' || CAST(c_nationkey AS VARCHAR)
              AS profile,
            c_acctbal
     FROM customer
@@ -479,8 +479,10 @@ def extraction_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONCAT-assembled profile projection (reference sql:176-187:
-    full_address = CONCAT(street, ', ', city)). CONCAT is NULL-propagating
-    in both Trino and Spark (SURVEY.md Q32)."""
+    full_address = CONCAT(street, ', ', city)). Spark's CONCAT (like
+    Trino's) is NULL-propagating; DuckDB's concat() function SKIPS NULLs,
+    so the oracle spells it with the NULL-propagating || operator — a NULL
+    segment yields a NULL profile in both engines."""
     c = load_table(spark, sf_dir, "customer")
     return (
         c.filter(F.col("c_name").isNotNull())

@@ -63,7 +63,29 @@ def main() -> int:
         """
     )
     con.execute(f"COPY embeddings TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+    # events with the traps a regeneration could spring: non-integral and
+    # non-numeric props.k, NULL event_type, a constant-value type (stddev 0),
+    # and a session gap in (1800s, 1801s) that floor-to-second misses.
+    con.execute(
+        """
+        CREATE TABLE events AS SELECT * FROM (VALUES
+          (1, TIMESTAMP '2026-01-01 10:00:00.300', 1, 'click',    1.5, '{"k": 1.5}'),
+          (2, TIMESTAMP '2026-01-01 10:30:00.800', 1, 'click',    2.0, '{"k": "abc"}'),
+          (3, TIMESTAMP '2026-01-01 11:00:00',     1, 'purchase', 9.0, '{"k": 3}'),
+          (4, TIMESTAMP '2026-01-01 10:05:00',     2, NULL,       4.0, '{"k": 7}'),
+          (5, TIMESTAMP '2026-01-01 10:06:00',     2, 'view',     5.0, NULL),
+          (6, TIMESTAMP '2026-01-01 10:07:00',     2, 'error',    5.0, '{}'),
+          (7, TIMESTAMP '2026-01-01 10:08:00',     3, 'error',    5.0, '{"k": 2.5}'),
+          (8, TIMESTAMP '2026-01-01 12:00:00',     3, 'click',    0.0, '{"k": 1}'),
+          (9, TIMESTAMP '2026-01-01 12:00:30',     3, 'click',    -1.0, '{"k": 1}')
+        ) t(event_id, ts, user_id, event_type, value, props)
+        """
+    )
+    # match the real testdata's physical type: DOUBLE, not the DECIMAL(2,1)
+    # DuckDB infers for the literals above
+    con.execute("ALTER TABLE events ALTER value TYPE DOUBLE")
+    con.execute(f"COPY events TO '{out}/events.parquet' (FORMAT PARQUET)")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
         con.execute(
             f"COPY (SELECT * FROM '{BASE}/{t}.parquet' LIMIT 100)"
             f" TO '{out}/{t}.parquet' (FORMAT PARQUET)"
