@@ -138,7 +138,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "chars",
         "n_tokens",
-        F.round(F.col("n_punct").cast("double") / F.col("chars"), 6).alias("punct_ratio"),
+        # try_divide: chars=0 (empty doc) yields NULL like DuckDB's float
+        # division, instead of an ANSI DIVIDE_BY_ZERO crash
+        F.round(F.try_divide(F.col("n_punct").cast("double"), F.col("chars")), 6).alias("punct_ratio"),
         F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
             "stopword_ratio"
         ),
@@ -147,7 +149,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(
             (F.col("n_tokens") >= 50)
-            & (F.col("n_punct").cast("double") / F.col("chars") < 0.05),
+            & (F.try_divide(F.col("n_punct").cast("double"), F.col("chars")) < 0.05),
             "good",
         )
         .when(F.col("n_tokens") >= 20, "fair")
@@ -727,7 +729,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
     ).filter(
         (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
-        & (F.col("n_punct").cast("double") / F.col("chars") < CLEAN_MAX_PUNCT_RATIO)
+        & (F.try_divide(F.col("n_punct").cast("double"), F.col("chars")) < CLEAN_MAX_PUNCT_RATIO)
     )
     first_per_fp = Window.partitionBy("fp60").orderBy("doc_id")
     return (
@@ -1059,7 +1061,7 @@ def clean_survivor_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
     ).filter(
         (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
-        & (F.col("n_punct").cast("double") / F.col("chars") < CLEAN_MAX_PUNCT_RATIO)
+        & (F.try_divide(F.col("n_punct").cast("double"), F.col("chars")) < CLEAN_MAX_PUNCT_RATIO)
     )
     first_per_fp = Window.partitionBy("fp60").orderBy("doc_id")
     surv = (
