@@ -53,35 +53,38 @@ def crawl(
     # normally reads one footer; merging all footers keeps the union
     # schema — the same retention a Glue crawler provides — both for the
     # drift comparison and for the schema CREATE TABLE stores.
-    prev_merge = spark.conf.get("spark.sql.parquet.mergeSchema", "false")
-    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
-    try:
-        if spark.catalog.tableExists(qualified):
-            old = spark.table(qualified).schema
-            reader = spark.read.format(fmt)
-            if fmt == "csv":
-                reader = reader.option("header", True).option("inferSchema", True)
-            new = reader.load(path).schema
-            drift = diff_schemas(old, new)
-            same_location = _table_location(spark, qualified) == _norm_path(path)
-            if same_location and not (
-                drift["added"] or drift["removed"] or drift["changed"]
-            ):
-                # Zero drift over the SAME location: re-registering would
-                # only destroy ANALYZE statistics and partition metadata.
-                # A crawl that re-points the table at a different path must
-                # always re-create, identical schema or not.
-                _recover_partitions(spark, qualified)
-                return qualified
-            spark.sql(f"DROP TABLE {qualified}")
-        opts = "OPTIONS (header 'true', inferSchema 'true')" if fmt == "csv" else ""
-        spark.sql(
-            f"CREATE TABLE {qualified} USING {fmt} {opts} LOCATION '{path}'"
-        )
-        _recover_partitions(spark, qualified)
-        return qualified
-    finally:
-        spark.conf.set("spark.sql.parquet.mergeSchema", prev_merge)
+    #
+    # The merge toggle runs in a CLONED session (shared SparkContext and
+    # persistent catalog, isolated SQLConf): QueryExecutor runs queries
+    # concurrently on the caller's session, and flipping the session-global
+    # mergeSchema there would silently make an overlapping query pay
+    # merge-all-footers cost (or change its inferred schema) mid-flight.
+    s = spark.newSession()
+    s.conf.set("spark.sql.parquet.mergeSchema", "true")
+    if s.catalog.tableExists(qualified):
+        old = s.table(qualified).schema
+        reader = s.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True).option("inferSchema", True)
+        new = reader.load(path).schema
+        drift = diff_schemas(old, new)
+        same_location = _table_location(s, qualified) == _norm_path(path)
+        if same_location and not (
+            drift["added"] or drift["removed"] or drift["changed"]
+        ):
+            # Zero drift over the SAME location: re-registering would
+            # only destroy ANALYZE statistics and partition metadata.
+            # A crawl that re-points the table at a different path must
+            # always re-create, identical schema or not.
+            _recover_partitions(s, qualified)
+            return qualified
+        s.sql(f"DROP TABLE {qualified}")
+    opts = "OPTIONS (header 'true', inferSchema 'true')" if fmt == "csv" else ""
+    s.sql(
+        f"CREATE TABLE {qualified} USING {fmt} {opts} LOCATION '{path}'"
+    )
+    _recover_partitions(s, qualified)
+    return qualified
 
 
 def _norm_path(p: str) -> str:

@@ -153,9 +153,14 @@ def main(argv: list[str] | None = None) -> int:
             .parquet(assignment_dir)
         )
         manifest = [r.asDict() for r in corpus_shard_manifest(spark, args.sf_dir).collect()]
-        manifest_path = os.path.join(args.output, "manifest.json")
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f)
+        manifest_path = args.output.rstrip("/") + "/manifest.json"
+        # Through the Hadoop FS API, not a driver-local open(): --output may
+        # be any scheme (s3a://, hdfs://) the assignment write above already
+        # succeeded on, and os.path/open would crash or write a bogus local
+        # path for those.
+        from .sources.objectstore import write_text
+
+        write_text(spark, manifest_path, json.dumps(manifest))
         print(
             json.dumps(
                 {

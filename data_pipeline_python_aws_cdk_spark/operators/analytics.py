@@ -1145,10 +1145,22 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("events_approx_sketch")
+@_register(
+    "events_approx_sketch",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS users_within_eps,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def events_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: HyperLogLog distinct users + quantile sketch of
-    value, per event type.
+    value, per event type — emitted as deterministic error-bound verdicts.
 
     approx_count_distinct (HLL++, rsd 2%) and approx_percentile keep
     constant-size state per group instead of the full value set — at 100 TB
@@ -1157,9 +1169,54 @@ def events_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of distinct keys for fixed-size mergeable sketches (pure map-side
     combine, tiny exchange).
 
-    No SQL oracle: sketch outputs are implementation-defined (driver
-    records the rows-only check); `tests/test_extensions.py` bounds the
-    error vs the exact answers instead.
+    Raw sketch estimates are implementation-defined (merge-order sensitive
+    for the quantile sketch), so the registered query emits the published
+    error bounds as booleans the oracle can assert hard:
+    - `users_within_eps`: |HLL - exact| <= 3*rsd*exact (3 sigma of the
+      configured 2% relative standard deviation);
+    - `p50/p95_within_tol`: the sketch value lies between the exact
+      percentiles at rank q +/- 1% — true for ANY merge order because
+      approx_percentile's rank error is bounded by n/accuracy = 0.01% << 1%.
+    A wrong sketch configuration flips a boolean and fails the hash. The
+    error-magnitude test in tests/test_extensions.py stays as the tighter
+    local gate; `approx_sketch_estimates` (below, rows-only) keeps the raw
+    estimates available as an operator output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95], 10_000)
+    exact_pcts = F.expr(
+        "percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D))"
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("au"),
+        pcts.alias("ap"),
+        exact_pcts.alias("ex"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("users_within_eps"),
+        F.col("ap").getItem(0).between(
+            F.col("ex").getItem(0), F.col("ex").getItem(1)
+        ).alias("p50_within_tol"),
+        F.col("ap").getItem(1).between(
+            F.col("ex").getItem(2), F.col("ex").getItem(3)
+        ).alias("p95_within_tol"),
+    ).orderBy("event_type")
+
+
+@_register("approx_sketch_estimates")
+def approx_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch estimates (HLL users + approx p50/p95 of value) per event
+    type — the production operator surface behind `events_approx_sketch`.
+
+    Deliberately no SQL oracle: the estimates themselves are
+    implementation-defined; their error bounds are driver-verified via
+    `events_approx_sketch` and magnitude-tested in tests/test_extensions.py.
     """
     ev = load_table(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", [0.5, 0.95], 10_000)

@@ -445,28 +445,87 @@ KMEANS_K = 10
 KMEANS_SEED = 7
 
 
-@_register("embedding_kmeans")
+@_register(
+    "embedding_kmeans",
+    oracle="""
+    SELECT COUNT(*) AS n_points,
+           CAST(10 AS BIGINT) AS n_clusters,
+           TRUE AS sse_below_label_partition,
+           TRUE AS sse_below_global
+    FROM embeddings
+    """,
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib k-means over the embedding corpus: cluster size + dispersion
-    profile — the batch-iterative workload class (each iteration is one
-    distributed pass: broadcast centroids, assign map-side, re-average with
-    a map-side-combined aggregation).
+    """MLlib k-means over the embedding corpus, emitted as seed-independent
+    quality invariants — the batch-iterative workload class (each iteration
+    is one distributed pass: broadcast centroids, assign map-side,
+    re-average with a map-side-combined aggregation).
 
     This is the corpus-structuring step a training pipeline runs before
-    IVF indexing (similarity_ann_ivf trains its own centroids the same
-    way) or balanced sampling. Cluster ids are implementation-defined, so
-    no SQL oracle (driver records rows-only);
-    tests/test_extensions.py::test_kmeans_recovers_planted_clusters pins
-    quality on constructed Gaussian blobs (the testdata's `label` column
-    is metadata, not geometry — measured within-label spread is ~5x the
-    between-centroid distance, so label purity is not a valid target).
+    IVF indexing (similarity_ann_ivf trains its own centroids the same way)
+    or balanced sampling. Cluster IDs and sizes are init-order dependent
+    (k-means|| init reads the RDD partitioning), so the registered query
+    emits what IS deterministic for any converged run:
+    - `n_points` / `n_clusters`: exact corpus size, all k clusters used;
+    - `sse_below_label_partition`: within-cluster SSE beats the metadata
+      `label` 10-way partition by >=1% (measured margin ~6%; the labels are
+      not geometric — within-label spread is ~5x the between-centroid
+      distance — so any converged k-means clears this easily while a broken
+      assignment cannot);
+    - `sse_below_global`: SSE <=95% of the single-cluster SSE.
+    A wrong distance/convergence/assignment flips a boolean and fails the
+    driver hash. `kmeans_assign` (below) stays the production operator
+    surface; tests/test_extensions.py::test_kmeans_recovers_planted_clusters
+    pins exact recovery on constructed Gaussian blobs.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    pred = kmeans_assign(e, k=KMEANS_K, seed=KMEANS_SEED)
-    return (
-        pred.groupBy(F.col("prediction").alias("cluster"))
-        .agg(F.count("*").alias("size"))
-        .orderBy("cluster")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ef = e.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, maxIter=20).fit(ef)
+    sse = float(model.summary.trainingCost)
+    n_clusters = model.transform(ef).select("prediction").distinct().count()
+
+    # Exact SSE of two fixed reference partitions, computed distributed:
+    # SSE(partition) = sum ||x||^2 - sum_g n_g * ||mean_g||^2. posexplode
+    # keeps the group count at |labels| x dim (640 rows) — dim-bounded, no
+    # vector shuffles.
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    total_ssq = e.select(F.sum(sq).alias("ssq")).first().ssq
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    per_label = ex.groupBy("label", "pos").agg(
+        F.avg("v").alias("m"), F.count("*").alias("n")
+    )
+    label_proj = (
+        per_label.groupBy("label")
+        .agg(F.sum(F.col("m") * F.col("m")).alias("msq"), F.first("n").alias("n"))
+        .select(F.sum(F.col("msq") * F.col("n")).alias("x"))
+        .first()
+        .x
+    )
+    global_proj = (
+        ex.groupBy("pos")
+        .agg(F.avg("v").alias("m"), F.count("*").alias("n"))
+        .select(F.sum(F.col("m") * F.col("m") * F.col("n")).alias("x"))
+        .first()
+        .x
+    )
+    label_sse = total_ssq - label_proj
+    global_sse = total_ssq - global_proj
+    return e.select(F.count("*").alias("n_points")).select(
+        "n_points",
+        F.lit(n_clusters).cast("long").alias("n_clusters"),
+        F.lit(bool(sse <= 0.99 * label_sse)).alias("sse_below_label_partition"),
+        F.lit(bool(sse <= 0.95 * global_sse)).alias("sse_below_global"),
     )
 
 

@@ -116,3 +116,40 @@ def configure_s3a(
 def is_object_store_path(path: str) -> bool:
     """True for URIs the Hadoop S3A/cloud connectors serve."""
     return path.startswith(("s3a://", "s3://", "gs://", "abfs://", "abfss://"))
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through the session's Hadoop
+    configuration — the scheme-agnostic way to do driver-side file metadata
+    IO (exists/list/small writes) that works identically for local paths,
+    hdfs:// and s3a://, where ``os.path``/``open()`` only understand the
+    first."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small driver-side text artifact (manifest, metadata sidecar)
+    through the Hadoop FileSystem API so any --output scheme the data write
+    succeeded on also takes the sidecar. Single-file overwrite semantics."""
+    fs, jpath = hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text artifact back through the Hadoop FileSystem API."""
+    fs, jpath = hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        jvm = spark._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()

@@ -191,6 +191,14 @@ def distributed_fetch(
         ),
     )
     if on_error == "fail":
+        # Materialize ONCE before validating: without this, the validation
+        # collect() runs the fetch job and the returned DataFrame re-executes
+        # it on the caller's first action — every endpoint hit twice (a real
+        # cost on non-idempotent/paid APIs) and the returned data would be a
+        # second, unvalidated fetch (TOCTOU). localCheckpoint pins the
+        # fetched partitions so both the check and the caller read the same
+        # single fetch.
+        parsed = parsed.localCheckpoint(eager=True)
         bad = [r.url for r in parsed.filter(F.col("error").isNotNull()).select("url").collect()]
         if bad:
             raise RuntimeError(f"unparseable response body from endpoints: {bad}")

@@ -235,14 +235,28 @@ def run_upsert_sink(
     from ..maintenance import upsert
 
     def _table_exists(spark: SparkSession) -> bool:
-        # Scheme-agnostic existence probe: os.path only understands bare
-        # local paths, which would make every file:///s3a:// table look
-        # absent and turn each micro-batch into a destructive overwrite.
-        try:
-            spark.read.parquet(table_path).schema
-            return True
-        except Exception:  # noqa: BLE001 — missing/empty path in any scheme
+        # Scheme-agnostic existence probe via the Hadoop FileSystem API:
+        # os.path only understands bare local paths (every file:///s3a://
+        # table would look absent), and a schema-read probe that swallows
+        # ALL exceptions turns a transient read failure (S3 throttle,
+        # credential hiccup, listing error) on an EXISTING table into the
+        # bootstrap mode('overwrite') branch — destroying merged data.
+        # fs.exists only raises on real IO trouble, which we propagate.
+        from ..sources.objectstore import hadoop_fs
+
+        fs, path = hadoop_fs(spark, table_path)
+        if not fs.exists(path):
             return False
+        # Present but empty (a bare directory, e.g. from a died bootstrap
+        # write) counts as absent: the overwrite branch is then safe and the
+        # upsert branch would fail its read anyway.
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if f.getLen() > 0 and not name.startswith(("_", ".")):
+                return True
+        return False
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():

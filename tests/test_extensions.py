@@ -273,7 +273,15 @@ def test_approx_sketch_bounds_error_vs_exact(spark):
     from data_pipeline_python_aws_cdk_spark.operators import analytics
 
     sf = "/root/testdata/sf0.01"
-    approx = {r.event_type: r for r in analytics.events_approx_sketch(spark, sf).collect()}
+    approx = {
+        r.event_type: r
+        for r in analytics.approx_sketch_estimates(spark, sf).collect()
+    }
+    verdicts = analytics.events_approx_sketch(spark, sf).collect()
+    assert verdicts and all(
+        v.users_within_eps and v.p50_within_tol and v.p95_within_tol
+        for v in verdicts
+    )
     from data_pipeline_python_aws_cdk_spark.tables import load_table
 
     ev = load_table(spark, sf, "events")
