@@ -53,6 +53,17 @@ def main(argv: list[str] | None = None) -> int:
     p_jan = sub.add_parser("janitor", help="expire result artifacts past retention")
     p_jan.add_argument("--results", required=True)
     p_jan.add_argument("--retention-days", type=int, default=7)
+    p_jan.add_argument(
+        "--data-path",
+        default=None,
+        help="also vacuum upsert version snapshots under this dataset root",
+    )
+    p_jan.add_argument(
+        "--version-retention-days",
+        type=int,
+        default=30,  # reference data_pipeline_stack.py:30-36
+        help="age after which noncurrent partition versions expire",
+    )
 
     p_comp = sub.add_parser("compact", help="rewrite small files into target-size files")
     p_comp.add_argument("--path", required=True)
@@ -196,7 +207,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "janitor":
         ex = QueryExecutor(spark, args.results)
         removed = ex.cleanup_results(retention_days=args.retention_days)
-        print(json.dumps({"statusCode": 200, "removed": removed}))
+        out = {"statusCode": 200, "removed": removed}
+        if args.data_path:
+            from .maintenance import vacuum_versions
+
+            out["versions"] = vacuum_versions(
+                args.data_path, retention_days=args.version_retention_days
+            )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "compact":

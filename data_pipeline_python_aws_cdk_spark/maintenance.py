@@ -63,9 +63,12 @@ def _is_data_file(name: str) -> bool:
 
 def _leaf_partitions(root: str) -> list[str]:
     """Directories under ``root`` that hold data files directly (Hive
-    leaves); ``root`` itself for unpartitioned datasets."""
+    leaves); ``root`` itself for unpartitioned datasets. Hidden trees
+    (``.versions`` snapshots, ``_temporary`` commit dirs) are pruned — they
+    are invisible to readers and must be invisible to maintenance too."""
     leaves = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         if any(_is_data_file(f) for f in filenames):
             leaves.append(dirpath)
     return leaves
@@ -125,6 +128,10 @@ def compact(
     return stats
 
 
+VERSIONS_DIR = ".versions"
+VERSION_RETENTION_DAYS = 30  # reference data_pipeline_stack.py:30-36
+
+
 def upsert(
     spark: SparkSession,
     path: str,
@@ -133,6 +140,7 @@ def upsert(
     version_col: str,
     partition_cols: list[str] | None = None,
     fmt: str = "parquet",
+    keep_versions: bool = True,
 ) -> dict:
     """MERGE-style last-writer-wins upsert into a raw-directory dataset.
 
@@ -153,6 +161,16 @@ def upsert(
       affected partitions only*.
     - Without ``partition_cols`` the whole dataset is the one "partition"
       — correct, but a full rewrite; partition your data.
+
+    **Versioned retention** (``keep_versions``, default on): the reference
+    bucket keeps noncurrent object versions for 30 days before expiry
+    (reference data_pipeline/data_pipeline_stack.py:30-36). Mirroring that,
+    every partition this merge replaces is moved — a rename, no data copy —
+    into ``<path>/.versions/<utc-stamp>-<runid>/<relative-partition>/``
+    instead of being deleted. The dot-prefixed directory is invisible to
+    Spark/DuckDB readers, so queries see only current data; a bad merge is
+    recoverable by moving the snapshot back until ``vacuum_versions``
+    (jobs.py janitor, 30-day default) expires it.
 
     A table format (Iceberg/Delta) would commit this as a snapshot with
     file-level conflict detection; the raw-directory variant has the same
@@ -199,7 +217,23 @@ def upsert(
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
+    from datetime import datetime as _dt
+    from datetime import timezone as _tz
 
+    def _retire(replaced: str, rel: str, snapshot_root: list[str | None]) -> None:
+        """Move a to-be-replaced partition dir (or file) into the versions
+        area instead of deleting it. One snapshot directory per upsert run:
+        every partition the run replaces lands under the same stamp."""
+        if snapshot_root[0] is None:
+            stamp = _dt.now(_tz.utc).strftime("%Y%m%dT%H%M%S")
+            snapshot_root[0] = _os.path.join(
+                path, VERSIONS_DIR, f"{stamp}-{uuid.uuid4().hex[:8]}"
+            )
+        dst = _os.path.join(snapshot_root[0], rel)
+        _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+        _shutil.move(replaced, dst)
+
+    snapshot: list[str | None] = [None]
     tmp = _tempfile.mkdtemp(prefix="upsert-", dir=_os.path.dirname(path.rstrip("/")))
     try:
         writer = winners.write.format(fmt).mode("overwrite")
@@ -235,20 +269,78 @@ def upsert(
             for rel in rels:
                 src, dst = _os.path.join(tmp, rel), _os.path.join(path, rel)
                 if _os.path.isdir(dst):
-                    _shutil.rmtree(dst)
+                    if keep_versions:
+                        _retire(dst, rel, snapshot)
+                    else:
+                        _shutil.rmtree(dst)
                 _os.makedirs(_os.path.dirname(dst), exist_ok=True)
                 _shutil.move(src, dst)
-            return {"mode": "partitioned", "partitions_rewritten": len(rels)}
+            return {
+                "mode": "partitioned",
+                "partitions_rewritten": len(rels),
+                "version_snapshot": snapshot[0],
+            }
         for f in _os.listdir(path):
             full = _os.path.join(path, f)
             if _is_data_file(f) and _os.path.isfile(full):
-                _os.remove(full)
+                if keep_versions:
+                    _retire(full, f, snapshot)
+                else:
+                    _os.remove(full)
         for f in _os.listdir(tmp):
             if _is_data_file(f):
                 _shutil.move(_os.path.join(tmp, f), _os.path.join(path, f))
-        return {"mode": "full", "partitions_rewritten": 1}
+        return {
+            "mode": "full",
+            "partitions_rewritten": 1,
+            "version_snapshot": snapshot[0],
+        }
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def vacuum_versions(
+    path: str,
+    retention_days: int = VERSION_RETENTION_DAYS,
+    now=None,
+) -> dict:
+    """Expire upsert version snapshots older than the retention window.
+
+    The noncurrent-version lifecycle rule of the reference bucket
+    (data_pipeline/data_pipeline_stack.py:30-36: versioned=True, noncurrent
+    versions expire after 30 days) as a maintenance action over the
+    ``.versions`` area ``upsert`` writes. Snapshot age comes from the
+    directory-name stamp (``YYYYMMDDTHHMMSS-<runid>``), falling back to
+    mtime for foreign directories. Returns kept/removed counts; removal is
+    irreversible — after vacuum, a replaced partition is gone for good,
+    before it, `restore` is a directory move.
+    """
+    from datetime import datetime as _dt
+    from datetime import timedelta as _td
+    from datetime import timezone as _tz
+
+    root = os.path.join(path, VERSIONS_DIR)
+    now = now or _dt.now(_tz.utc)
+    cutoff = now - _td(days=retention_days)
+    kept = removed = 0
+    if not os.path.isdir(root):
+        return {"kept": 0, "removed": 0}
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if not os.path.isdir(full):
+            continue
+        try:
+            stamped = _dt.strptime(name.split("-")[0], "%Y%m%dT%H%M%S").replace(
+                tzinfo=_tz.utc
+            )
+        except ValueError:
+            stamped = _dt.fromtimestamp(os.stat(full).st_mtime, tz=_tz.utc)
+        if stamped < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+        else:
+            kept += 1
+    return {"kept": kept, "removed": removed}
 
 
 def cluster(

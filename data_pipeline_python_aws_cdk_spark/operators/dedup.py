@@ -134,10 +134,12 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
       inside the one broadcast build.
     """
     if pairs is not None:
+        # n derives from the set, not count(*): the candidate path may feed
+        # RAW (non-distinct) shingles so that collect_set does the dedup
+        # inside the aggregation instead of a separate distinct() shuffle.
         sets = sh.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("s")).alias("sset"),
-            F.count("*").alias("n"),
-        )
+        ).withColumn("n", F.size("sset"))
         sa = F.broadcast(sets).alias("sa")
         sb = F.broadcast(sets).alias("sb")
         return (
@@ -250,10 +252,15 @@ def _minhash_oracle_parts() -> tuple[str, str]:
         + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
         + "         FROM bands a JOIN bands b\n"
         + "           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),\n"
-        + "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+        # Verification runs on HASHED shingle sets (see dedup_minhash_lsh:
+        # the Spark side intersects 60-bit hashes, not strings), so the
+        # oracle counts/joins the same hashed domain — bit-identical in the
+        # oracle hash family.
+        + f"hsh AS (SELECT DISTINCT doc_id, {hash60_sql('s')} AS h FROM shm),\n"
+        + "cnt AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),\n"
         + "common AS (SELECT c.doc_a, c.doc_b, count(*) AS common\n"
-        + "           FROM cand c JOIN sh a ON a.doc_id = c.doc_a\n"
-        + "                       JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s\n"
+        + "           FROM cand c JOIN hsh a ON a.doc_id = c.doc_a\n"
+        + "                       JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h\n"
         + "           GROUP BY 1, 2)"
     )
     final = (
@@ -355,24 +362,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       not the corpus. At 100 TB the candidate set is the interesting
       fraction of the data; the corpus-sized shingle index is never
       shuffled or pinned.
+    - Verification intersects 60-bit shingle HASHES, not strings: the
+      collect_set aggregation state, the broadcast set table, and every
+      array_intersect comparison carry 8-byte longs instead of ~15-byte
+      shingle strings (~2x smaller state, integer compares). The oracle
+      counts the same hashed domain, so Jaccard stays bit-identical in the
+      oracle hash family; a hash collision would shift both engines
+      identically (and is ~2^-60 per pair).
     """
     d = load_table(spark, sf_dir, "documents")
-    cand = (
-        _minhash_candidates(d)
-        # Candidate pairs are consumed by four downstream subtrees; without a
-        # cut point each would re-run the corpus-scale signature pipeline.
-        # The pair set is candidate-scale (near-dup fraction of the corpus),
-        # so materializing it is bounded and truncates the lineage.
-        .localCheckpoint()
-    )
+    # ONE plan, no cut point: the candidate subtree appears three times
+    # below (pair stream + both branches of the id union), but all three
+    # hang off the identical (doc_a, doc_b)-distinct exchange, which AQE
+    # canonicalizes equal and serves from one materialization
+    # (ReusedExchange — gated by tests/test_plans.py::
+    # test_minhash_full_query_reuses_candidate_exchange). The corpus-scale
+    # signature pipeline therefore runs exactly once, same as the previous
+    # localCheckpoint design, minus the serial checkpoint barrier and minus
+    # the multi-MiB task binaries the checkpointed RDD's captured lineage
+    # put into every downstream stage (the r02 bench's "broadcasting large
+    # task binary" warnings).
+    cand = _minhash_candidates(d)
     # Exact-Jaccard verification over candidate docs only: shingle the
     # candidate subset (broadcast semi-join prunes the corpus scan), then
-    # run the inverted-index intersection on that small set.
+    # run the set intersection on that small set. Raw (non-distinct)
+    # shingles feed collect_set directly — the dedup happens inside the
+    # aggregation, skipping a separate distinct() shuffle.
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
-    sh_cand = _shingles(d.join(F.broadcast(cand_ids), "doc_id"))
-    verified = _pair_jaccard(sh_cand, pairs=cand)
+    sh_cand = _shingles(d.join(F.broadcast(cand_ids), "doc_id"), distinct=False)
+    hashed = sh_cand.select("doc_id", hash60(F.col("s")).alias("s"))
+    verified = _pair_jaccard(hashed, pairs=cand)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -106,6 +106,13 @@ class QueryExecutor:
             part.rename(final)
             n = self._count_csv_rows(final)
             elapsed = time.time() - t0
+            # Workgroup-metrics parity (reference data_pipeline_stack.py:
+            # 160-161): per-query rows/bytes/stage totals from the app
+            # status store, keyed by the job group set above. Best-effort —
+            # {} if the store is unreachable.
+            from .metrics import query_group_metrics
+
+            metrics = query_group_metrics(self.spark, query_id)
             metadata = {
                 "query_id": query_id,
                 "sql": sql,
@@ -114,6 +121,7 @@ class QueryExecutor:
                 "columns": df.columns,
                 "schema": df.schema.jsonValue(),
                 "execution_seconds": round(elapsed, 4),
+                "metrics": metrics,
             }
             (out_dir / f"{query_id}.csv.metadata").write_text(json.dumps(metadata))
             with self._lock:
@@ -122,7 +130,10 @@ class QueryExecutor:
                 status.state = "SUCCEEDED"
                 status.output_location = str(final)
                 status.row_count = n
-                status.stats = {"execution_seconds": round(elapsed, 4)}
+                status.stats = {
+                    "execution_seconds": round(elapsed, 4),
+                    "metrics": metrics,
+                }
         except Exception as exc:  # noqa: BLE001 — FAILED state carries the reason
             with self._lock:
                 if status.state != "CANCELLED":

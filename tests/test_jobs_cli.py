@@ -103,7 +103,7 @@ def test_upsert_last_writer_wins_partition_pruned(spark, tmp_path):
     )
     stats = upsert(spark, path, updates, key_cols=["id"], version_col="version",
                    partition_cols=["day"])
-    assert stats == {"mode": "partitioned", "partitions_rewritten": 1}
+    assert (stats["mode"], stats["partitions_rewritten"]) == ("partitioned", 1)
 
     got = {(r.id, r.val, r.version) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a2", 2), (2, "b", 1), (3, "c", 1), (4, "d", 1)}
@@ -115,6 +115,57 @@ def test_upsert_last_writer_wins_partition_pruned(spark, tmp_path):
            partition_cols=["day"])
     again = {(r.id, r.val, r.version) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_upsert_versioned_retention_recover_then_vacuum(spark, tmp_path):
+    """Reference bucket parity (data_pipeline_stack.py:30-36: versioning on,
+    noncurrent versions expire after 30 days): a partition replaced by an
+    upsert is (a) invisible to readers, (b) recoverable from the .versions
+    snapshot, and (c) gone for good after the janitor's vacuum passes the
+    retention window."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta, timezone
+
+    from data_pipeline_python_aws_cdk_spark.maintenance import (
+        VERSIONS_DIR,
+        upsert,
+        vacuum_versions,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "orig", 1, "d1"), (2, "keep", 1, "d2")],
+        "id long, val string, version int, day string",
+    )
+    path = str(tmp_path / "ds_ver")
+    base.write.partitionBy("day").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, "bad-merge", 2, "d1")], "id long, val string, version int, day string"
+    )
+    stats = upsert(spark, path, updates, key_cols=["id"], version_col="version",
+                   partition_cols=["day"])
+    snap = stats["version_snapshot"]
+    assert snap and os.path.isdir(os.path.join(snap, "day=d1"))
+
+    # (a) readers see only current data — the dot-dir hides the snapshot
+    got = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "bad-merge"), (2, "keep")}
+
+    # (b) recovery = move the snapshot back over the bad partition
+    shutil.rmtree(os.path.join(path, "day=d1"))
+    shutil.move(os.path.join(snap, "day=d1"), os.path.join(path, "day=d1"))
+    restored = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
+    assert restored == {(1, "orig"), (2, "keep")}
+
+    # (c) a fresh upsert's snapshot survives a young vacuum, dies past TTL
+    # (2 snapshot dirs on disk: the emptied first one + the fresh one)
+    upsert(spark, path, updates, key_cols=["id"], version_col="version",
+           partition_cols=["day"])
+    assert vacuum_versions(path) == {"kept": 2, "removed": 0}
+    future = datetime.now(timezone.utc) + timedelta(days=31)
+    assert vacuum_versions(path, now=future) == {"kept": 0, "removed": 2}
+    assert os.listdir(os.path.join(path, VERSIONS_DIR)) == []
 
 
 def test_upsert_escaped_partition_values(spark, tmp_path):
@@ -136,7 +187,7 @@ def test_upsert_escaped_partition_values(spark, tmp_path):
     )
     stats = upsert(spark, path, updates, key_cols=["id"], version_col="version",
                    partition_cols=["day"])
-    assert stats == {"mode": "partitioned", "partitions_rewritten": 2}
+    assert (stats["mode"], stats["partitions_rewritten"]) == ("partitioned", 2)
 
     got = {(r.id, r.val, r.version, r.day) for r in spark.read.parquet(path).collect()}
     assert got == {

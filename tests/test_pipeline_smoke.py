@@ -93,6 +93,17 @@ def test_stage5_queries_via_executor(spark, pipeline):
     assert meta["row_count"] == 1
     assert meta["columns"] == ["record_count"]
 
+    # workgroup-metrics parity (reference data_pipeline_stack.py:160-161):
+    # the sidecar and the status stats both carry the query's job-group
+    # aggregates from the app status store.
+    m2 = json.loads(
+        (pipeline["root"] / "results" / qid2 / f"{qid2}.csv.metadata").read_text()
+    )["metrics"]
+    assert m2["jobs"] >= 1 and m2["tasks"] >= 1
+    assert m2["input_records"] >= 10  # scanned the 10-row table
+    assert m2["executor_run_time_ms"] >= 0
+    assert ex.poll(qid2).stats["metrics"] == m2
+
 
 def test_executor_failure_state(spark, pipeline):
     ex = QueryExecutor(spark, str(pipeline["root"] / "results2"))

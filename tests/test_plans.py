@@ -138,6 +138,25 @@ def test_banded_self_join_reuses_signature_exchange(spark):
     assert "ReusedExchange" in _plan(cand)
 
 
+def test_minhash_full_query_reuses_candidate_exchange(spark):
+    # dedup_minhash_lsh is ONE plan with no checkpoint cut: the candidate
+    # subtree is referenced three times (the verified pair stream and both
+    # branches of the candidate-id union), and all three must be served
+    # from one materialized (doc_a, doc_b)-distinct exchange. If a stray
+    # projection breaks canonicalization, the corpus-scale signature
+    # pipeline runs two or three times — invisible at test scale, dominant
+    # at 100 TB. The checkpoint-free design also keeps every task binary
+    # lineage-free (the r02 bench warned on 2-4 MiB binaries from the
+    # checkpointed RDD's captured plan).
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+
+    out = dedup.dedup_minhash_lsh(spark, SF_SMOKE)
+    out.collect()
+    plan = _plan(out)
+    assert "ReusedExchange" in plan
+    assert "Checkpoint" not in plan
+
+
 def test_pack_sequences_single_bucket_shuffle_no_global_window(spark):
     # Sequence packing must be one hash-partition shuffle on bucket feeding
     # an in-partition window — never a global (empty-partition) window,
