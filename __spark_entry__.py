@@ -91,14 +91,14 @@ _PRIORITY = (
     "q20_potential_promotion",
     # -- round-3 additions: training-pipeline operators
     "text_normalize",
-    "dedup_url_canonical",
+    "dedup_survivors",
     "corpus_contamination_stats",
     "dedup_family_compare",
     "corpus_quality_gate",
     "events_session_funnel",
     "embedding_quantize",
     "documents_length_histogram",
-    "minhash_containment",
+    "dedup_containment",
     "text_ngram_entropy",
     "orders_backlog_asof",
 )

@@ -1938,3 +1938,201 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("occurrences").desc(), "path")
         .limit(PATHS_TOP)
     )
+
+
+# --- round-3 additions: session funnel + temporal backlog ------------------
+
+
+@_register(
+    "events_session_funnel",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    v AS (SELECT user_id, session_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS mv
+          FROM sess GROUP BY 1, 2),
+    c AS (SELECT s.user_id, s.session_id,
+                 MIN(CASE WHEN s.event_type = 'click' AND s.ts >= v.mv
+                          THEN s.ts END) AS mc
+          FROM sess s JOIN v ON v.user_id = s.user_id
+                            AND v.session_id = s.session_id
+          GROUP BY 1, 2),
+    p AS (SELECT s.user_id, s.session_id,
+                 MIN(CASE WHEN s.event_type = 'purchase' AND s.ts >= c.mc
+                          THEN s.ts END) AS mp
+          FROM sess s JOIN c ON c.user_id = s.user_id
+                            AND c.session_id = s.session_id
+          GROUP BY 1, 2)
+    SELECT COUNT(*) AS sessions,
+           CAST(SUM(CASE WHEN v.mv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS with_view,
+           CAST(SUM(CASE WHEN c.mc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS view_then_click,
+           CAST(SUM(CASE WHEN p.mp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS view_click_purchase
+    FROM v JOIN c ON c.user_id = v.user_id AND c.session_id = v.session_id
+           JOIN p ON p.user_id = v.user_id AND p.session_id = v.session_id
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-session ordered funnel: of all sessions (30-min gap), how many
+    contain a view, a click at-or-after that view, and a purchase
+    at-or-after that click — the strict-ordering conversion metric (a
+    purchase *before* the first view does not count, unlike the global
+    funnel in events_conversion_funnel).
+
+    Shape: sessionize with two windows (lag + running sum) on the same
+    (user_id, ts) sort — ONE shuffle; the three funnel stages re-aggregate
+    on the (user_id, session_id) key, so every later exchange rides the
+    same partitioning (AQE-reused). State per group is 3 timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select("user_id", "session_id", "ts", "event_type")
+    key = ["user_id", "session_id"]
+    v = sess.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("mv")
+    )
+    c = (
+        sess.join(v, key)
+        .groupBy(*key)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("mv")),
+                    F.col("ts"),
+                )
+            ).alias("mc")
+        )
+    )
+    p = (
+        sess.join(c, key)
+        .groupBy(*key)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("mc")),
+                    F.col("ts"),
+                )
+            ).alias("mp")
+        )
+    )
+    return (
+        v.join(c, key)
+        .join(p, key)
+        .agg(
+            F.count("*").alias("sessions"),
+            F.sum(F.when(F.col("mv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("with_view"),
+            F.sum(F.when(F.col("mc").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("view_then_click"),
+            F.sum(F.when(F.col("mp").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("view_click_purchase"),
+        )
+    )
+
+
+@_register(
+    "orders_backlog_asof",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_orderkey AS orderkey, MAX(l_shipdate) AS shipped_at
+      FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS placed_m,
+             strftime(date_trunc('month', s.shipped_at), '%Y-%m') AS shipped_m
+      FROM orders o LEFT JOIN shipped s ON s.orderkey = o.o_orderkey
+    ),
+    months AS (SELECT DISTINCT placed_m AS m FROM o),
+    placed AS (SELECT placed_m AS m, COUNT(*) AS n FROM o GROUP BY 1),
+    shipped_c AS (SELECT shipped_m AS m, COUNT(*) AS n FROM o
+                  WHERE shipped_m IS NOT NULL GROUP BY 1)
+    SELECT months.m AS month,
+           CAST(COALESCE(SUM(p.n) OVER w, 0) AS BIGINT) AS placed_cum,
+           CAST(COALESCE(SUM(s.n) OVER w, 0) AS BIGINT) AS shipped_cum,
+           CAST(COALESCE(SUM(p.n) OVER w, 0)
+                - COALESCE(SUM(s.n) OVER w, 0) AS BIGINT) AS backlog
+    FROM months
+    LEFT JOIN placed p ON p.m = months.m
+    LEFT JOIN shipped_c s ON s.m = months.m
+    WINDOW w AS (ORDER BY months.m ROWS UNBOUNDED PRECEDING)
+    ORDER BY month
+    """,
+)
+def orders_backlog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end open-order backlog: for each month, orders placed up to
+    then minus orders fully shipped up to then — the as-of temporal
+    rollup, computed WITHOUT a range join.
+
+    The naive spelling (orders x month-ends, inequality join) builds an
+    O(orders x months) intermediate; this one reduces each side to
+    per-month counts first (one shuffle each, both map-side combined;
+    the max-shipdate pre-aggregate rides the orderkey shuffle), then runs
+    the cumulative window over |months| rows — a few dozen — so the
+    global sort the window needs is metadata-scale. Orders never shipped
+    stay in the backlog forever, which is the semantics a fulfillment
+    audit wants.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    shipped = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.max("l_shipdate").alias("shipped_at")
+    )
+    om = (
+        o.join(shipped, o["o_orderkey"] == shipped["orderkey"], "left")
+        .select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "placed_m"
+            ),
+            F.date_format(F.date_trunc("month", "shipped_at"), "yyyy-MM").alias(
+                "shipped_m"
+            ),
+        )
+    )
+    months = om.select(F.col("placed_m").alias("m")).distinct()
+    placed = om.groupBy(F.col("placed_m").alias("m")).agg(F.count("*").alias("pn"))
+    shipped_c = (
+        om.filter(F.col("shipped_m").isNotNull())
+        .groupBy(F.col("shipped_m").alias("m"))
+        .agg(F.count("*").alias("sn"))
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        months.join(placed, "m", "left")
+        .join(shipped_c, "m", "left")
+        .select(
+            F.col("m").alias("month"),
+            F.coalesce(F.sum("pn").over(w), F.lit(0)).cast("bigint").alias("placed_cum"),
+            F.coalesce(F.sum("sn").over(w), F.lit(0)).cast("bigint").alias("shipped_cum"),
+            (
+                F.coalesce(F.sum("pn").over(w), F.lit(0))
+                - F.coalesce(F.sum("sn").over(w), F.lit(0))
+            ).cast("bigint").alias("backlog"),
+        )
+        .orderBy("month")
+    )

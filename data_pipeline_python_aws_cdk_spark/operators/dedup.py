@@ -399,10 +399,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_oracle() -> str:
+def _clusters_oracle_parts() -> tuple[str, str]:
+    """(recursive CTE chain, final member select) of the cluster oracle,
+    separated so dedup_survivors can join the membership as a subquery."""
     ctes, final = _minhash_oracle_parts()
-    return f"""
-    WITH RECURSIVE {ctes},
+    chain = f"""{ctes},
     pairs AS ({final}),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
@@ -414,10 +415,20 @@ def _clusters_oracle() -> str:
     members AS (
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
       FROM reach GROUP BY src
+    )"""
+    final_select = (
+        "SELECT cluster_id, doc_id,\n"
+        "       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size\n"
+        "FROM members"
     )
-    SELECT cluster_id, doc_id,
-           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-    FROM members
+    return chain, final_select
+
+
+def _clusters_oracle() -> str:
+    chain, final_select = _clusters_oracle_parts()
+    return f"""
+    WITH RECURSIVE {chain}
+    {final_select}
     ORDER BY cluster_id, doc_id
     """
 
@@ -886,6 +897,228 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(is_dup), 6).alias("dup_rate"),
             F.round(F.avg(F.col("t").cast("double")), 6).alias("avg_ws_tokens"),
             F.countDistinct("lang").alias("langs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- round-3 additions: survivors / containment / family audit / stats -----
+
+
+def _survivors_oracle() -> str:
+    chain, final_select = _clusters_oracle_parts()
+    return f"""
+    WITH RECURSIVE {chain},
+    clusters AS ({final_select})
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+           (c.doc_id IS NULL OR c.cluster_id = d.doc_id) AS is_survivor
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@_register("dedup_survivors", oracle=_survivors_oracle())
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's endpoint: a full-corpus keep/drop assignment.
+
+    Every document maps to its near-dup cluster (dedup_clusters: MinHash
+    LSH pairs -> exact-Jaccard verify -> connected components) and the
+    cluster's canonical representative (min doc_id) is the survivor;
+    documents in no cluster survive as singletons. This is the table a
+    training run actually consumes — ``WHERE is_survivor`` is the dedup
+    filter, and cluster_id lets audits recover what each survivor stands
+    for.
+
+    Scale shape: cluster membership is subgraph-scale (the near-dup
+    fraction); the corpus-side left join rides doc_id — one shuffle of
+    (doc_id, tiny columns), never text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    members = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    joined = d.select("doc_id").join(members, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        (
+            F.col("cluster_size").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("is_survivor"),
+    ).orderBy("doc_id")
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(common * 1.0 / ca.n, 6) AS containment_a,
+           ROUND(common * 1.0 / cb.n, 6) AS containment_b
+    FROM common c JOIN cnt ca ON ca.doc_id = c.doc_a
+                  JOIN cnt cb ON cb.doc_id = c.doc_b
+    WHERE common * 1.0 / ca.n >= {CONTAINMENT_THRESHOLD}
+       OR common * 1.0 / cb.n >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment |A∩B| / |A| — catches
+    prefix/quote/wrapper duplication that symmetric Jaccard misses (a doc
+    fully contained in a 10x longer one scores Jaccard ~0.1 but
+    containment 1.0).
+
+    Candidates come from the inverted shingle index (any shared shingle),
+    NOT from MinHash bands: band collision probability is jaccard^r, so a
+    contained-but-low-Jaccard pair — the exact case this operator exists
+    for — would almost never surface as an LSH candidate
+    (tests/test_extensions.py::test_containment_catches_planted_prefix_dup
+    plants one). Like dedup_ngram_jaccard this is the verification-scale
+    tool; the 100 TB discovery variant buckets by the K smallest shingle
+    hashes of the SMALLER set (bottom-k sketch), whose collision rate
+    tracks containment rather than Jaccard — same downstream verify.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("na"), 6).alias("containment_a"),
+            F.round(F.col("common") / F.col("nb"), 6).alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= CONTAINMENT_THRESHOLD)
+            | (F.col("containment_b") >= CONTAINMENT_THRESHOLD)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _family_compare_oracle() -> str:
+    fp = hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    ja = ORACLES["dedup_ngram_jaccard"]
+    si = ORACLES["dedup_simhash"]
+    return f"""
+    WITH fpt AS (SELECT doc_id, {fp} AS fp60 FROM documents),
+    ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM fpt a JOIN fpt b ON a.fp60 = b.fp60 AND a.doc_id < b.doc_id),
+    ja AS ({ja}),
+    si AS ({si})
+    SELECT
+      (SELECT COUNT(*) FROM ex) AS exact_pairs,
+      (SELECT COUNT(*) FROM ja) AS jaccard_pairs,
+      (SELECT COUNT(*) FROM si) AS simhash_pairs,
+      (SELECT COUNT(*) FROM ja JOIN ex USING (doc_a, doc_b)) AS jaccard_and_exact,
+      (SELECT COUNT(*) FROM ja JOIN si USING (doc_a, doc_b)) AS jaccard_and_simhash,
+      (SELECT COUNT(*) FROM si LEFT JOIN ja USING (doc_a, doc_b)
+        WHERE ja.doc_a IS NULL) AS simhash_only
+    """
+
+
+@_register("dedup_family_compare", oracle=_family_compare_oracle())
+def dedup_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement audit: pair counts and overlaps across the
+    three detector families (exact normalized-text fingerprint, n-gram
+    Jaccard >= 0.5, SimHash hamming <= 8) — the calibration table a
+    curation run reads to pick thresholds (a simhash_only count far above
+    jaccard_and_simhash means the hamming cut is too loose).
+
+    Each family's pair set is the EXISTING operator's plan (shared
+    builders, same shuffles); the comparison layer joins pair keys only —
+    subgraph-scale, never corpus-scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    fpt = d.select("doc_id", hash60(norm).alias("fp60"))
+    a = fpt.select(F.col("doc_id").alias("doc_a"), "fp60")
+    b = fpt.select(F.col("doc_id").alias("doc_b"), "fp60")
+    ex = (
+        a.join(b, "fp60")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    ja = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    si = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    cnt = lambda df, name: df.agg(F.count("*").cast("bigint").alias(name))  # noqa: E731
+    return (
+        cnt(ex, "exact_pairs")
+        .crossJoin(cnt(ja, "jaccard_pairs"))
+        .crossJoin(cnt(si, "simhash_pairs"))
+        .crossJoin(cnt(ja.join(ex, ["doc_a", "doc_b"]), "jaccard_and_exact"))
+        .crossJoin(cnt(ja.join(si, ["doc_a", "doc_b"]), "jaccard_and_simhash"))
+        .crossJoin(
+            cnt(si.join(ja, ["doc_a", "doc_b"], "left_anti"), "simhash_only")
+        )
+    )
+
+
+def _contamination_stats_oracle() -> str:
+    decon = _decon_oracle()
+    return f"""
+    WITH decon AS ({decon})
+    SELECT d.source,
+           COUNT(*) AS n_test_docs,
+           CAST(SUM(CASE WHEN c.contamination_ratio > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(AVG(c.contamination_ratio), 6) AS avg_ratio,
+           ROUND(MAX(c.contamination_ratio), 6) AS max_ratio
+    FROM decon c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@_register("corpus_contamination_stats", oracle=_contamination_stats_oracle())
+def corpus_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rollup of the train/test 8-gram audit —
+    which ingestion sources leak held-out content into the training split
+    (the number a benchmark report has to disclose per source).
+
+    Builds on corpus_decontaminate's per-doc output (one shingle-hash
+    equi-join shuffle); the rollup joins doc_id at test-split cardinality
+    and aggregates to |sources| groups.
+    """
+    decon = corpus_decontaminate(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        decon.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            F.sum(F.when(F.col("contamination_ratio") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(F.avg("contamination_ratio"), 6).alias("avg_ratio"),
+            F.round(F.max("contamination_ratio"), 6).alias("max_ratio"),
         )
         .orderBy("source")
     )

@@ -1100,3 +1100,208 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- round-3 additions: normalization / gating / entropy / profiling -------
+
+_NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@_register(
+    "text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           {_NORMALIZE_SQL} AS norm_text,
+           ({_NORMALIZE_SQL} != text) AS changed,
+           CAST(length(text) AS BIGINT) AS chars_before,
+           CAST(length({_NORMALIZE_SQL}) AS BIGINT) AS chars_after
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace, trim — the first pass of every dedup/quality
+    pipeline (exact dedup over raw bytes misses trivially-reformatted
+    copies; every downstream fingerprint should hash THIS form).
+
+    Map-only column expressions fused into the scan; no shuffle, no UDF.
+    The trailing ORDER BY is presentation-only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+        F.length("text").cast("long").alias("chars_before"),
+        F.length(norm).cast("long").alias("chars_after"),
+    ).orderBy("doc_id")
+
+
+GATE_MIN_TOKENS = 20
+GATE_MAX_PUNCT = 0.10
+GATE_MIN_STOP = 0.0  # synthetic corpus: stopword floor disabled by data
+
+
+@_register(
+    "corpus_quality_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+               * 1.0 / NULLIF(length(text), 0) AS punct_ratio
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             (n_tokens >= {GATE_MIN_TOKENS}
+              AND COALESCE(punct_ratio, 1.0) <= {GATE_MAX_PUNCT}) AS passed
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS n_pass,
+           ROUND(SUM(CASE WHEN passed THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS pass_rate
+    FROM g
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission gate: how much of each source survives the
+    pre-training quality filter (token floor + punctuation ceiling) — the
+    report a curation run reads before deciding which sources to keep.
+
+    One map-side-combined aggregation over |sources| groups; the per-doc
+    features are scan-fused expressions shared with ``text_quality``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = ws_token_count("text")
+    punct_ratio = F.try_divide(
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+        ).cast("double"),
+        F.length("text"),
+    )
+    passed = (n_tokens >= GATE_MIN_TOKENS) & (
+        F.coalesce(punct_ratio, F.lit(1.0)) <= GATE_MAX_PUNCT
+    )
+    return (
+        d.select("source", passed.alias("passed"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_pass"),
+            F.round(
+                F.sum(F.when(F.col("passed"), 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count("*"),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "text_ngram_entropy",
+    oracle="""
+    WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+                WHERE length(text) >= 2),
+    bg AS (
+      SELECT doc_id, substr(t, i, 2) AS g
+      FROM lt, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1)
+    SELECT cnt.doc_id,
+           CAST(tot.n AS BIGINT) AS n_bigrams,
+           ROUND(log2(tot.n) - SUM(c * log2(c)) / tot.n, 3) AS entropy_bits
+    FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+    GROUP BY cnt.doc_id, tot.n
+    ORDER BY cnt.doc_id
+    """,
+)
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram entropy per document — the cheap gibberish/
+    boilerplate detector (natural text sits in a narrow entropy band;
+    random bytes score high, repeated template text scores low).
+
+    H = log2(N) - sum(c_i * log2(c_i)) / N over bigram counts c_i — the
+    count-based form, so both engines sum the SAME discrete values and
+    the only float sensitivity is summation order inside one doc
+    (~1e-12, rounded at 3 decimals). Shuffle shape: (doc_id, bigram)
+    partial-count then doc rollup — two map-side-combined exchanges on
+    doc-bounded state.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    lt = d.select("doc_id", F.lower(F.col("text")).alias("t"))
+    bg = lt.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("g"),
+    )
+    cnt = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(
+                F.log2("n_bigrams") - F.col("clog") / F.col("n_bigrams"), 3
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "documents_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(floor(log2(n_chars + 1)) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, bucket
+    """,
+)
+def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per language — the length
+    profile a pipeline reads to set packing sequence length and truncation
+    policy (and to spot collapsed/truncated sources).
+
+    Tiny-group aggregation (|langs| x ~12 buckets) with map-side combine;
+    log2 of an integer is exact at bucket boundaries in both engines
+    (powers of two are representable), so bucket edges agree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.col("n_chars") + 1)).cast("int")
+    return (
+        d.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )

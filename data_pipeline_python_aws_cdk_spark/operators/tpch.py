@@ -601,3 +601,207 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@_register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, ps.suppkey, ps.supplycost
+      FROM ps JOIN part p ON p.p_partkey = ps.partkey
+      WHERE p.p_type = 'ECONOMY' AND p.p_size < 20
+    ),
+    best AS (SELECT p_partkey, MIN(supplycost) AS mincost FROM eligible GROUP BY 1)
+    SELECT e.p_partkey AS partkey, e.p_name AS part_name, s.s_name AS supp_name,
+           n.n_name AS nation, ROUND(s.s_acctbal, 2) AS acctbal,
+           ROUND(e.supplycost, 2) AS cost
+    FROM eligible e
+    JOIN best b ON b.p_partkey = e.p_partkey AND e.supplycost = b.mincost
+    JOIN supplier s ON s.s_suppkey = e.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    ORDER BY acctbal DESC, nation, supp_name, partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery over the part-supplier
+    relation, decorrelated into aggregate + self-join.
+
+    (Adapted: no partsupp table, so the part-supplier relation is derived
+    from lineitem — supply cost := the best observed unit price per
+    (part, supplier). Same plan shape: the correlated
+    ``ps_supplycost = (SELECT MIN ...)`` of the official query becomes a
+    per-part MIN aggregate joined back on equality.) Scale shape: lineitem
+    aggregates to |part x supp observed| BEFORE any join (map-side
+    combine); part's type/size filter broadcasts into that aggregate's
+    output; the min-cost join is aggregate-vs-aggregate on partkey (one
+    shuffle, AQE-reused); supplier/nation/region are broadcast dims. The
+    float-equality join key is safe cross-engine: both sides are the
+    unrounded MIN of identical IEEE divisions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 20)
+    )
+    eligible = ps.join(
+        F.broadcast(p.select("p_partkey", "p_name")),
+        ps["partkey"] == F.col("p_partkey"),
+    )
+    best = eligible.groupBy("p_partkey").agg(F.min("supplycost").alias("mincost"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        eligible.join(
+            best.withColumnRenamed("p_partkey", "bk"),
+            (F.col("bk") == eligible["p_partkey"])
+            & (F.col("supplycost") == F.col("mincost")),
+        )
+        .join(F.broadcast(dim), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            eligible["p_partkey"].alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round("supplycost", 2).alias("cost"),
+        )
+        .orderBy(
+            F.col("acctbal").desc(), "nation", "supp_name", "partkey"
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "q11_important_stock",
+    oracle="""
+    WITH nat_lines AS (
+      SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    byp AS (SELECT l_partkey AS partkey, SUM(val) AS value FROM nat_lines GROUP BY 1),
+    tot AS (SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM byp)
+    SELECT partkey, ROUND(value, 2) AS value
+    FROM byp, tot WHERE value > 2.0 * total / n_parts
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped value vs a global-scalar fraction (HAVING
+    against a scalar subquery).
+
+    (Adapted: no partsupp, so "stock value" is the traded value
+    SUM(extendedprice * quantity) of each part through the nation's
+    suppliers.) The nation's supplier keys broadcast into the lineitem
+    scan (semi-join prune before the aggregate), the per-part aggregation
+    is the single fact shuffle, and the grand total re-aggregates the
+    per-part output (tiny) and broadcasts back as a 1-row cross join —
+    the decorrelated scalar-subquery pattern that avoids a second corpus
+    scan. The threshold is self-normalizing (2x the mean per-part value,
+    the official query's 0.0001/SF scaling done data-driven) so the query
+    stays selective at every scale factor.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    byp = (
+        li.join(F.broadcast(nat_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+        )
+    )
+    tot = byp.agg(F.sum("value").alias("total"), F.count("*").alias("n_parts"))
+    return (
+        byp.join(F.broadcast(tot))
+        .filter(F.col("value") > 2.0 * F.col("total") / F.col("n_parts"))
+        .select("partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@_register(
+    "q20_potential_promotion",
+    oracle="""
+    WITH qty96 AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    ptot AS (SELECT partkey, SUM(qty) AS total_qty FROM qty96 GROUP BY 1),
+    dominant AS (
+      SELECT q.suppkey FROM qty96 q
+      JOIN ptot t ON t.partkey = q.partkey
+      JOIN part p ON p.p_partkey = q.partkey
+      WHERE p.p_name LIKE 'small%' AND q.qty > 0.5 * t.total_qty
+    )
+    SELECT s.s_name AS supp_name, n.n_name AS nation,
+           ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT suppkey FROM dominant)
+    ORDER BY supp_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested aggregate threshold inside a semi-join chain
+    (suppliers who dominate supply of promo-class parts).
+
+    (Adapted: no partsupp/availqty, so "has excess stock" becomes
+    "shipped more than half of the part's 1996 volume".) Two-level
+    aggregation on the same shuffle key — (part, supp) then part — so
+    AQE reuses the first exchange for the second rollup; the part-name
+    filter broadcasts; the dominant-supplier key set drives a left-semi
+    join into the supplier dim (never widening fact rows). The shipdate
+    window pushes into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qty96 = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    ptot = qty96.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    dominant = (
+        qty96.join(ptot.withColumnRenamed("partkey", "tk"), F.col("tk") == qty96["partkey"])
+        .join(F.broadcast(p.select("p_partkey")), qty96["partkey"] == F.col("p_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s["s_suppkey"] == F.col("suppkey"), "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("supp_name")
+    )

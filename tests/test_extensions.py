@@ -602,3 +602,96 @@ def test_ivf_persisted_index_prunes_partitions_and_matches_inline(spark, tmp_pat
 
     m = re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*INSET", plan)
     assert m is not None, "centroid INSET missing from index scan PartitionFilters"
+
+
+# --- round-3 additions -------------------------------------------------------
+
+
+def test_containment_catches_planted_prefix_dup(spark, tmp_path):
+    """A doc fully contained in a 5x longer one: Jaccard ~0.2 (below the 0.5
+    near-dup cut) but containment_a = 1.0 — exactly the asymmetric case
+    minhash_containment exists for."""
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    outer = inner + "lambda mu nu xi omicron pi rho sigma tau upsilon " * 16
+    far = "one two three four five six seven eight nine ten " * 10
+    df = spark.createDataFrame(
+        [(1, inner, "en", "s", len(inner)), (2, outer, "en", "s", len(outer)),
+         (3, far, "en", "s", len(far))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "docs_cont"
+    df.write.parquet(f"{out}/documents.parquet")
+    rows = {(r.doc_a, r.doc_b): r for r in
+            dedup.dedup_containment(spark, str(out)).collect()}
+    assert (1, 2) in rows
+    assert rows[(1, 2)].containment_a == 1.0  # inner fully inside outer
+    assert rows[(1, 2)].containment_b < 0.5
+    # and the symmetric Jaccard path does NOT flag it
+    ja = {(r.doc_a, r.doc_b) for r in
+          dedup.dedup_ngram_jaccard(spark, str(out)).collect()}
+    assert (1, 2) not in ja
+
+
+def test_survivors_full_corpus_assignment(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2", 1)
+    far = "one two three four five six seven eight nine ten " * 10
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, near, "en", "s", 1), (3, far, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "docs_surv"
+    df.write.parquet(f"{out}/documents.parquet")
+    rows = {r.doc_id: r for r in dedup.dedup_survivors(spark, str(out)).collect()}
+    assert set(rows) == {1, 2, 3}  # every doc gets an assignment
+    assert rows[1].is_survivor and rows[1].cluster_id == 1
+    assert not rows[2].is_survivor and rows[2].cluster_id == 1
+    assert rows[3].is_survivor and rows[3].cluster_size == 1  # singleton
+
+
+def test_text_normalize_is_idempotent(spark):
+    out = text.text_normalize(spark, SF_SMOKE).select("norm_text")
+    renorm = out.select(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("norm_text")), "[^a-z0-9\\s]", ""),
+                "\\s+",
+                " ",
+            )
+        ).alias("again"),
+        "norm_text",
+    )
+    assert renorm.filter(F.col("again") != F.col("norm_text")).count() == 0
+
+
+def test_quantize_codes_bounded_and_reconstructible(spark):
+    rows = similarity.embedding_quantize(spark, SF_SMOKE).collect()
+    assert rows
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import QUANT_LEVELS
+    for r in rows:
+        # 64 dims x [0, 255] codes
+        assert 0 <= r.code_sum <= 64 * QUANT_LEVELS
+        assert 0 <= r.n_low <= 64 and 0 <= r.n_high <= 64
+    # per-dim min/max are corpus-wide extremes: every dimension has exactly
+    # one vector at code 0 and one at 255, so saturation exists somewhere
+    assert sum(r.n_low for r in rows) >= 64
+    assert sum(r.n_high for r in rows) >= 64
+
+
+def test_session_funnel_is_monotone(spark):
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    row = analytics.events_session_funnel(spark, SF_SMOKE).collect()[0]
+    assert row.sessions >= row.with_view >= row.view_then_click >= row.view_click_purchase
+    assert row.view_then_click > 0  # the 10k-event smoke data converts
+
+
+def test_backlog_conservation(spark):
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    rows = analytics.orders_backlog_asof(spark, SF_SMOKE).collect()
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert rows[-1].placed_cum == n_orders  # every order eventually placed
+    for r in rows:
+        assert r.backlog == r.placed_cum - r.shipped_cum >= 0
