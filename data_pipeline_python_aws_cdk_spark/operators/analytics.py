@@ -1993,10 +1993,18 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase *before* the first view does not count, unlike the global
     funnel in events_conversion_funnel).
 
-    Shape: sessionize with two windows (lag + running sum) on the same
-    (user_id, ts) sort — ONE shuffle; the three funnel stages re-aggregate
-    on the (user_id, session_id) key, so every later exchange rides the
-    same partitioning (AQE-reused). State per group is 3 timestamps.
+    Shape: sessionize with two windows (lag + running sum) on ONE
+    (user_id, ts) sort, then ONE (user_id, session_id) aggregation packs
+    each session's (ts, type) events into a sorted array; the dependent
+    funnel milestones (click-after-view needs the view time first) are
+    higher-order-function projections over that array — no second pass.
+    The naive three-stage spelling (aggregate mv, join back, aggregate mc,
+    join back, ...) re-references the sessionized subtree, and window
+    results are not exchanges, so Catalyst re-EXECUTES the corpus sort per
+    reference — six sorts at test scale; the gate
+    tests/test_plans.py::test_session_funnel_single_sessionize_sort pins
+    the single-sort shape. Session arrays are session-sized (bounded by
+    the 30-min gap), so collect_list state stays small at any corpus size.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2009,50 +2017,50 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).select("user_id", "session_id", "ts", "event_type")
-    key = ["user_id", "session_id"]
-    v = sess.groupBy(*key).agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("mv")
+    packed = sess.groupBy("user_id", "session_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
-    c = (
-        sess.join(v, key)
-        .groupBy(*key)
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("mv")),
-                    F.col("ts"),
-                )
-            ).alias("mc")
-        )
+    # F.get is NULL out-of-bounds (vs ANSI element_at, which raises), so an
+    # empty filter result propagates NULL through the milestone chain.
+    mv = F.get(
+        F.filter("evs", lambda e: e["event_type"] == F.lit("view")), 0
+    )["ts"]
+    milestones = packed.select(
+        F.col("evs").alias("evs"), mv.alias("mv")
+    ).select(
+        "mv",
+        F.get(
+            F.filter(
+                "evs",
+                lambda e: (e["event_type"] == F.lit("click"))
+                & (e["ts"] >= F.col("mv")),
+            ),
+            0,
+        )["ts"].alias("mc"),
+        "evs",
+    ).select(
+        "mv",
+        "mc",
+        F.get(
+            F.filter(
+                "evs",
+                lambda e: (e["event_type"] == F.lit("purchase"))
+                & (e["ts"] >= F.col("mc")),
+            ),
+            0,
+        )["ts"].alias("mp"),
     )
-    p = (
-        sess.join(c, key)
-        .groupBy(*key)
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") >= F.col("mc")),
-                    F.col("ts"),
-                )
-            ).alias("mp")
-        )
-    )
-    return (
-        v.join(c, key)
-        .join(p, key)
-        .agg(
-            F.count("*").alias("sessions"),
-            F.sum(F.when(F.col("mv").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("with_view"),
-            F.sum(F.when(F.col("mc").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("view_then_click"),
-            F.sum(F.when(F.col("mp").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("view_click_purchase"),
-        )
+    return milestones.agg(
+        F.count("*").alias("sessions"),
+        F.sum(F.when(F.col("mv").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("with_view"),
+        F.sum(F.when(F.col("mc").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("view_then_click"),
+        F.sum(F.when(F.col("mp").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("view_click_purchase"),
     )
 
 

@@ -1122,3 +1122,98 @@ def corpus_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BOTTOMK_K = 8  # bottom-k sketch width; P(candidate | containment c) = 1-(1-c)^K
+
+
+def _containment_bottomk_oracle() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hsh AS (SELECT DISTINCT doc_id, {hash60_sql('s')} AS h FROM shm),
+    cnt AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+    bk AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM hsh
+      ) WHERE rn <= {BOTTOMK_K}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a JOIN hsh b ON a.h = b.h
+      WHERE a.doc_id != b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
+                  JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, ROUND(common * 1.0 / ca.n, 6) AS containment
+    FROM common c JOIN cnt ca ON ca.doc_id = c.doc_a
+    WHERE common * 1.0 / ca.n >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dedup_containment_bottomk", oracle=_containment_bottomk_oracle())
+def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-scale containment: bottom-k sketch candidates + exact
+    verification — the 100 TB path `dedup_containment` (all-pairs
+    inverted index) names. Directional: (doc_a, doc_b, containment of A's
+    shingle set inside B's).
+
+    Why bottom-k and not MinHash bands: A's k smallest shingle hashes are
+    a uniform sample of A's set, so if containment(A in B) = c, each
+    sampled hash lands in B with probability c and a candidate fires with
+    p = 1-(1-c)^k (k=8, c=0.6 -> 0.9993) — the collision rate tracks
+    CONTAINMENT, where band collisions track Jaccard and miss contained
+    docs (see dedup_containment's planted-case test). Both sides of the
+    candidate join derive map-side from ONE corpus groupBy into per-doc
+    sorted hash-set arrays (bottom-k = slice, index = explode; exchange
+    reused), so the only corpus-scale shuffles are that groupBy and the
+    k-vs-index equi-join on the hash — decontaminate's proven shape.
+    Candidates-only exact verification reuses the broadcast-set pattern.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashed = _shingles(d, distinct=False).select(
+        "doc_id", hash60(F.col("s")).alias("h")
+    )
+    sets = (
+        hashed.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("sset"))
+        .withColumn("n", F.size("sset"))
+    )
+    bk = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.slice("sset", 1, BOTTOMK_K)).alias("h"),
+    )
+    idx = sets.select(F.col("doc_id").alias("doc_b"), F.explode("sset").alias("h"))
+    cand = (
+        bk.join(idx, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    vsets = sets.join(F.broadcast(cand_ids), "doc_id")
+    sa = F.broadcast(vsets).alias("ba")
+    sb = F.broadcast(vsets).alias("bb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("ba.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("bb.doc_id"))
+        .withColumn(
+            "common",
+            F.size(F.array_intersect(F.col("ba.sset"), F.col("bb.sset"))),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("ba.n"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

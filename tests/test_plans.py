@@ -199,6 +199,8 @@ QUADRATIC_BY_DESIGN = {
                              # count): broadcasting a scalar, not a relation
     "q22_idle_rich_customers",  # cross join against a ONE-ROW average, same class
     "text_lm_score",            # cross join against the ONE-ROW corpus token count
+    "q11_important_stock",      # cross join against the ONE-ROW grand total, same class
+    "dedup_family_compare",     # crossJoins of six ONE-ROW pair-count aggregates
     "events_key_skew_profile",  # cross join against the ONE-ROW key-count totals
 }
 
@@ -445,3 +447,50 @@ def test_q19_part_side_prefilter_reaches_scan(spark):
     m = re.search(r"PushedFilters: \[[^\]]*In\(p_brand", plan)
     assert m is not None, "p_brand IN filter did not reach the part scan"
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_profile_broadcasts_no_cartesian(spark):
+    # The 64-row per-dim min/max profile must broadcast into the code pass;
+    # a shuffle (or cartesian) here would move the corpus for a metadata-
+    # sized table. Aggregation must be partial (map-side combine) on both
+    # the profile and the per-vector rollup.
+    plan = _plan(similarity.embedding_quantize(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine on the aggregates
+
+
+def test_session_funnel_single_sessionize_sort(spark):
+    # Sessionization (lag + cumulative sum — two Window nodes by design)
+    # must ride ONE (user_id, ts) sort and ONE events scan. The naive
+    # aggregate/join-back/aggregate spelling re-references the sessionized
+    # subtree, and window results are not exchanges, so Catalyst would
+    # re-execute the corpus sort per reference (six sorts observed before
+    # the array-HOF rewrite).
+    plan = _plan(analytics.events_session_funnel(spark, SF_SMOKE))
+    assert plan.count("Sort [") == 1
+    assert plan.count("Window [") == 2
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_backlog_has_no_range_join(spark):
+    # The as-of backlog must be the cumulative-count formulation: per-month
+    # aggregates + a window over |months| rows — never the O(orders x
+    # months) inequality join (BroadcastNestedLoopJoin / CartesianProduct).
+    plan = _plan(analytics.orders_backlog_asof(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window [" in plan
+
+
+def test_length_histogram_is_metadata_scale_agg(spark):
+    # lang x ~12 log2 buckets: the aggregate must partial-combine map-side
+    # and read only (lang, n_chars) from the scan.
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    plan = _plan(text.documents_length_histogram(spark, SF_SMOKE))
+    assert "partial_" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # bodies never read
+    assert "lang" in read_schema and "n_chars" in read_schema
