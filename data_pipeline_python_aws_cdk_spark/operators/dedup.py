@@ -1217,3 +1217,103 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14 — public
+    algorithm). ``edges`` is undirected, kept as (u, v) pairs with u != v;
+    returns the contracted edge set.
+
+    - large-star: every neighbor v > u re-attaches to m = min(N(u) ∪ u).
+    - small-star: every neighbor v <= u (and u itself) attaches to
+      m = min of that down-neighborhood.
+    Each phase is one groupBy(u) min-aggregation plus a self-join on u —
+    subgraph-scale shuffles keyed by node id.
+    """
+    both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # large-star
+    m = both.groupBy("u").agg(F.min("v").alias("minv"))
+    m = m.select("u", F.least("minv", F.col("u")).alias("m"))
+    ls = (
+        both.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # small-star over the contracted edges (directed to the smaller id)
+    down = ls.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+    ss = (
+        down.join(m2, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(down.join(m2, "u").select("u", "m"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return ss
+
+
+@_register("dedup_clusters_star", oracle=_clusters_oracle())
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — the O(log n)-round scale path `dedup_clusters` names as
+    its fallback for adversarially long duplicate chains (plain min-label
+    propagation needs ~diameter rounds; star contraction halves chain
+    length every round). Same verified near-dup pair input, same oracle,
+    same (cluster_id, doc_id, cluster_size) output — the two formulations
+    must agree exactly (tests/test_extensions.py::
+    test_star_contraction_matches_propagation_on_long_chain pins a
+    200-node chain, star's worst-published case).
+
+    Round state is the contracted edge set (monotonically shrinking,
+    subgraph-scale); per-round cost is two min-aggregations + self-joins
+    keyed by node id, localCheckpoint-ed so lineage stays one round deep.
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint()
+    members = star_components(edges)
+    from pyspark.sql import Window
+
+    return members.select(
+        "cluster_id",
+        "doc_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    ).orderBy("cluster_id", "doc_id")
+
+
+def star_components(edges: DataFrame) -> DataFrame:
+    """Run star contraction to a fixpoint over an undirected (u, v) edge
+    set; returns (doc_id, cluster_id) membership for every non-isolated
+    node, cluster_id = component min. Round count is O(log n) in chain
+    length (the adversarial case for plain propagation)."""
+    edges = edges.filter(F.col("u") != F.col("v"))
+    prev = None
+    while True:
+        edges = _star_round(edges).localCheckpoint()
+        # Convergence: the edge set is a fixpoint of the contraction. Edge
+        # count alone can ping-pong between isomorphic sets, so compare
+        # content via an order-insensitive checksum (cheap: edge-scale agg).
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("s"),
+        ).first()
+        cur = (sig.n, sig.s)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint edges form stars (v -> component min). Membership: every
+    # node that appears, mapped to its min; roots map to themselves.
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
+        .union(edges.select(F.col("v").alias("doc_id"), F.col("v").alias("label")))
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("cluster_id"))
+    )

@@ -803,3 +803,190 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+QUANT_SHORTLIST = 2 * TOP_K  # quantized-score shortlist reranked exactly
+
+
+def _ann_quantized_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    ac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN cent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM ac
+    ),
+    assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    ),
+    ex AS (
+      SELECT vec_id, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) u(i)
+    ),
+    st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY pos),
+    codes AS (
+      SELECT ex.vec_id, ex.pos,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE CAST(round((ex.v - st.mn) * {QUANT_LEVELS}
+                                  / (st.mx - st.mn)) AS BIGINT) END AS code
+      FROM ex JOIN st ON st.pos = ex.pos
+    ),
+    qscore AS (
+      SELECT c.query_id, c.neighbor_id, SUM(qa.code * qb.code) AS score
+      FROM cand c JOIN codes qa ON qa.vec_id = c.query_id
+                  JOIN codes qb ON qb.vec_id = c.neighbor_id
+                                AND qb.pos = qa.pos
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS srn
+        FROM qscore
+      ) WHERE srn <= {QUANT_SHORTLIST}
+    ),
+    p2 AS (
+      SELECT s.query_id, s.neighbor_id, a.embedding AS qe, b.embedding AS ne
+      FROM shortlist s JOIN embeddings a ON a.vec_id = s.query_id
+                       JOIN embeddings b ON b.vec_id = s.neighbor_id
+    ),
+    d AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+          FROM p2, generate_series(1, {DIM}) g(i)
+          GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+    """
+
+
+@_register("similarity_ann_quantized", oracle=_ann_quantized_oracle())
+def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with int8-quantized candidate scoring + exact rerank —
+    the memory-tier ANN architecture: inverted lists hold 64-byte code
+    vectors (4x smaller than float32, 8x than float64), the probe scores
+    candidates with integer dot products, and only a 2k shortlist ever
+    touches full-precision embeddings. At billion-vector scale this is
+    what keeps the serving index in RAM; the full-precision table stays
+    on cheap storage and is read shortlist-sized.
+
+    Scoring arithmetic is all-integer (codes from embedding_quantize's
+    per-dim profile), so Spark and DuckDB agree bit-for-bit with no
+    float-order exposure until the exact rerank, which follows
+    similarity_ann_ivf's rounding convention. Plan shape: the code table
+    derives from one posexplode groupBy; candidate scoring is a zip_with
+    map over broadcast query codes; the rerank reuses the broadcast
+    query-vector pattern.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    ac = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
+    assign = (
+        ac.withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    probes = (
+        ac.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # int8 code vectors: per-dim profile (64 rows, broadcast) -> codes as a
+    # pos-ordered array per vector, derived in one groupBy.
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    st = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.round(
+            (F.col("v") - F.col("mn")) * QUANT_LEVELS / (F.col("mx") - F.col("mn"))
+        ).cast("long")
+    )
+    codes = (
+        ex.join(F.broadcast(st), "pos")
+        .select("vec_id", "pos", code.alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+    qc = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    nc = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("ncodes")
+    )
+    score = F.aggregate(
+        F.zip_with("qcodes", "ncodes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(qc), "query_id")
+        .join(nc, "neighbor_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    shortlist = (
+        scored.withColumn("srn", F.row_number().over(w_s))
+        .filter(F.col("srn") <= QUANT_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    rer = (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_arrow(F.col("qe"), F.col("ne")).alias("c"),
+        )
+    )
+    w_r = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w_r))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+    )

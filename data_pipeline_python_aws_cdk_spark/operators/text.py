@@ -1305,3 +1305,70 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+MIXTURE_BUDGET_FRAC = 0.5  # training budget as a fraction of corpus tokens
+
+
+@_register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS avail
+      FROM documents GROUP BY source
+    ),
+    g AS (SELECT SUM(avail) AS corpus_tokens, COUNT(*) AS n_sources FROM t)
+    SELECT t.source,
+           CAST(t.avail AS BIGINT) AS tokens_available,
+           CAST(FLOOR({MIXTURE_BUDGET_FRAC} * g.corpus_tokens / g.n_sources)
+                AS BIGINT) AS uniform_share,
+           CAST(LEAST(t.avail,
+                FLOOR({MIXTURE_BUDGET_FRAC} * g.corpus_tokens / g.n_sources))
+                AS BIGINT) AS tokens_target,
+           ROUND(LEAST(t.avail,
+                 FLOOR({MIXTURE_BUDGET_FRAC} * g.corpus_tokens / g.n_sources))
+                 * 1.0 / t.avail, 6) AS sample_rate,
+           (t.avail < FLOOR({MIXTURE_BUDGET_FRAC} * g.corpus_tokens
+                            / g.n_sources)) AS underfilled
+    FROM t, g
+    ORDER BY t.source
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budgeting: given a token budget (50% of the corpus)
+    and a uniform target mixture over sources, the per-source sampling
+    plan — available tokens, the uniform share, the capped target, the
+    sampling rate a downsampler would apply, and an `underfilled` flag for
+    sources too small to fill their share (the signal to re-weight or
+    up-epoch them). The table a data-mixture config is generated from.
+
+    One map-side-combined per-source aggregation plus a broadcast 1-row
+    corpus total — no second scan, no shuffle beyond |sources| groups.
+    Closed-form (no waterfill redistribution): deficits are REPORTED, not
+    silently reallocated — re-weighting is a policy decision.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(ws_token_count("text")).alias("avail")
+    )
+    g = t.agg(
+        F.sum("avail").alias("corpus_tokens"), F.count("*").alias("n_sources")
+    )
+    share = F.floor(
+        F.lit(MIXTURE_BUDGET_FRAC) * F.col("corpus_tokens") / F.col("n_sources")
+    )
+    return (
+        t.join(F.broadcast(g))
+        .select(
+            "source",
+            F.col("avail").cast("bigint").alias("tokens_available"),
+            share.cast("bigint").alias("uniform_share"),
+            F.least(F.col("avail"), share).cast("bigint").alias("tokens_target"),
+            F.round(
+                F.least(F.col("avail"), share) * F.lit(1.0) / F.col("avail"), 6
+            ).alias("sample_rate"),
+            (F.col("avail") < share).alias("underfilled"),
+        )
+        .orderBy("source")
+    )

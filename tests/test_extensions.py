@@ -695,3 +695,47 @@ def test_backlog_conservation(spark):
     assert rows[-1].placed_cum == n_orders  # every order eventually placed
     for r in rows:
         assert r.backlog == r.placed_cum - r.shipped_cum >= 0
+
+
+def test_star_contraction_matches_propagation_on_long_chain(spark):
+    """A 200-node path graph — the adversarial case where plain min-label
+    propagation needs ~200 rounds; star contraction must collapse it to
+    one component (min id 0) in O(log n) rounds, plus a multi-component
+    mix to catch cross-component label bleed."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    chain = [(i, i + 1) for i in range(199)]           # component: 0..199
+    ring = [(1000 + i, 1000 + (i + 1) % 50) for i in range(50)]  # 1000..1049
+    pair = [(5000, 5001)]
+    edges = spark.createDataFrame(chain + ring + pair, "u long, v long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.star_components(edges).collect()
+    }
+    want = {(i, 0) for i in range(200)}
+    want |= {(1000 + i, 1000) for i in range(50)}
+    want |= {(5000, 5000), (5001, 5000)}
+    assert got == want
+
+
+def test_ann_quantized_finds_planted_near_duplicate(spark, tmp_path):
+    """int8 coarse scoring must keep a 0.999-cosine copy in the shortlist
+    and the exact rerank must return it at rank 1 — quantization noise may
+    reorder the tail, never the planted near-dup."""
+    import random
+
+    rnd = random.Random(17)
+    dim = similarity.DIM
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    q = vec()
+    near = [x + rnd.gauss(0, 0.01) for x in q]
+    rows = [(0, q, 0), (100, near, 0)] + [(i, vec(), 1) for i in range(101, 300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "emb_q"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    res = similarity.similarity_ann_quantized(spark, str(out)).collect()
+    top = {r.query_id: r.neighbor_id for r in res if r.rank == 1}
+    assert top.get(0) == 100

@@ -201,6 +201,8 @@ QUADRATIC_BY_DESIGN = {
     "text_lm_score",            # cross join against the ONE-ROW corpus token count
     "q11_important_stock",      # cross join against the ONE-ROW grand total, same class
     "dedup_family_compare",     # crossJoins of six ONE-ROW pair-count aggregates
+    "similarity_ann_quantized", # corpus x 16-row centroid broadcast (same as ann_ivf)
+    "corpus_mixture_plan",      # cross join against the ONE-ROW corpus total
     "events_key_skew_profile",  # cross join against the ONE-ROW key-count totals
 }
 
