@@ -582,3 +582,70 @@ def streaming_hourly_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, _stream_dir(sf_dir))
     out = _drain(spark, hourly_event_counts(stream), "append")
     return out.orderBy("window_start", "event_type")
+
+
+def _doc_stream_dir(sf_dir: str) -> str:
+    """Stage a streaming-source directory for documents.parquet (same
+    zero-copy symlink trick as _stream_dir)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark-graft-docstream-{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+@_register(
+    "streaming_dedup_exact",
+    oracle=(
+        "WITH fp AS (SELECT doc_id,\n"
+        "  ('0x' || substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp60\n"
+        "  FROM documents)\n"
+        "SELECT fp60, MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies\n"
+        "FROM fp GROUP BY fp60"
+    ),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: the exact-dedup operator as a streaming
+    aggregation over a document stream — each micro-batch of newly
+    ingested documents folds into the per-fingerprint (keep_doc_id,
+    copies) state, so the dedup table is continuously current instead of
+    recomputed per batch job. Complete-mode drain over the static file;
+    the oracle is batch dedup_exact's.
+
+    Deliberately a groupBy-min aggregation, NOT dropDuplicates: streaming
+    dropDuplicates keeps the first ARRIVAL, which is partition-order
+    dependent (non-deterministic under reshuffling); min(doc_id) is the
+    same canonical-survivor rule the batch ladder uses. State is one
+    (fp60, min, count) row per distinct fingerprint — the streaming twin
+    of the map-side-combined batch shuffle. At 100 TB the unbounded key
+    domain would move this to update mode + a TTL'd state store or an
+    upsert sink (run_upsert_sink) keyed on fp60.
+    """
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import hash60
+    from data_pipeline_python_aws_cdk_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(_doc_stream_dir(sf_dir))
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    agg = (
+        stream.select("doc_id", hash60(normalized).alias("fp60"))
+        .groupBy("fp60")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("copies"))
+    )
+    return _drain(spark, agg, "complete")
