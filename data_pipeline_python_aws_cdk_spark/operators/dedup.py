@@ -1317,3 +1317,185 @@ def star_components(edges: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("label").alias("cluster_id"))
     )
+
+
+def _incremental_oracle() -> str:
+    fp = hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    base = hash60_sql("s")
+    r = MINHASH_K // MINHASH_BANDS
+    min_cols = ", ".join(
+        f"MIN(({MINHASH_A[i]} * (base % {MINHASH_PRIME}) + {MINHASH_B[i]})"
+        f" % {MINHASH_PRIME}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = ",\n            ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || ',' || ".join(f"m{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH split AS (
+      SELECT doc_id, text, source = 'src0' AS is_new FROM documents
+    ),
+    fpt AS (SELECT doc_id, is_new, {fp} AS fp60 FROM split),
+    corpus_fp AS (SELECT DISTINCT fp60 FROM fpt WHERE NOT is_new),
+    {_SHINGLES_CTE.replace("FROM documents", "FROM split")},
+    hb AS (SELECT sh.doc_id, s2.is_new, {base} AS base
+           FROM sh JOIN split s2 ON s2.doc_id = sh.doc_id),
+    mh AS (SELECT doc_id, is_new, {min_cols} FROM hb GROUP BY doc_id, is_new),
+    bands AS (SELECT doc_id, is_new, bb.band, bb.bkey
+              FROM mh, LATERAL (VALUES
+            {band_rows}) AS bb(band, bkey)),
+    hits AS (
+      SELECT n.doc_id, COUNT(DISTINCT c.doc_id) AS near_candidates
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.bkey = c.bkey AND NOT c.is_new
+      WHERE n.is_new
+      GROUP BY n.doc_id
+    )
+    SELECT f.doc_id,
+           (cf.fp60 IS NOT NULL) AS exact_dup,
+           CAST(COALESCE(h.near_candidates, 0) AS BIGINT) AS near_candidates,
+           (cf.fp60 IS NOT NULL OR COALESCE(h.near_candidates, 0) > 0) AS quarantine
+    FROM fpt f
+    LEFT JOIN corpus_fp cf ON cf.fp60 = f.fp60
+    LEFT JOIN hits h ON h.doc_id = f.doc_id
+    WHERE f.is_new
+    ORDER BY f.doc_id
+    """
+
+
+@_register("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: screen a NEW batch (here: source src0, the
+    stand-in for today's ingest drop) against the existing corpus without
+    re-deduplicating the corpus — the shape a daily pipeline actually
+    runs. Per new document: exact duplicate of the corpus (normalized
+    fingerprint), count of corpus-side MinHash band collisions, and the
+    quarantine verdict a curation queue consumes.
+
+    Scale shape: the corpus side reduces to (a) a distinct fingerprint
+    set and (b) the banded signature index — both O(corpus) narrow rows
+    a production run PERSISTS and reads back (ivf_build_index-style), so
+    a day's increment costs O(batch) signatures + two equi-joins against
+    the index, not a corpus rescan. Here both sides derive in one plan:
+    the signature groupBy is shared by the batch and corpus branches via
+    exchange reuse (same aggregate, filtered after), and the fingerprint
+    probe is a broadcast of the BATCH side (small) against the corpus
+    fingerprint stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = d.withColumn("is_new", F.col("source") == "src0")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    fpt = split.select("doc_id", "is_new", hash60(norm).alias("fp60"))
+    corpus_fp = fpt.filter(~F.col("is_new")).select("fp60").distinct()
+    new_fp = fpt.filter(F.col("is_new")).select("doc_id", "fp60")
+    exact = new_fp.join(
+        corpus_fp.withColumn("hit", F.lit(1)), "fp60", "left"
+    ).select("doc_id", F.col("hit").isNotNull().alias("exact_dup"))
+
+    base = hash60(F.col("s")) % MINHASH_PRIME
+    sh = _shingles(split, distinct=False)
+    hb = sh.join(
+        split.select("doc_id", "is_new"), "doc_id"
+    ).select("doc_id", "is_new", base.alias("base"))
+    mins = hb.groupBy("doc_id", "is_new").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("base") + F.lit(MINHASH_B[i]))
+                % MINHASH_PRIME
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * r + j}").cast("string") for j in range(r)],
+                )
+            ).alias("bkey"),
+        )
+        for band in range(MINHASH_BANDS)
+    ]
+    bands = mins.select(
+        "doc_id", "is_new", F.explode(F.array(*band_structs)).alias("bc")
+    ).select("doc_id", "is_new", F.col("bc.band").alias("band"), F.col("bc.bkey").alias("bkey"))
+    n_side = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band", "bkey"
+    )
+    c_side = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bkey"
+    )
+    hits = (
+        n_side.join(c_side, ["band", "bkey"])
+        .groupBy("new_id")
+        .agg(F.count_distinct("corpus_id").alias("near_candidates"))
+    )
+    return (
+        exact.join(hits.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("near_candidates", F.lit(0)).cast("bigint").alias(
+                "near_candidates"
+            ),
+            (
+                F.col("exact_dup") | (F.coalesce("near_candidates", F.lit(0)) > 0)
+            ).alias("quarantine"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _embedding_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_embedding_cosine_oracle()}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    members AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT cluster_id, doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM members
+    ORDER BY cluster_id, doc_id
+    """
+
+
+@_register("dedup_embedding_clusters", oracle=_embedding_clusters_oracle())
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters: embedding-cosine near-dup pairs
+    (paraphrases the shingle ladder can't see) resolved into connected
+    components by star contraction — the same composition dedup_clusters
+    applies to the lexical pair stream, proving the cluster stage is
+    pair-source agnostic. Output contract matches dedup_clusters.
+
+    Scale: pair discovery is the LSH-bucketed embedding path (near-linear
+    candidates); contraction state is subgraph-scale with O(log n) rounds.
+    """
+    pairs = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    members = star_components(edges)
+    from pyspark.sql import Window
+
+    return members.select(
+        "cluster_id",
+        "doc_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    ).orderBy("cluster_id", "doc_id")
