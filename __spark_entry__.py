@@ -39,6 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     re-verify against the driver, its r02 green predates the change),
 #   * the round-3 additions (new TPC-H shapes + new pipeline operators).
 # Union over rounds = full driver-verified coverage.
+#
+# Round-4 rotation set (added late in round 3, overflow this round; each
+# holds a green local-differential result at sf0.01 AND sf0.1 plus the
+# SPARK_GRAFT_SHUFFLE=7 sweep): dedup_containment_bottomk,
+# dedup_clusters_star, dedup_incremental, dedup_embedding_clusters,
+# corpus_mixture_plan, similarity_ann_quantized, streaming_dedup_exact,
+# approx_sketch_estimates (rows-only by design).
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",
