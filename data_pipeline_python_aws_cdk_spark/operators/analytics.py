@@ -1174,38 +1174,65 @@ def events_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     error bounds as booleans the oracle can assert hard:
     - `users_within_eps`: |HLL - exact| <= 3*rsd*exact (3 sigma of the
       configured 2% relative standard deviation);
-    - `p50/p95_within_tol`: the sketch value lies between the exact
-      percentiles at rank q +/- 1% — true for ANY merge order because
-      approx_percentile's rank error is bounded by n/accuracy = 0.01% << 1%.
-    A wrong sketch configuration flips a boolean and fails the hash. The
-    error-magnitude test in tests/test_extensions.py stays as the tighter
-    local gate; `approx_sketch_estimates` (below, rows-only) keeps the raw
-    estimates available as an operator output.
+    - `p50/p95_within_tol`: a RANK-domain check — the sketch value's rank
+      interval [#(< v)+1, #(<= v)] within its group must intersect
+      [(q-tol)*n, (q+tol)*n] with tol=1%. approx_percentile always returns
+      an actual element with rank error <= n/accuracy = 0.01% << tol, so
+      this holds for ANY merge order; unlike a value-domain band between
+      interpolated exact percentiles, it cannot be vacuously empty on tiny
+      groups (at n=4 the interpolated [p49, p51] interval contains no
+      element at all, so any actual element would "fail" a value check).
+    The rank counts need the sketch value per row, so the plan re-scans
+    events once and broadcast-joins the 5-row aggregate back (null-safe on
+    event_type so a NULL group keeps its verdict); the second aggregation
+    map-side combines to |event_type| rows. A wrong sketch configuration
+    flips a boolean and fails the hash. The error-magnitude test in
+    tests/test_extensions.py stays as the tighter local gate;
+    `approx_sketch_estimates` (below, rows-only) keeps the raw estimates
+    available as an operator output.
     """
     ev = load_table(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", [0.5, 0.95], 10_000)
-    exact_pcts = F.expr(
-        "percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D))"
-    )
     agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("au"),
-        pcts.alias("ap"),
-        exact_pcts.alias("ex"),
+        pcts.getItem(0).alias("ap50"),
+        pcts.getItem(1).alias("ap95"),
+        F.count("value").alias("n"),
     )
-    return agg.select(
-        "event_type",
+    agg = agg.withColumnRenamed("event_type", "g_event_type")
+    ranks = (
+        ev.select("event_type", "value")
+        .join(
+            F.broadcast(agg),
+            F.col("event_type").eqNullSafe(F.col("g_event_type")),
+        )
+        .groupBy("g_event_type", "exact_users", "au", "ap50", "ap95", "n")
+        .agg(
+            F.count(F.when(F.col("value") <= F.col("ap50"), 1)).alias("le50"),
+            F.count(F.when(F.col("value") < F.col("ap50"), 1)).alias("lt50"),
+            F.count(F.when(F.col("value") <= F.col("ap95"), 1)).alias("le95"),
+            F.count(F.when(F.col("value") < F.col("ap95"), 1)).alias("lt95"),
+        )
+    )
+
+    def rank_ok(le, lt, q):
+        tol = 0.01
+        lo = F.floor((q - tol) * F.col("n"))
+        hi = F.ceil((q + tol) * F.col("n"))
+        return F.when(F.col("n") == 0, F.lit(True)).otherwise(
+            (F.col(le) >= lo) & (F.col(lt) <= hi)
+        )
+
+    return ranks.select(
+        F.col("g_event_type").alias("event_type"),
         "exact_users",
         (
             F.abs(F.col("au") - F.col("exact_users"))
             <= 0.06 * F.col("exact_users")
         ).alias("users_within_eps"),
-        F.col("ap").getItem(0).between(
-            F.col("ex").getItem(0), F.col("ex").getItem(1)
-        ).alias("p50_within_tol"),
-        F.col("ap").getItem(1).between(
-            F.col("ex").getItem(2), F.col("ex").getItem(3)
-        ).alias("p95_within_tol"),
+        rank_ok("le50", "lt50", 0.5).alias("p50_within_tol"),
+        rank_ok("le95", "lt95", 0.95).alias("p95_within_tol"),
     ).orderBy("event_type")
 
 
