@@ -2171,3 +2171,51 @@ def orders_backlog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@_register(
+    "events_sliding_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d1 AS (SELECT day, COUNT(DISTINCT user_id) AS users_1d FROM du GROUP BY day),
+    cov AS (
+      SELECT dd.day, u.user_id
+      FROM (SELECT DISTINCT day FROM du) dd
+      JOIN du u ON u.day BETWEEN dd.day - 6 AND dd.day
+    ),
+    d7 AS (SELECT day, COUNT(DISTINCT user_id) AS users_7d FROM cov GROUP BY day)
+    SELECT d1.day, d1.users_1d, d7.users_7d
+    FROM d1 JOIN d7 ON d1.day = d7.day
+    ORDER BY d1.day
+    """,
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per event day (rolling DAU/WAU).
+
+    COUNT(DISTINCT) over a sliding time window has no native window-function
+    form (distinct aggregates are not framable), and the naive spelling is a
+    day x events range self-join — quadratic in window width. The scalable
+    formulation inverts it: reduce events to distinct (day, user) pairs
+    first, then EXPLODE each pair onto the <=7 target days it covers
+    (`sequence(day, day+6)`) and run one plain distinct-count per target
+    day. Shuffle volume is bounded by 7 x |distinct day-user pairs| — rows
+    of 12 bytes, never event payloads — regardless of corpus size, and both
+    aggregations are map-side combinable. The inner join back to observed
+    event days drops the phantom trailing days the explode fabricates past
+    the last event. The oracle replays the semantics as the range join,
+    proving the explode-rollup is equivalent.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    day1 = du.groupBy("day").agg(F.count_distinct("user_id").alias("users_1d"))
+    cover = du.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+        "user_id",
+    )
+    day7 = cover.groupBy("day").agg(F.count_distinct("user_id").alias("users_7d"))
+    return day1.join(day7, "day").select(
+        "day", "users_1d", "users_7d"
+    ).orderBy("day")

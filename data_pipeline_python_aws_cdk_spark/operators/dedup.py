@@ -1499,3 +1499,167 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
     ).orderBy("cluster_id", "doc_id")
+
+
+# --- cross-source overlap matrix / corpus boilerplate -------------------------
+
+BOILER_NGRAM = 8
+BOILER_MIN_DF = 2  # a shingle in >= 2 distinct docs counts as boilerplate
+
+
+def _overlap_matrix_oracle() -> str:
+    fp = hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    return f"""
+    WITH fp AS (
+      SELECT DISTINCT source, {fp} AS fp60
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY source),
+    ov AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+      FROM fp a JOIN fp b ON a.fp60 = b.fp60 AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT ta.source AS src_a, tb.source AS src_b,
+           CAST(COALESCE(ov.shared, 0) AS BIGINT) AS shared_fps,
+           ta.n AS n_a, tb.n AS n_b,
+           ROUND(CAST(COALESCE(ov.shared, 0) AS DOUBLE)
+                 / LEAST(ta.n, tb.n), 6) AS containment
+    FROM tot ta
+    JOIN tot tb ON ta.source < tb.source
+    LEFT JOIN ov ON ov.src_a = ta.source AND ov.src_b = tb.source
+    ORDER BY src_a, src_b
+    """
+
+
+@_register("source_overlap_matrix", oracle=_overlap_matrix_oracle())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every unordered pair of ingestion
+    sources, how many distinct normalized-text fingerprints they share —
+    the "is C4 already inside our CommonCrawl slice?" curation question,
+    answered corpus-wide before choosing mixture weights.
+
+    Scale shape: documents reduce to distinct (source, fp60) pairs at the
+    scan (16-byte rows; bodies never shuffle). The ONE corpus-scale
+    exchange is the fp60 equi-self-join — both sides share the same hash
+    partitioning, and per-fp60 groups are duplicate-group sized, so no key
+    is hot. Per-source totals and the pair skeleton are |sources|-sized:
+    driver-trivial broadcast joins. Containment is normalized by the
+    smaller side so a small curated set fully embedded in a crawl scores
+    1.0 rather than vanishing.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    fp = d.select("source", hash60(norm).alias("fp60")).distinct()
+    tot = fp.groupBy("source").agg(F.count("*").alias("n"))
+    a = fp.select(F.col("source").alias("src_a"), F.col("fp60").alias("fpa"))
+    b = fp.select(F.col("source").alias("src_b"), F.col("fp60").alias("fpb"))
+    ov = (
+        a.join(b, (F.col("fpa") == F.col("fpb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    skeleton = ta.join(F.broadcast(tb), F.col("src_a") < F.col("src_b"))
+    return (
+        skeleton.join(ov, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("shared", F.lit(0)).cast("bigint").alias("shared_fps"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.coalesce("shared", F.lit(0)).cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _boilerplate_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=BOILER_NGRAM - 1)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - {BOILER_NGRAM - 1})) AS i
+      FROM t WHERE len(toks) >= {BOILER_NGRAM}
+    ),
+    sh AS (SELECT DISTINCT doc_id, {gram} AS sh60 FROM idx),
+    hot AS (
+      SELECT sh60 FROM (SELECT sh60, COUNT(*) AS df FROM sh GROUP BY sh60)
+      WHERE df >= {BOILER_MIN_DF}
+    )
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN h.sh60 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_boilerplate,
+           ROUND(CAST(SUM(CASE WHEN h.sh60 IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS boilerplate_ratio
+    FROM sh s
+    LEFT JOIN hot h ON s.sh60 = h.sh60
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@_register("corpus_boilerplate_ngrams", oracle=_boilerplate_oracle())
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of a doc's distinct
+    word 8-grams that recur in >= BOILER_MIN_DF distinct documents — the
+    corpus-wide repeated-span detector (navboxes, license headers, cookie
+    banners) that in-document repetition stats (text_repetition_stats) and
+    cross-SPLIT overlap (corpus_decontaminate) both miss.
+
+    Scale shape mirrors corpus_decontaminate: docs reduce to (doc_id,
+    shingle-hash) streams at the scan — texts are dropped immediately — so
+    the wide work is one distinct + one map-side-combined document-frequency
+    count. The load-bearing asymmetry: the `hot` side of the membership join
+    keeps ONLY shingles with df >= threshold, which is duplicate-volume
+    sized, not corpus sized — at 100 TB it collapses to a broadcast/bloom
+    side while the plan shape stays identical. Per-doc rollup rides doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", lower_ws_tokens("text").alias("toks")).filter(
+        F.size("toks") >= BOILER_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {BOILER_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {BOILER_NGRAM}), ' '))"
+    )
+    sh = (
+        t.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", hash60(F.col("gram")).alias("sh60"))
+        .distinct()
+    )
+    hot = (
+        sh.groupBy("sh60")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("sh60")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.join(hot, "sh60", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -739,3 +739,78 @@ def test_ann_quantized_finds_planted_near_duplicate(spark, tmp_path):
     res = similarity.similarity_ann_quantized(spark, str(out)).collect()
     top = {r.query_id: r.neighbor_id for r in res if r.rank == 1}
     assert top.get(0) == 100
+
+
+def test_source_overlap_matrix_planted_shared_doc(spark, tmp_path):
+    shared = "identical article text replicated across two crawls exactly"
+    df = spark.createDataFrame(
+        [(1, shared, "en", "a", 10), (2, "only in a", "en", "a", 9),
+         (3, shared + " ", "en", "b", 10),  # normalization still matches
+         (4, "only in b", "en", "b", 9), (5, "only in c", "en", "c", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "ovl"
+    df.write.parquet(f"{out}/documents.parquet")
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in dedup.source_overlap_matrix(spark, str(out)).collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert rows[("a", "b")].shared_fps == 1
+    assert rows[("a", "c")].shared_fps == 0 and rows[("b", "c")].shared_fps == 0
+    # containment normalizes by the smaller side: 1 shared / min(2, 2)
+    assert rows[("a", "b")].containment == 0.5
+    assert rows[("a", "b")].n_a == 2 and rows[("a", "b")].n_b == 2
+
+
+def test_boilerplate_ngrams_flags_shared_span_only(spark, tmp_path):
+    boiler = "this site uses cookies to improve your browsing experience today"
+    df = spark.createDataFrame(
+        [(1, boiler + " unique tail alpha beta gamma delta", "en", "s", 1),
+         (2, boiler + " other ending words epsilon zeta eta", "en", "s", 1),
+         (3, "a fully unique document with ten distinct words here now", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "boiler"
+    df.write.parquet(f"{out}/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in dedup.corpus_boilerplate_ngrams(spark, str(out)).collect()
+    }
+    # the 10-token boilerplate span yields 3 shared 8-grams in docs 1 and 2;
+    # every boundary-crossing shingle is unique to its doc
+    assert rows[1].n_boilerplate == 3 and rows[2].n_boilerplate == 3
+    assert rows[3].n_boilerplate == 0 and rows[3].boilerplate_ratio == 0.0
+    assert 0 < rows[1].boilerplate_ratio < 1
+
+
+def test_sliding_distinct_hand_computed_window(spark, tmp_path):
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    ev = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, datetime(2026, 1, 1, 9), 1, "click", 1.0, None),
+        (2, datetime(2026, 1, 1, 10), 2, "click", 1.0, None),
+        (3, datetime(2026, 1, 5, 9), 2, "view", 1.0, None),
+        (4, datetime(2026, 1, 9, 9), 3, "view", 1.0, None),
+        # day 20: outside every earlier trailing week
+        (5, datetime(2026, 1, 20, 9), 1, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "slide"
+    df.write.parquet(f"{out}/events.parquet")
+    rows = {
+        str(r.day): (r.users_1d, r.users_7d)
+        for r in analytics.events_sliding_distinct(spark, str(out)).collect()
+    }
+    assert rows == {
+        "2026-01-01": (2, 2),          # users {1,2}
+        "2026-01-05": (1, 2),          # trailing week covers Jan 1: {1,2}
+        "2026-01-09": (1, 2),          # Jan 3..9: user 2 (Jan 5) + user 3
+        "2026-01-20": (1, 1),          # isolated
+    }
