@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_clusters_star, dedup_incremental, dedup_embedding_clusters,
 # corpus_mixture_plan, similarity_ann_quantized, streaming_dedup_exact,
 # approx_sketch_estimates (rows-only by design), events_sliding_distinct,
-# source_overlap_matrix, corpus_boilerplate_ngrams.
+# source_overlap_matrix, corpus_boilerplate_ngrams, events_drift_report.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

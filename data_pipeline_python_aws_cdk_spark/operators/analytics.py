@@ -2219,3 +2219,95 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day1.join(day7, "day").select(
         "day", "users_1d", "users_7d"
     ).orderBy("day")
+
+
+@_register(
+    "events_drift_report",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch(MIN(ts)) + epoch(MAX(ts))) / 2.0 AS cut
+      FROM events WHERE ts IS NOT NULL
+    ),
+    lab AS (
+      SELECT event_type, value,
+             CASE WHEN epoch(ts) < (SELECT cut FROM b) THEN 0 ELSE 1 END AS half
+      FROM events WHERE ts IS NOT NULL
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             AVG(CASE WHEN half = 0 THEN value END) AS mean_a,
+             AVG(CASE WHEN half = 1 THEN value END) AS mean_b
+      FROM lab GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per)
+    SELECT event_type, n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / ta, 6) AS share_a,
+           ROUND(CAST(n_b AS DOUBLE) / tb, 6) AS share_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             ROUND((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                   * LN((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)), 6)
+           END AS psi_term,
+           ROUND(mean_a, 6) AS mean_a,
+           ROUND(mean_b, 6) AS mean_b
+    FROM per, tot
+    ORDER BY event_type
+    """,
+)
+def events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: split the event stream at the midpoint of
+    its time range and compare the event-type mix and per-type value means
+    between the two halves — population-stability-index (PSI) terms per
+    type, the standard "did yesterday's data change shape?" alarm a
+    production ingest pipeline runs before training on a new slice.
+
+    Shape: one cheap min/max scan produces the 1-row cut, broadcast into a
+    second scan's CASE label; everything after is ONE map-side-combinable
+    groupBy at |event_type| cardinality plus a 1-row totals broadcast. No
+    wide shuffle ever carries event rows — at 100 TB both passes are scans
+    with scalar-sized exchanges. PSI terms are NULL when a type is absent
+    from either half (ln undefined); the alarm condition is
+    SUM(psi_term) > 0.2 over non-null terms.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    bounds = ev.agg(
+        (
+            (
+                F.min("ts").cast("double") + F.max("ts").cast("double")
+            ) / 2.0
+        ).alias("cut")
+    )
+    lab = ev.join(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts").cast("double") < F.col("cut"), 0).otherwise(1).alias("half"),
+    )
+    per = lab.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.avg(F.when(F.col("half") == 0, F.col("value"))).alias("m_a"),
+        F.avg(F.when(F.col("half") == 1, F.col("value"))).alias("m_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    sa = F.col("n_a").cast("double") / F.col("ta")
+    sb = F.col("n_b").cast("double") / F.col("tb")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(sa, 6).alias("share_a"),
+            F.round(sb, 6).alias("share_b"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round((sa - sb) * F.log(sa / sb), 6),
+            ).alias("psi_term"),
+            F.round("m_a", 6).alias("mean_a"),
+            F.round("m_b", 6).alias("mean_b"),
+        )
+        .orderBy("event_type")
+    )

@@ -1663,3 +1663,103 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- persisted LSH signature index (write-once / probe-many) ------------------
+
+LSH_INDEX_BUCKETS = 64  # hash-buckets per band -> band x bucket Hive partitions
+
+
+def _band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) banded MinHash signature stream for ``docs``
+    (any frame holding doc_id + text) — the persisted-index twin of the
+    signature pipeline inside dedup_minhash_lsh / dedup_incremental."""
+    base = hash60(F.col("s")) % MINHASH_PRIME
+    sh = _shingles(docs, distinct=False)
+    mins = sh.select("doc_id", base.alias("base")).groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("base") + F.lit(MINHASH_B[i]))
+                % MINHASH_PRIME
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * r + j}").cast("string") for j in range(r)],
+                )
+            ).alias("bkey"),
+        )
+        for band in range(MINHASH_BANDS)
+    ]
+    return mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bc")
+    ).select("doc_id", F.col("bc.band").alias("band"), F.col("bc.bkey").alias("bkey"))
+
+
+def _lsh_bucket(bkey) -> F.Column:
+    """Stable bucket for a band key — MUST be identical at build and probe
+    time (same Spark builtin, no oracle twin needed: the index surface is
+    equality-gated against the inline dedup_incremental screen)."""
+    return F.pmod(F.xxhash64(bkey), F.lit(LSH_INDEX_BUCKETS))
+
+
+def lsh_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the corpus-side banded MinHash signature index — the
+    "production run PERSISTS the index" half of dedup_incremental's
+    docstring, mirroring ivf_build_index for the lexical-dedup path.
+
+    Writes (doc_id, bkey) Hive-partitioned by (band, bucket): 4 bands x 64
+    hash-buckets of the band key. A probe that knows which buckets its
+    batch hashes into prunes every other directory at the FILE level, so a
+    day's ingest screen reads O(collided buckets), not the corpus. The
+    corpus is the standing split dedup_incremental screens against
+    (source != src0).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    bands = _band_table(d).withColumn("bucket", _lsh_bucket(F.col("bkey")))
+    bands.write.mode("overwrite").partitionBy("band", "bucket").parquet(index_dir)
+
+
+def lsh_probe_indexed(
+    spark: SparkSession, index_dir: str, sf_dir: str
+) -> DataFrame:
+    """Screen the new batch (source src0) against the PERSISTED signature
+    index: per new document, the count of distinct corpus documents
+    colliding with it in any band — exactly dedup_incremental's
+    ``near_candidates`` column, but at O(batch) cost against a standing
+    index instead of recomputing corpus signatures.
+
+    The batch's (band, bucket) hit-list is bounded by batch x BANDS (and
+    by the 256 existing partitions), so the driver-side collect that feeds
+    the partition filter is trivially small; Catalyst turns the isin into
+    partition-path pruning (plan-gated in tests with result equality vs
+    the inline screen).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    nb = _band_table(d).withColumn("bucket", _lsh_bucket(F.col("bkey")))
+    hit_parts = sorted(
+        {(r.band, r.bucket) for r in nb.select("band", "bucket").distinct().collect()}
+    )
+    bands_hit = sorted({b for b, _ in hit_parts})
+    buckets_hit = sorted({u for _, u in hit_parts})
+    index = spark.read.parquet(index_dir).filter(
+        F.col("band").isin(bands_hit) & F.col("bucket").isin(buckets_hit)
+    )
+    return (
+        nb.select(F.col("doc_id").alias("new_id"), "band", "bkey")
+        .join(
+            index.select(F.col("doc_id").alias("corpus_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .groupBy("new_id")
+        .agg(F.count_distinct("corpus_id").alias("near_candidates"))
+        .select(F.col("new_id").alias("doc_id"), "near_candidates")
+        .orderBy("doc_id")
+    )

@@ -814,3 +814,32 @@ def test_sliding_distinct_hand_computed_window(spark, tmp_path):
         "2026-01-09": (1, 2),          # Jan 3..9: user 2 (Jan 5) + user 3
         "2026-01-20": (1, 1),          # isolated
     }
+
+
+def test_lsh_persisted_index_prunes_partitions_and_matches_inline(spark, tmp_path):
+    # The lexical-dedup twin of the IVF persisted-index test: corpus band
+    # signatures written partitionBy(band, bucket); the probe's bucket
+    # hit-list must land in PartitionFilters, and the collision counts must
+    # equal the inline dedup_incremental screen for every colliding doc.
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        dedup_incremental,
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+
+    index_dir = str(tmp_path / "lsh_index")
+    lsh_build_index(spark, SF_SMOKE, index_dir)
+    probed = lsh_probe_indexed(spark, index_dir, SF_SMOKE)
+    inline = {
+        r.doc_id: r.near_candidates
+        for r in dedup_incremental(spark, SF_SMOKE).collect()
+    }
+    probe_counts = {r.doc_id: r.near_candidates for r in probed.collect()}
+    # the probe emits only docs with >=1 collision; inline emits all new docs
+    assert probe_counts == {k: v for k, v in inline.items() if v > 0}
+    assert probe_counts, "smoke corpus must produce at least one collision"
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*", plan)
+    assert m is not None, "bucket filter missing from index scan PartitionFilters"
