@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_clusters_star, dedup_incremental, dedup_embedding_clusters,
 # corpus_mixture_plan, similarity_ann_quantized, streaming_dedup_exact,
 # approx_sketch_estimates (rows-only by design), events_sliding_distinct,
-# source_overlap_matrix, corpus_boilerplate_ngrams, events_drift_report.
+# source_overlap_matrix, corpus_boilerplate_ngrams, events_drift_report,
+# documents_chunking, events_bot_detection.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

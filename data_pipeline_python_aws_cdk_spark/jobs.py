@@ -99,6 +99,16 @@ def main(argv: list[str] | None = None) -> int:
     p_pack.add_argument("--sf-dir", required=True, help="testdata directory")
     p_pack.add_argument("--output", required=True, help="output directory")
 
+    p_idx = sub.add_parser(
+        "index", help="build (and optionally probe) a persisted ANN/LSH index"
+    )
+    p_idx.add_argument("--kind", choices=("ivf", "lsh"), required=True)
+    p_idx.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_idx.add_argument("--output", required=True, help="index directory")
+    p_idx.add_argument(
+        "--probe", action="store_true", help="probe after building; print match count"
+    )
+
     p_up = sub.add_parser("upsert", help="merge updates by key, last writer wins")
     p_up.add_argument("--path", required=True)
     p_up.add_argument("--updates", required=True, help="parquet path of update rows")
@@ -231,6 +241,26 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.sf_dir, args.location, n_buckets=args.buckets or DEFAULT_BUCKETS
         )
         print(json.dumps({"statusCode": 200, "tables": [ot, lt]}))
+        return 0
+
+    if args.cmd == "index":
+        # Both kinds share the write-once/probe-many shape: build pays the
+        # one assignment/signature pass, probes become partition-pruned
+        # scans (plan-gated in tests/test_extensions.py).
+        if args.kind == "ivf":
+            from .operators.similarity import ivf_build_index, ivf_probe_indexed
+
+            ivf_build_index(spark, args.sf_dir, args.output)
+            probe = ivf_probe_indexed if args.probe else None
+        else:
+            from .operators.dedup import lsh_build_index, lsh_probe_indexed
+
+            lsh_build_index(spark, args.sf_dir, args.output)
+            probe = lsh_probe_indexed if args.probe else None
+        out = {"statusCode": 200, "kind": args.kind, "index": args.output}
+        if probe is not None:
+            out["probe_rows"] = probe(spark, args.output, args.sf_dir).count()
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "upsert":

@@ -2311,3 +2311,86 @@ def events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BOT_BURST_60S = 5      # >= this many events inside any 60 s window
+BOT_RATE_PER_MIN = 2.0  # or >= this sustained events/active-minute
+
+
+@_register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, us,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW
+             ) AS burst
+      FROM e
+    ),
+    per AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MAX(burst) AS max_burst_60s,
+             (MAX(us) - MIN(us)) / 1e6 AS span_secs
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, n_events, max_burst_60s,
+           ROUND(CASE WHEN span_secs > 0
+                      THEN n_events / (span_secs / 60.0)
+                      ELSE CAST(n_events AS DOUBLE) END, 6) AS events_per_min,
+           (max_burst_60s >= {BOT_BURST_60S} OR
+            (CASE WHEN span_secs > 0 THEN n_events / (span_secs / 60.0)
+                  ELSE CAST(n_events AS DOUBLE) END) >= {BOT_RATE_PER_MIN})
+             AS is_bot
+    FROM per
+    ORDER BY user_id
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated-traffic screen: per user, the max event count inside any
+    sliding 60 s window plus the sustained events-per-active-minute rate;
+    either over threshold flags the user — the spam/bot filter a
+    training-data pipeline runs before user-generated text is admitted.
+
+    Shape: ONE shuffle of (user_id, timestamp) pairs — 16-byte rows, never
+    event payloads — then a per-user sort-window (RANGE frame over
+    microseconds, so the window is exact to the event clock's resolution)
+    and a map-side-combinable rollup on the same partitioning, which Spark
+    serves without a second exchange. Microsecond integers, not float
+    seconds: CAST(double AS BIGINT) rounds in DuckDB but truncates in
+    Spark, and epoch-micros is the resolution where both are integral and
+    therefore identical.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    e = ev.select(
+        "user_id", (F.col("ts").cast("double") * 1_000_000).cast("bigint").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-59_999_999, 0)
+    b = e.withColumn("burst", F.count("*").over(w))
+    per = b.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("burst").alias("max_burst_60s"),
+        ((F.max("us") - F.min("us")) / 1e6).alias("span_secs"),
+    )
+    rate = F.when(
+        F.col("span_secs") > 0,
+        F.col("n_events") / (F.col("span_secs") / 60.0),
+    ).otherwise(F.col("n_events").cast("double"))
+    return per.select(
+        "user_id",
+        "n_events",
+        "max_burst_60s",
+        F.round(rate, 6).alias("events_per_min"),
+        (
+            (F.col("max_burst_60s") >= BOT_BURST_60S)
+            | (rate >= BOT_RATE_PER_MIN)
+        ).alias("is_bot"),
+    ).orderBy("user_id")

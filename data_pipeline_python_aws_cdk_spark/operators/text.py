@@ -1372,3 +1372,87 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- fixed-token chunking with overlap ---------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def _chunking_oracle() -> str:
+    fp = hash60_sql(
+        "array_to_string(toks[CAST(i * {s} + 1 AS BIGINT):"
+        "CAST(LEAST(i * {s} + {c}, n) AS BIGINT)], ' ')".format(
+            s=CHUNK_STRIDE, c=CHUNK_TOKENS
+        )
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(
+               0,
+               CAST(GREATEST(1, CEIL((n - {CHUNK_OVERLAP})
+                    / CAST({CHUNK_STRIDE} AS DOUBLE))) AS BIGINT) - 1
+             )) AS i
+      FROM s
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(LEAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)
+                - i * {CHUNK_STRIDE} AS BIGINT) AS n_tokens,
+           {fp} AS chunk_fp
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """
+
+
+@_register("documents_chunking", oracle=_chunking_oracle())
+def documents_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap: every document split into
+    {CHUNK_TOKENS}-token windows at stride {CHUNK_STRIDE} (={CHUNK_OVERLAP}
+    tokens of overlap) — the chunker feeding context-window packing,
+    retrieval indexing, and embedding jobs. chunk count =
+    max(1, ceil((n - overlap) / stride)), so every token lands in a chunk,
+    short docs yield exactly one, and the tail chunk shrinks rather than
+    duplicating a full window.
+
+    Pure projection: tokenize -> per-row explode of a chunk-index sequence
+    -> slice + fingerprint, all inside whole-stage codegen with ZERO
+    shuffles (the output orderBy is presentation-only). At 100 TB this is
+    a map-only pass whose output partitioning follows the input files —
+    exactly what a downstream embedding job wants to mapInPandas over.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", lower_ws_tokens("text").alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    n = F.size("toks")
+    c = t.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.expr(
+            f"sequence(0, greatest(1, ceil((size(toks) - {CHUNK_OVERLAP})"
+            f" / cast({CHUNK_STRIDE} as double))) - 1)"
+        )).alias("i"),
+    )
+    start = F.col("i") * CHUNK_STRIDE + 1
+    end = F.least(F.col("i") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n"))
+    chunk_text = F.array_join(
+        F.slice(F.col("toks"), start.cast("int"), (end - start + 1).cast("int")), " "
+    )
+    return c.select(
+        "doc_id",
+        F.col("i").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        (end - start + 1).cast("bigint").alias("n_tokens"),
+        hash60(chunk_text).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")

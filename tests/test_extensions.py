@@ -843,3 +843,48 @@ def test_lsh_persisted_index_prunes_partitions_and_matches_inline(spark, tmp_pat
 
     m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*", plan)
     assert m is not None, "bucket filter missing from index scan PartitionFilters"
+
+
+def test_chunking_overlap_and_tail_rules(spark, tmp_path):
+    from data_pipeline_python_aws_cdk_spark.operators.text import documents_chunking
+
+    hundred = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, hundred, "en", "s", 1), (2, "just three tokens", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "chunks"
+    df.write.parquet(f"{out}/documents.parquet")
+    rows = documents_chunking(spark, str(out)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.start_tok, r.n_tokens))
+    # 100 tokens at chunk=64/stride=48: [1..64] and [49..100] (overlap 16)
+    assert by_doc[1] == [(0, 1, 64), (1, 49, 52)]
+    # short doc: exactly one shrunken chunk
+    assert by_doc[2] == [(0, 1, 3)]
+
+
+def test_bot_detection_burst_vs_slow_user(spark, tmp_path):
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    burst = [
+        (i, datetime(2026, 1, 1, 10, 0, i * 5), 1, "click", 1.0, None)
+        for i in range(6)  # 6 events in 25 s -> burst 6
+    ]
+    slow = [
+        (10 + i, datetime(2026, 1, 1 + i, 10), 2, "view", 1.0, None)
+        for i in range(3)  # 3 events over 2 days
+    ]
+    df = spark.createDataFrame(
+        burst + slow,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "bots"
+    df.write.parquet(f"{out}/events.parquet")
+    rows = {r.user_id: r for r in analytics.events_bot_detection(spark, str(out)).collect()}
+    assert rows[1].max_burst_60s == 6 and rows[1].is_bot
+    assert rows[2].max_burst_60s == 1 and not rows[2].is_bot

@@ -327,3 +327,19 @@ def test_upsert_null_partition_preserves_base_rows(spark, tmp_path):
     assert set(rows) == {1, 2, 3}, "base row in the null partition was lost"
     assert rows[2].version == 2 and rows[2].v == "new"
     assert rows[1].v == "keep-me" and rows[3].v == "other-day"
+
+
+def test_cli_index_build_and_probe(spark, tmp_path, capsys):
+    import json
+
+    from tests.conftest import SF_SMOKE
+
+    for kind in ("ivf", "lsh"):
+        out = str(tmp_path / f"{kind}_index")
+        rc = jobs.main(
+            ["index", "--kind", kind, "--sf-dir", SF_SMOKE, "--output", out, "--probe"]
+        )
+        assert rc == 0
+        st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert st["statusCode"] == 200 and st["kind"] == kind
+        assert st["probe_rows"] > 0
