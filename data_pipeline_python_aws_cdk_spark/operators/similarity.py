@@ -990,3 +990,77 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
     )
+
+
+# --- distributed Gram / second-moment accumulation (PCA & whitening prep) ----
+
+GRAM_QSCALE = 1 << 20  # quantization scale: floor(v * 2^20 + 0.5)
+
+
+@_register(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, u.i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {GRAM_QSCALE} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) u(i)
+      WHERE embedding IS NOT NULL
+    )
+    SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS m2
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    ORDER BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper triangle of the corpus second-moment (Gram) matrix sum(x x^T)
+    over quantized embeddings — the one corpus-scale pass PCA, whitening,
+    and OPQ rotation training all start from.
+
+    Scale design: the ONLY thing that crosses the wire is one DIM x DIM
+    partial per Arrow batch. mapInPandas runs a single integer matmul
+    (Q^T Q) per batch and emits the 2080 upper-triangle cells; the
+    follow-up groupBy(i, j) sums |partitions| partials — a reduce whose
+    traffic is independent of corpus size. Compare the naive
+    explode-then-self-join spelling (the oracle): that shuffles
+    |corpus| x DIM rows and joins them quadratically in DIM.
+
+    Integer-exact on purpose: floats sum in partition order, so a float
+    Gram would be partition-count dependent and oracle-divergent at the
+    last bit. Quantizing to floor(v * 2^20 + 0.5) (power-of-two scale:
+    the multiply is exact; floor(x+0.5) ties identically in numpy and
+    DuckDB, unlike rint's half-to-even vs ROUND's half-away) makes every
+    partial an exact int64 and addition associative — any partitioning
+    yields the identical matrix. Headroom: |q| <= 2^20 for unit-range
+    values, so products are < 2^40 and ~2^22 vectors fit before int64
+    overflow; a 100 TB corpus drops to scale 2^12 or splits the reduce
+    into per-shard spills, same plan shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+    def gram_partials(batches):
+        total = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].values).astype(np.float64)
+            q = np.floor(m * GRAM_QSCALE + 0.5).astype(np.int64)
+            part = q.T @ q
+            total = part if total is None else total + part
+        if total is not None:
+            iu = np.triu_indices(total.shape[0])
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                 "m2": total[iu]}
+            )
+
+    return (
+        e.select("embedding")
+        .mapInPandas(gram_partials, "i int, j int, m2 long")
+        .groupBy("i", "j")
+        .agg(F.sum("m2").alias("m2"))
+        .orderBy("i", "j")
+    )

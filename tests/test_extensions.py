@@ -888,3 +888,30 @@ def test_bot_detection_burst_vs_slow_user(spark, tmp_path):
     rows = {r.user_id: r for r in analytics.events_bot_detection(spark, str(out)).collect()}
     assert rows[1].max_burst_60s == 6 and rows[1].is_bot
     assert rows[2].max_burst_60s == 1 and not rows[2].is_bot
+
+
+def test_gram_matrix_exact_on_planted_vectors(spark, tmp_path):
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        GRAM_QSCALE,
+        embedding_gram_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0), (2, [1.0, 1.0], 0),
+         (3, [0.5, -0.5], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = tmp_path / "gram"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    got = {
+        (r.i, r.j): r.m2
+        for r in embedding_gram_matrix(spark, str(out)).collect()
+    }
+    s = GRAM_QSCALE
+    h = s // 2
+    # sum(x x^T) over the four vectors, quantized exactly
+    assert got == {
+        (0, 0): s * s + s * s + h * h,
+        (0, 1): s * s - h * h,
+        (1, 1): s * s + s * s + h * h,
+    }
