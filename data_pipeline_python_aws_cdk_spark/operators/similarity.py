@@ -1064,3 +1064,75 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("m2").alias("m2"))
         .orderBy("i", "j")
     )
+
+
+PCA_K = 8
+
+
+class PCAModel:
+    """Fitted PCA basis: driver-held, executor-broadcast at projection time.
+
+    mean (DIM,), components (k, DIM) row-orthonormal, explained_variance
+    (k,) descending. Tiny by construction (k x DIM doubles), so shipping it
+    inside a pandas_udf closure is a few KB regardless of corpus size.
+    """
+
+    def __init__(self, mean, components, explained_variance):
+        self.mean = mean
+        self.components = components
+        self.explained_variance = explained_variance
+
+
+def pca_fit(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> PCAModel:
+    """Fit PCA from two corpus passes, both already scale-shaped: the
+    integer-exact Gram accumulation (embedding_gram_matrix — DIM x DIM
+    partials only) and a DIM-bounded per-dimension mean. The
+    eigendecomposition itself runs driver-side on the DIM x DIM covariance
+    — O(DIM^3) independent of corpus size, the standard split for
+    tall-skinny PCA (compute-heavy part distributed, tiny solve local).
+
+    Eigenvector SIGN is numerically arbitrary, so the fit is a job surface
+    gated by invariant tests (orthonormality, descending variance, planted
+    subspace recovery), not a registry query with a value oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    stats = (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+        .orderBy("pos")
+        .collect()
+    )
+    dim = len(stats)
+    n = stats[0].n
+    mu = np.array([r.s / r.n for r in stats])
+    m2 = np.zeros((dim, dim))
+    for r in embedding_gram_matrix(spark, sf_dir).collect():
+        val = r.m2 / float(GRAM_QSCALE) ** 2
+        m2[r.i, r.j] = val
+        m2[r.j, r.i] = val
+    cov = m2 / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    return PCAModel(mu, v[:, order].T.copy(), w[order].copy())
+
+
+def pca_project(spark: SparkSession, sf_dir: str, model: PCAModel) -> DataFrame:
+    """Project every embedding onto the fitted basis: one numpy matmul per
+    Arrow batch ((X - mu) @ C^T), map-only — the dimensionality-reduction
+    pass feeding cheaper ANN indexes and dedup at 100 TB."""
+    mu = model.mean
+    comps = model.components
+
+    @pandas_udf("array<double>")
+    def proj(a: pd.Series) -> pd.Series:
+        x = np.stack(a.values).astype(np.float64)
+        p = (x - mu) @ comps.T
+        return pd.Series(list(p))
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return e.select("vec_id", proj(F.col("embedding")).alias("proj"))

@@ -915,3 +915,39 @@ def test_gram_matrix_exact_on_planted_vectors(spark, tmp_path):
         (0, 1): s * s - h * h,
         (1, 1): s * s + s * s + h * h,
     }
+
+
+def test_pca_recovers_planted_plane(spark, tmp_path):
+    import numpy as np
+
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 400
+    u = np.zeros(dim); u[0] = 1.0
+    v = np.zeros(dim); v[3] = 1.0
+    a = rng.normal(0, 3.0, n)
+    b = rng.normal(0, 1.5, n)
+    x = np.outer(a, u) + np.outer(b, v) + rng.normal(0, 0.01, (n, dim)) + 0.5
+    df = spark.createDataFrame(
+        [(i, [float(c) for c in x[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = tmp_path / "pca"
+    df.write.parquet(f"{out}/embeddings.parquet")
+
+    model = pca_fit(spark, str(out), k=2)
+    # orthonormal basis, descending variance
+    assert np.allclose(model.components @ model.components.T, np.eye(2), atol=1e-8)
+    assert model.explained_variance[0] >= model.explained_variance[1] > 0
+    # the planted plane carries ~all variance: top-2 capture >= 99.5%
+    total_var = float(np.var(x, axis=0, ddof=0).sum())
+    assert model.explained_variance.sum() / total_var > 0.995
+    # projection matches the driver-side computation (float32 read-back tol)
+    proj = {r.vec_id: np.array(r.proj) for r in pca_project(spark, str(out), model).collect()}
+    expect = (x.astype(np.float32).astype(np.float64) - model.mean) @ model.components.T
+    err = max(np.abs(proj[i] - expect[i]).max() for i in range(n))
+    assert err < 1e-6
