@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # corpus_mixture_plan, similarity_ann_quantized, streaming_dedup_exact,
 # approx_sketch_estimates (rows-only by design), events_sliding_distinct,
 # source_overlap_matrix, corpus_boilerplate_ngrams, events_drift_report,
-# documents_chunking, events_bot_detection, embedding_gram_matrix.
+# documents_chunking, events_bot_detection, embedding_gram_matrix,
+# dedup_threshold_curve.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

@@ -109,6 +109,17 @@ def main(argv: list[str] | None = None) -> int:
         "--probe", action="store_true", help="probe after building; print match count"
     )
 
+    p_rest = sub.add_parser(
+        "restore", help="roll back an upsert from a .versions snapshot"
+    )
+    p_rest.add_argument("--path", required=True)
+    p_rest.add_argument(
+        "--snapshot", default=None, help="snapshot name (default: most recent)"
+    )
+    p_rest.add_argument(
+        "--list", action="store_true", help="list snapshots instead of restoring"
+    )
+
     p_up = sub.add_parser("upsert", help="merge updates by key, last writer wins")
     p_up.add_argument("--path", required=True)
     p_up.add_argument("--updates", required=True, help="parquet path of update rows")
@@ -241,6 +252,21 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.sf_dir, args.location, n_buckets=args.buckets or DEFAULT_BUCKETS
         )
         print(json.dumps({"statusCode": 200, "tables": [ot, lt]}))
+        return 0
+
+    if args.cmd == "restore":
+        from .maintenance import list_versions, restore_version
+
+        versions = list_versions(args.path)
+        if args.list:
+            print(json.dumps({"statusCode": 200, "versions": versions}))
+            return 0
+        name = args.snapshot or (versions[-1]["snapshot"] if versions else None)
+        if name is None:
+            print(json.dumps({"statusCode": 404, "error": "no version snapshots"}))
+            return 1
+        st = restore_version(args.path, name)
+        print(json.dumps({"statusCode": 200, "snapshot": name, **st}))
         return 0
 
     if args.cmd == "index":

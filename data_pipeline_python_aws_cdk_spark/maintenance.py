@@ -343,6 +343,88 @@ def vacuum_versions(
     return {"kept": kept, "removed": removed}
 
 
+def list_versions(path: str) -> list[dict]:
+    """Enumerate the upsert version snapshots still inside the retention
+    window, oldest first: snapshot directory name plus the relative
+    partitions (or top-level files) it holds — what an operator inspects
+    before deciding which state to restore."""
+    root = os.path.join(path, VERSIONS_DIR)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        snap = os.path.join(root, name)
+        if not os.path.isdir(snap):
+            continue
+        leaves = _leaf_partitions(snap)
+        items = sorted(
+            os.path.relpath(leaf, snap) for leaf in leaves
+        )
+        out.append({"snapshot": name, "items": items})
+    return out
+
+
+def restore_version(path: str, snapshot: str) -> dict:
+    """Roll back an upsert: move a ``.versions`` snapshot's partitions (or
+    full-mode files) back into place — the recovery action the versioned
+    retention exists for (reference noncurrent-version semantics:
+    data_pipeline/data_pipeline_stack.py:30-36 keeps replaced object
+    versions restorable for 30 days).
+
+    The state being displaced is itself retired into a NEW snapshot, so a
+    restore is always undoable until vacuum — no destructive step exists
+    between an upsert and ``vacuum_versions``. Directory moves only, no
+    data copies; partitions absent from the snapshot are untouched.
+    """
+    from datetime import datetime as _dt
+    from datetime import timezone as _tz
+
+    snap = os.path.join(path, VERSIONS_DIR, snapshot)
+    if not os.path.isdir(snap):
+        raise FileNotFoundError(f"no version snapshot at {snap}")
+    undo: list[str | None] = [None]
+
+    def _retire_current(current: str, rel: str) -> None:
+        if undo[0] is None:
+            stamp = _dt.now(_tz.utc).strftime("%Y%m%dT%H%M%S")
+            undo[0] = os.path.join(
+                path, VERSIONS_DIR, f"{stamp}-{uuid.uuid4().hex[:8]}"
+            )
+        dst = os.path.join(undo[0], rel) if rel != "." else undo[0]
+        os.makedirs(os.path.dirname(dst) if rel != "." else undo[0], exist_ok=True)
+        shutil.move(current, dst)
+
+    leaves = _leaf_partitions(snap)
+    rels = sorted(os.path.relpath(leaf, snap) for leaf in leaves)
+    if not rels:
+        raise ValueError(f"version snapshot {snapshot} holds no data")
+    restored = 0
+    if rels == ["."]:
+        # full-mode snapshot: swap the dataset's top-level data files
+        for f in sorted(os.listdir(path)):
+            full = os.path.join(path, f)
+            if _is_data_file(f) and os.path.isfile(full):
+                _retire_current(full, os.path.join(".", f))
+        for f in sorted(os.listdir(snap)):
+            if _is_data_file(f):
+                shutil.move(os.path.join(snap, f), os.path.join(path, f))
+                restored += 1
+    else:
+        for rel in rels:
+            current = os.path.join(path, rel)
+            if os.path.isdir(current):
+                _retire_current(current, rel)
+            os.makedirs(os.path.dirname(current), exist_ok=True)
+            shutil.move(os.path.join(snap, rel), current)
+            restored += 1
+    shutil.rmtree(snap, ignore_errors=True)
+    return {
+        "restored": restored,
+        "undo_snapshot": undo[0],
+        "mode": "full" if rels == ["."] else "partitioned",
+    }
+
+
 def cluster(
     spark: SparkSession,
     path: str,

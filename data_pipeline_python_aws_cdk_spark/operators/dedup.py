@@ -1763,3 +1763,79 @@ def lsh_probe_indexed(
         .select(F.col("new_id").alias("doc_id"), "near_candidates")
         .orderBy("doc_id")
     )
+
+
+
+# --- threshold calibration curve ---------------------------------------------
+
+CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _threshold_curve_oracle() -> str:
+    th = ", ".join(f"(CAST({t} AS DOUBLE))" for t in CURVE_THRESHOLDS)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             common * 1.0 / (ca.n + cb.n - common) AS jac
+      FROM common JOIN cnt ca ON ca.doc_id = doc_a
+                  JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE common * 1.0 / (ca.n + cb.n - common) >= {min(CURVE_THRESHOLDS)}
+    ),
+    th(t) AS (VALUES {th}),
+    pc AS (
+      SELECT th.t, CAST(COUNT(p.doc_a) AS BIGINT) AS n_pairs
+      FROM th LEFT JOIN pairs p ON p.jac >= th.t GROUP BY th.t
+    ),
+    dc AS (
+      SELECT th.t, CAST(COUNT(DISTINCT u.doc) AS BIGINT) AS n_docs
+      FROM th LEFT JOIN (
+        SELECT doc_a AS doc, jac FROM pairs
+        UNION ALL SELECT doc_b, jac FROM pairs
+      ) u ON u.jac >= th.t
+      GROUP BY th.t
+    )
+    SELECT pc.t AS threshold, pc.n_pairs, dc.n_docs
+    FROM pc JOIN dc ON pc.t = dc.t
+    ORDER BY threshold
+    """
+
+
+@_register("dedup_threshold_curve", oracle=_threshold_curve_oracle())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness calibration: for each candidate Jaccard
+    threshold, how many near-dup pairs and how many distinct documents a
+    dedup run at that threshold would touch — the table an operator reads
+    before choosing how hard to deduplicate (0.9 = mirrors only, 0.5 =
+    aggressive boilerplate collapse).
+
+    Shape: the pair table is computed ONCE (the same inverted-index +
+    candidate verification the dedup ladder runs; at 100 TB it reuses the
+    LSH candidate path) and the curve is a 5-row broadcast-joined rollup
+    over it — the sweep costs five filters over an already-tiny pair set,
+    not five dedup runs. Unrounded Jaccard feeds the threshold compare in
+    both engines so boundary pairs bin identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _pair_jaccard(_shingles(d)).filter(
+        F.col("jaccard") >= min(CURVE_THRESHOLDS)
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in CURVE_THRESHOLDS], "t double"
+    )
+    pj = F.broadcast(th).join(pairs, pairs.jaccard >= F.col("t"), "left")
+    pc = pj.groupBy("t").agg(F.count("doc_a").alias("n_pairs"))
+    docs = pairs.select(F.col("doc_a").alias("doc"), "jaccard").unionAll(
+        pairs.select(F.col("doc_b").alias("doc"), "jaccard")
+    )
+    dj = F.broadcast(th).join(docs, docs.jaccard >= F.col("t"), "left")
+    dc = dj.groupBy("t").agg(F.count_distinct("doc").alias("n_docs"))
+    return (
+        pc.join(dc, "t")
+        .select(F.col("t").alias("threshold"), "n_pairs", "n_docs")
+        .orderBy("threshold")
+    )

@@ -128,3 +128,44 @@ def test_dedup_ladder_in_production_mode(spark, tmp_path, monkeypatch):
 
     exact_plan = dedup.dedup_exact(spark, str(out))._jdf.queryExecution().toString()
     assert "xxhash64" in exact_plan and "md5" not in exact_plan
+
+
+@given(sizes=st.lists(st.integers(min_value=1, max_value=300), min_size=1,
+                      max_size=12, unique=True))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_chunking_layout_invariants(spark, tmp_path_factory, sizes):
+    """Chunk layout must tile every document: first chunk at token 1,
+    consecutive starts exactly one stride apart, the tail reaching the last
+    token, every chunk full-size except possibly the tail, and short docs
+    yielding exactly one chunk."""
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        documents_chunking,
+    )
+
+    out = tmp_path_factory.mktemp("chunkprop")
+    rows = [
+        (n, " ".join(f"t{i}" for i in range(n)), "en", "s", 1) for n in sizes
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {}
+    for r in documents_chunking(spark, str(out)).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.start_tok, r.n_tokens))
+    assert set(got) == set(sizes)
+    for n, chunks in got.items():
+        chunks.sort()
+        starts = [s for _, s, _ in chunks]
+        assert starts[0] == 1
+        assert all(b - a == CHUNK_STRIDE for a, b in zip(starts, starts[1:]))
+        # tail reaches the last token; nothing hangs past it
+        _, last_start, last_len = chunks[-1]
+        if n >= CHUNK_TOKENS:
+            assert last_start + last_len - 1 == n
+        else:
+            assert chunks == [(0, 1, n)]
+        # every non-tail chunk is full-size
+        assert all(ln == CHUNK_TOKENS for _, _, ln in chunks[:-1])

@@ -343,3 +343,47 @@ def test_cli_index_build_and_probe(spark, tmp_path, capsys):
         st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert st["statusCode"] == 200 and st["kind"] == kind
         assert st["probe_rows"] > 0
+
+
+def test_restore_version_round_trip_and_undo(spark, tmp_path, capsys):
+    """restore_version is the API form of the recovery the versioned-upsert
+    test performs by hand: bad merge -> restore (old rows back) -> the
+    displaced bad state is itself retired, so restore is undoable too."""
+    import json
+    import os
+
+    from data_pipeline_python_aws_cdk_spark.maintenance import (
+        list_versions,
+        restore_version,
+        upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "orig", 1, "d1"), (2, "keep", 1, "d2")],
+        "id long, val string, version int, day string",
+    )
+    path = str(tmp_path / "ds_restore")
+    base.write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "bad-merge", 2, "d1")], "id long, val string, version int, day string"
+    )
+    upsert(spark, path, updates, key_cols=["id"], version_col="version",
+           partition_cols=["day"])
+
+    versions = list_versions(path)
+    assert len(versions) == 1 and versions[0]["items"] == ["day=d1"]
+
+    st = restore_version(path, versions[0]["snapshot"])
+    assert st["restored"] == 1 and st["mode"] == "partitioned"
+    got = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "orig"), (2, "keep")}
+    # the displaced bad merge went into the undo snapshot
+    assert os.path.isdir(os.path.join(st["undo_snapshot"], "day=d1"))
+
+    # undoing the restore through the CLI (latest snapshot = undo snapshot)
+    rc = jobs.main(["restore", "--path", path])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["statusCode"] == 200
+    got = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "bad-merge"), (2, "keep")}
