@@ -204,6 +204,10 @@ QUADRATIC_BY_DESIGN = {
     "similarity_ann_quantized", # corpus x 16-row centroid broadcast (same as ann_ivf)
     "corpus_mixture_plan",      # cross join against the ONE-ROW corpus total
     "events_key_skew_profile",  # cross join against the ONE-ROW key-count totals
+    "events_drift_report",      # cross joins against the ONE-ROW time cut + totals
+    "source_overlap_matrix",    # |sources|^2 pair skeleton over a broadcast
+                                # totals table (sources is a bounded dimension)
+    "dedup_threshold_curve",    # verified pairs x FIVE-ROW threshold grid
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
