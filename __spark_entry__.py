@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # approx_sketch_estimates (rows-only by design), events_sliding_distinct,
 # source_overlap_matrix, corpus_boilerplate_ngrams, events_drift_report,
 # documents_chunking, events_bot_detection, embedding_gram_matrix,
-# dedup_threshold_curve.
+# dedup_threshold_curve, corpus_lang_confusion, corpus_perplexity_buckets,
+# multimodal_audio_chunks, streaming_sliding_counts.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

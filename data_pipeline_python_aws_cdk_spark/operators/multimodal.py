@@ -379,3 +379,110 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     frame = attach_payload(d)
     return frame.mapInPandas(fake_frame_sample_batch, schema=FRAME_SCHEMA)
+
+
+# --- audio chunking ----------------------------------------------------------
+
+# Fixed-duration chunking for ASR/audio-embedding pipelines: a payload is
+# split into CHUNK_SECS windows at its own sample rate, the tail chunk
+# keeping whatever samples remain. Rates are drawn from the common capture
+# set so the chunk length varies per payload (the real-world shape: a
+# corpus mixes 8 kHz telephony with 44.1 kHz studio audio).
+AUDIO_RATES = (8000, 16000, 22050, 44100)
+AUDIO_CHUNK_SECS = 10
+AUDIO_MAX_SAMPLES = 2_000_000  # ~45 s at 44.1 kHz — bounds the fake corpus
+
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, chunk_idx int, "
+    "start_sample long, chunk_samples long, chunk_hash long"
+)
+
+
+def fake_audio_chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-duration audio chunk expansion.
+
+    Pseudo sample-rate / sample-count derive from the payload hash (the
+    oracle replays both); the 1 -> N expansion with a shrinking tail chunk
+    is the real shape of audio segmentation — chunk count depends on each
+    payload's own rate, decided inside the worker. A real worker swaps the
+    metadata derivation for a soundfile/ffprobe header read and emits
+    (..., pcm_bytes) per chunk; schema and plan shape are unchanged.
+    NULL payloads contribute no chunks (same contract as frame sampling).
+    """
+    n_rates = len(AUDIO_RATES)
+    for pdf in batches:
+        o_doc, o_rate, o_n, o_idx, o_start, o_len, o_hash = [], [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            t = bytes(payload).decode("utf-8")
+            rate = AUDIO_RATES[hash60_py(t, "sr") % n_rates]
+            n_samples = hash60_py(t, "ns") % AUDIO_MAX_SAMPLES + 1
+            chunk_len = rate * AUDIO_CHUNK_SECS
+            for idx, start in enumerate(range(0, n_samples, chunk_len)):
+                o_doc.append(doc_id)
+                o_rate.append(rate)
+                o_n.append(n_samples)
+                o_idx.append(idx)
+                o_start.append(start)
+                o_len.append(min(chunk_len, n_samples - start))
+                o_hash.append(hash60_py(f"{t}:{start}") % 1_000_000_000)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(o_doc, dtype="int64"),
+                "sample_rate": pd.Series(o_rate, dtype="int32"),
+                "n_samples": pd.Series(o_n, dtype="int64"),
+                "chunk_idx": pd.Series(o_idx, dtype="int32"),
+                "start_sample": pd.Series(o_start, dtype="int64"),
+                "chunk_samples": pd.Series(o_len, dtype="int64"),
+                "chunk_hash": pd.Series(o_hash, dtype="int64"),
+            }
+        )
+
+
+_SR = hash60_sql("text", salt="sr")
+_NS = hash60_sql("text", salt="ns")
+
+
+def _audio_chunk_oracle() -> str:
+    rate_list = ", ".join(str(r) for r in AUDIO_RATES)
+    return f"""
+    WITH clips AS (
+      SELECT doc_id, text,
+             ([{rate_list}])[({_SR}) % {len(AUDIO_RATES)} + 1] AS sample_rate,
+             ({_NS}) % {AUDIO_MAX_SAMPLES} + 1 AS n_samples
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, text, sample_rate, n_samples,
+             unnest(generate_series(
+               0, n_samples - 1, sample_rate * {AUDIO_CHUNK_SECS}
+             )) AS start_sample
+      FROM clips
+    )
+    SELECT doc_id, sample_rate, n_samples,
+           CAST(start_sample / (sample_rate * {AUDIO_CHUNK_SECS}) AS INT)
+             AS chunk_idx,
+           start_sample,
+           LEAST(sample_rate * {AUDIO_CHUNK_SECS}, n_samples - start_sample)
+             AS chunk_samples,
+           ({hash60_sql("text || ':' || start_sample")}) % 1000000000
+             AS chunk_hash
+    FROM chunks
+    """
+
+
+@_register("multimodal_audio_chunks", oracle=_audio_chunk_oracle())
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing: each payload splits into fixed-duration
+    chunks at its own sample rate (tail keeps the remainder) — the prep
+    step before ASR or audio-embedding batch inference.
+
+    Map-only like frame sampling: the expansion happens inside the Arrow
+    worker, no shuffle, output co-partitioned with the scan; at 100 TB the
+    only knob is input split size. Downstream sees ordinary rows keyed
+    (doc_id, chunk_idx) ready for a mapInPandas encoder.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frame = attach_payload(d)
+    return frame.mapInPandas(fake_audio_chunk_batch, schema=AUDIO_CHUNK_SCHEMA)

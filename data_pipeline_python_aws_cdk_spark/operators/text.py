@@ -1456,3 +1456,131 @@ def documents_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (end - start + 1).cast("bigint").alias("n_tokens"),
         hash60(chunk_text).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# --- language-ID evaluation and perplexity-based partitioning ----------------
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+    WITH pred AS ({_lang_id_expr_sql()}),
+    tot AS (
+      SELECT labeled_lang, COUNT(*) AS labeled_docs
+      FROM pred GROUP BY labeled_lang
+    )
+    SELECT p.labeled_lang, p.detected_lang, COUNT(*) AS docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.labeled_docs), 6)
+             AS recall_share
+    FROM pred p JOIN tot t ON p.labeled_lang = t.labeled_lang
+    GROUP BY p.labeled_lang, p.detected_lang
+    ORDER BY p.labeled_lang, p.detected_lang
+    """
+
+
+@_register("corpus_lang_confusion", oracle=_lang_confusion_oracle())
+def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: ground-truth label x detected language
+    with per-truth recall shares — the calibration table read before
+    trusting the classifier to route documents into per-language pipelines
+    (a LID that shunts 20% of French into the English bucket poisons both).
+
+    Shape: the per-doc prediction is the same map-only vote as ``lang_id``;
+    the matrix is ONE map-side-combinable groupBy at |langs|^2 cardinality,
+    and the per-truth totals it normalizes by are a window over that
+    already-tiny aggregate — no second scan, no corpus-scale shuffle, so
+    at 100 TB the cost is one pass over the text plus an exchange of a
+    few dozen rows.
+    """
+    pred = lang_id(spark, sf_dir)
+    cell = pred.groupBy("labeled_lang", "detected_lang").agg(
+        F.count("*").alias("docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return (
+        cell.select(
+            "labeled_lang",
+            "detected_lang",
+            "docs",
+            F.round(
+                F.col("docs").cast("double") / F.sum("docs").over(w), 6
+            ).alias("recall_share"),
+        )
+        .orderBy("labeled_lang", "detected_lang")
+    )
+
+
+# CCNet-style corpus partitioning: per language, documents split into
+# perplexity terciles (head = most in-domain, tail = noisiest). Mixture
+# builders upsample head, drop or LM-filter tail.
+PPL_BUCKETS = 3
+_PPL_NAMES = {1: "head", 2: "middle", 3: "tail"}
+
+
+def _ppl_bucket_oracle() -> str:
+    name_case = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in sorted(_PPL_NAMES.items())
+    )
+    return f"""
+    WITH lm AS ({_lm_oracle()}),
+    scored AS (
+      SELECT d.lang, lm.doc_id, lm.avg_nll,
+             NTILE({PPL_BUCKETS}) OVER (
+               PARTITION BY d.lang ORDER BY lm.avg_nll, lm.doc_id
+             ) AS b
+      FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+    )
+    SELECT lang, CASE b {name_case} END AS bucket, COUNT(*) AS docs,
+           ROUND(MIN(avg_nll), 6) AS min_nll,
+           ROUND(MAX(avg_nll), 6) AS max_nll
+    FROM scored
+    GROUP BY lang, b
+    ORDER BY lang, MIN(b)
+    """
+
+
+@_register("corpus_perplexity_buckets", oracle=_ppl_bucket_oracle())
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning: per language, split documents
+    into head/middle/tail terciles of unigram-LM score — the standard
+    quality gradient used to pick how much of a crawl enters the training
+    mixture (head kept, tail dropped or re-filtered).
+
+    Shape: the per-doc score is ``text_lm_score``'s two-pass broadcast-model
+    plan (one token-count shuffle + map-side scoring); the lang join is a
+    narrow doc_id equi-join of per-doc SCORES (never bodies); the tercile
+    split is one window per language ordered by (avg_nll, doc_id) — the
+    doc_id tie-break makes bucket boundaries bit-stable cross-engine. The
+    final rollup is |langs| x {PPL_BUCKETS} rows. At 100 TB the window
+    carries 16-byte score rows, and a quantile-sketch cut (approx
+    percentiles -> map-side bucket assignment) is the drop-in upgrade if
+    even that shuffle is unwanted.
+    """
+    lm = text_lm_score(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = lm.join(langs, "doc_id").select("lang", "doc_id", "avg_nll")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    b = scored.withColumn("b", F.ntile(PPL_BUCKETS).over(w))
+    name_col = F.col("b")
+    bucket = None
+    for k, v in sorted(_PPL_NAMES.items()):
+        bucket = (
+            F.when(name_col == k, v) if bucket is None else bucket.when(name_col == k, v)
+        )
+    return (
+        b.groupBy("lang", "b")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.min("avg_nll"), 6).alias("min_nll"),
+            F.round(F.max("avg_nll"), 6).alias("max_nll"),
+        )
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "docs",
+            "min_nll",
+            "max_nll",
+            F.col("b").alias("_b"),
+        )
+        .orderBy("lang", "_b")
+        .drop("_b")
+    )

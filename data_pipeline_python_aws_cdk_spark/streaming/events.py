@@ -649,3 +649,58 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("copies"))
     )
     return _drain(spark, agg, "complete")
+
+
+@_register(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH covers AS (
+      SELECT strftime(
+               to_timestamp(
+                 (CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800) * 1800 - k * 1800
+               ),
+               '%Y-%m-%d %H:%M:%S'
+             ) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      WHERE ts IS NOT NULL
+    )
+    SELECT window_start, event_type, COUNT(*) AS events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM covers
+    GROUP BY window_start, event_type
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming counts: 1-hour windows every 30 minutes, so
+    each event lands in exactly two overlapping windows — the smoothed
+    rate/alerting view (tumbling windows jitter at boundaries; dashboards
+    and threshold alarms read the overlapped series).
+
+    Streaming shape: ``F.window(ts, '1 hour', '30 minutes')`` replicates
+    each event into its covering windows BEFORE the keyed state update, so
+    state is O(active windows x types) exactly like the tumbling query —
+    the watermark closes both overlapping windows the same way. The oracle
+    replays the replication arithmetic: window starts are the two 30-min
+    grid points in (ts - 1h, ts], computed on integer epoch-seconds
+    (floor-divide, no float), grid-aligned identically in both engines.
+    """
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    agg = (
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+    return _drain(spark, agg, "complete")

@@ -951,3 +951,57 @@ def test_pca_recovers_planted_plane(spark, tmp_path):
     expect = (x.astype(np.float32).astype(np.float64) - model.mean) @ model.components.T
     err = max(np.abs(proj[i] - expect[i]).max() for i in range(n))
     assert err < 1e-6
+
+
+def test_audio_chunks_cover_every_sample_exactly_once(spark):
+    rows = multimodal.multimodal_audio_chunks(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        rate = chunks[0].sample_rate
+        n = chunks[0].n_samples
+        assert rate in multimodal.AUDIO_RATES
+        # chunks tile [0, n_samples) exactly: contiguous, non-overlapping,
+        # full chunks everywhere except a shrinking tail
+        clen = rate * multimodal.AUDIO_CHUNK_SECS
+        assert sum(c.chunk_samples for c in chunks) == n
+        for i, c in enumerate(chunks):
+            assert c.start_sample == i * clen
+            assert c.chunk_samples == (clen if i < len(chunks) - 1 else n - i * clen)
+            assert 1 <= c.chunk_samples <= clen
+
+
+def test_lang_confusion_shares_sum_to_one_per_truth(spark):
+    rows = text.corpus_lang_confusion(spark, SF_SMOKE).collect()
+    per_truth = {}
+    for r in rows:
+        per_truth.setdefault(r.labeled_lang, 0.0)
+        per_truth[r.labeled_lang] += r.recall_share
+        assert r.detected_lang in ("en", "de", "es")  # the classifier's range
+        assert r.docs > 0
+    # every ground-truth language's detected shares partition its docs
+    for lang, s in per_truth.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_perplexity_buckets_ordered_and_partition_docs(spark):
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    rows = text.corpus_perplexity_buckets(spark, SF_SMOKE).collect()
+    docs_total = sum(r.docs for r in rows)
+    assert docs_total == load_table(spark, SF_SMOKE, "documents").count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, bs in by_lang.items():
+        names = [b.bucket for b in bs]
+        assert names == ["head", "middle", "tail"][: len(names)], lang
+        # terciles are score-ordered: head's max <= middle's min, etc.
+        for a, b in zip(bs, bs[1:]):
+            assert a.max_nll <= b.min_nll + 1e-9, lang
+        # NTILE balance: sizes differ by at most 1
+        sizes = [b.docs for b in bs]
+        assert max(sizes) - min(sizes) <= 1, lang

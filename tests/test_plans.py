@@ -218,6 +218,7 @@ STREAMING = {
     "streaming_user_stats",
     "streaming_distinct_pairs",
     "streaming_click_purchase_join",
+    "streaming_sliding_counts",
 }
 
 

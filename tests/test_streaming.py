@@ -302,3 +302,23 @@ def test_upsert_sink_bootstrap_dedups_backlog(spark, tmp_path):
     assert len(rows) == 2  # one survivor per key, no duplicate user_id=2
     by_key = {r.user_id: r for r in rows}
     assert by_key[2].version == 2 and by_key[2].score == 9.9
+
+
+def test_sliding_counts_double_cover_the_tumbling_series(spark):
+    """Every event lands in exactly TWO 1h/30min sliding windows, so the
+    sliding series' per-type event totals are exactly 2x the tumbling
+    series', and each tumbling hour window appears among the sliding
+    window starts."""
+    from data_pipeline_python_aws_cdk_spark.streaming import events as events_mod
+
+    sliding = events_mod.QUERIES["streaming_sliding_counts"](spark, SF_SMOKE).collect()
+    tumbling = analytics.events_hourly_windows(spark, SF_SMOKE).collect()
+    s_tot, t_tot = {}, {}
+    for r in sliding:
+        s_tot[r.event_type] = s_tot.get(r.event_type, 0) + r.events
+    for r in tumbling:
+        t_tot[r.event_type] = t_tot.get(r.event_type, 0) + r.events
+    assert s_tot == {k: 2 * v for k, v in t_tot.items()}
+    hour_starts = {r.window_start for r in tumbling}
+    slide_starts = {r.window_start for r in sliding}
+    assert hour_starts <= slide_starts
