@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         "--probe", action="store_true", help="probe after building; print match count"
     )
 
+    p_bpe = sub.add_parser(
+        "bpe", help="train BPE merge rules over the document corpus"
+    )
+    p_bpe.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_bpe.add_argument("--output", required=True, help="merges.json destination dir")
+    p_bpe.add_argument("--merges", type=int, default=8)
+
     p_rest = sub.add_parser(
         "restore", help="roll back an upsert from a .versions snapshot"
     )
@@ -201,6 +208,26 @@ def main(argv: list[str] | None = None) -> int:
                     "manifest": manifest_path,
                     "buckets": len(manifest),
                     "train_tokens": sum(m["tokens"] for m in manifest),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "bpe":
+        from .operators.text import bpe_train
+        from .sources.objectstore import write_text
+
+        result = bpe_train(spark, args.sf_dir, n_merges=args.merges)
+        out_path = args.output.rstrip("/") + "/merges.json"
+        write_text(spark, out_path, json.dumps(result))
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "merges": len(result["merges"]),
+                    "vocab_size": result["vocab_size"],
+                    "total_symbols": result["total_symbols"],
+                    "output": out_path,
                 }
             )
         )

@@ -1584,3 +1584,168 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang", "_b")
         .drop("_b")
     )
+
+
+# --- BPE tokenizer induction -------------------------------------------------
+
+# Pairs reported by the registered query (iteration-0 of BPE: adjacent
+# character-pair counts weighted by word frequency).
+BPE_TOP_PAIRS = 50
+
+# Symbol sequences sit on the distinct-WORD dictionary, not the corpus:
+# pair counting and merging are weighted by word frequency, so a 100 TB
+# corpus costs one word-count shuffle up front and each merge round then
+# touches only the (much smaller, still distributed) dictionary.
+_SYMS_EXPR = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+_ADJ_PAIRS = (
+    "zip_with(slice(syms, 1, size(syms) - 1),"
+    " slice(syms, 2, size(syms) - 1), (a, b) -> concat(a, ' ', b))"
+)
+
+
+def _bpe_pair_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+    pos AS (
+      SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+      FROM wf WHERE length(word) >= 2
+    )
+    SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair,
+           CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pos
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(lower_ws_tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@_register("corpus_bpe_pair_counts", oracle=_bpe_pair_oracle())
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration zero: adjacent character-pair counts over the corpus,
+    weighted by word frequency — the statistic a byte-pair-encoding
+    tokenizer trainer maximizes at every merge step, and on its own the
+    standard "which merges would a tokenizer learn here?" audit.
+
+    Shape: one word-count shuffle collapses the corpus to its dictionary
+    (map-side combined; token payloads never shuffle — only distinct words
+    with counts), then pair expansion is a JVM-side transform over each
+    word's characters and the pair rollup is a second map-side-combined
+    aggregate at |alphabet|^2 cardinality. Top-k via
+    TakeOrderedAndProject with the (count desc, pair asc) tie-break that
+    makes the boundary deterministic cross-engine.
+    """
+    wf = _word_freqs(spark, sf_dir)
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> dict:
+    """Distributed BPE tokenizer training: greedily learn ``n_merges``
+    merge rules over the corpus dictionary (Sennrich et al.'s algorithm,
+    the vocabulary-induction step every *-BPE/wordpiece pipeline runs
+    before training).
+
+    Scale shape: the corpus collapses to (word, freq, symbol-array) rows
+    once; every round then (1) counts adjacent symbol pairs with a
+    map-side-combined aggregate weighted by freq, (2) takes the argmax
+    with a deterministic (count desc, pair asc) tie-break, and (3) rewrites
+    ONLY the rows whose symbol arrays contain the winning pair (an
+    Arrow-batched pandas UDF over that filtered subset — greedy
+    left-to-right non-overlapping, the reference semantics). State is
+    localCheckpoint'd per round so lineage stays flat across the driver
+    loop. Pair counting and the merge rewrite are both dictionary-sized,
+    corpus-size-independent work.
+
+    Returns {"merges": [(pair, count), ...], "vocab_size": int,
+    "total_symbols": int} — merges in learned order.
+    """
+    wf = _word_freqs(spark, sf_dir)
+    state = wf.select(
+        "word", "freq", F.expr(_SYMS_EXPR).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        pairs = state.filter(F.size("syms") >= 2).select(
+            "freq", F.explode(F.expr(_ADJ_PAIRS)).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        best, cnt = top[0].pair, int(top[0].cnt)
+        merges.append((best, cnt))
+        a, b = best.split(" ")
+
+        def _make_merge(_a: str, _b: str):
+            def one(s):
+                out = []
+                i, n = 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == _a and s[i + 1] == _b:
+                        out.append(_a + _b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                return out
+
+            def batches(it):
+                for pdf in it:
+                    pdf = pdf.copy()
+                    pdf["syms"] = pdf["syms"].map(one)
+                    yield pdf
+
+            return batches
+
+        has_pair = F.array_contains(F.expr(_ADJ_PAIRS), best)
+        touched = state.filter(has_pair).mapInPandas(
+            _make_merge(a, b), schema=state.schema
+        )
+        state = (
+            state.filter(~has_pair).unionByName(touched).localCheckpoint(eager=True)
+        )
+    stats = state.select(
+        F.explode("syms").alias("sym"), F.col("freq")
+    ).agg(
+        F.count_distinct("sym").alias("vocab"),
+        F.sum("freq").alias("total"),  # one row per symbol slot x freq
+    ).collect()[0]
+    return {
+        "merges": merges,
+        "vocab_size": int(stats.vocab),
+        "total_symbols": int(stats.total),
+    }

@@ -1005,3 +1005,71 @@ def test_perplexity_buckets_ordered_and_partition_docs(spark):
         # NTILE balance: sizes differ by at most 1
         sizes = [b.docs for b in bs]
         assert max(sizes) - min(sizes) <= 1, lang
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Pure-Python Sennrich-style BPE: overlapping pair counts, argmax with
+    (count desc, pair asc) tie-break, greedy left-to-right merge."""
+    state = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((f"{a} {b}", cnt))
+        new_state = {}
+        for syms, f in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] = new_state.get(tuple(out), 0) + f
+        state = new_state
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
+    docs = [
+        (1, "low low low lower lowest", "en", "s", 1),
+        (2, "new newer newest low new", "en", "s", 1),
+        (3, "wider wide wide new lower", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "bpe"
+    df.write.parquet(f"{out}/documents.parquet")
+
+    wf = {}
+    for _, t, *_ in docs:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    expected = _reference_bpe(wf, 6)
+    got = text.bpe_train(spark, str(out), n_merges=6)
+    assert got["merges"] == expected
+    # every merge strictly shrinks the symbol stream by its pair count
+    base = sum(len(w) * f for w, f in wf.items())
+    assert got["total_symbols"] == base - sum(c for _, c in expected)
+    # vocab grows by one learned symbol per merge over the base alphabet
+    alphabet = {c for w in wf for c in w}
+    assert got["vocab_size"] <= len(alphabet) + len(expected)
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "ab ab ab", "en", "s", 1), (2, "ab cd", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "bpepc"
+    df.write.parquet(f"{out}/documents.parquet")
+    rows = {r.pair: r.cnt for r in text.corpus_bpe_pair_counts(spark, str(out)).collect()}
+    assert rows == {"a b": 4, "c d": 1}

@@ -387,3 +387,23 @@ def test_restore_version_round_trip_and_undo(spark, tmp_path, capsys):
     assert out["statusCode"] == 200
     got = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "bad-merge"), (2, "keep")}
+
+
+def test_cli_bpe_writes_merge_rules(spark, tmp_path, capsys):
+    docs = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, "low low lower", "en", "s", 1), (2, "lowest low new", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{docs}/documents.parquet")
+
+    out = str(tmp_path / "bpe")
+    rc = jobs.main(
+        ["bpe", "--sf-dir", str(docs), "--output", out, "--merges", "3"]
+    )
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["statusCode"] == 200 and st["merges"] == 3
+
+    persisted = json.loads(open(f"{out}/merges.json").read())
+    # 'l o' leads: low x3 + lower + lowest
+    assert [tuple(m) for m in persisted["merges"]][0] == ("l o", 5)
+    assert persisted["vocab_size"] == st["vocab_size"]
