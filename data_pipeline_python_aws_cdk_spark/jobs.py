@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
     p_cl.add_argument("--out", required=True)
     p_cl.add_argument("--by", required=True, help="comma-separated cluster keys")
     p_cl.add_argument("--files", type=int, default=8)
+    p_cl.add_argument(
+        "--zorder",
+        action="store_true",
+        help="Morton-interleave the keys (multi-column skipping) instead of "
+        "lexicographic range clustering",
+    )
 
     p_an = sub.add_parser(
         "analyze", help="collect table/column statistics for the cost-based optimizer"
@@ -234,8 +240,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "cluster":
-        from .maintenance import cluster
+        from .maintenance import cluster, zorder_cluster
 
+        if args.zorder:
+            info = zorder_cluster(
+                spark, args.path, args.by.split(","), args.out, files=args.files
+            )
+            print(json.dumps({"statusCode": 200, **info}))
+            return 0
         info = cluster(
             spark, args.path, args.by.split(","), args.out, files_per_partition=args.files
         )

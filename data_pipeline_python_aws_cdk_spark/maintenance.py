@@ -454,3 +454,69 @@ def cluster(
         .parquet(out)
     )
     return {"input": path, "output": out, "clustered_by": by}
+
+
+def zorder_cluster(
+    spark: SparkSession,
+    path: str,
+    by: list[str],
+    out: str,
+    files: int = 8,
+    bits: int | None = None,
+) -> dict:
+    """Multi-dimensional clustering: rewrite the dataset ordered by the
+    Z-order (Morton) interleave of ``by``, so row-group min/max stats are
+    selective on EVERY listed column at once. Lexicographic clustering
+    (``cluster``) serves only its leading key — a filter on the second
+    column still touches every file; bit-interleaving gives each file a
+    hyper-rectangle of the key space instead, the layout Delta/Iceberg
+    expose as OPTIMIZE ZORDER BY.
+
+    Shape: one cheap min/max aggregate fixes the per-column scale (2n
+    scalars to the driver), the Z-value is a pure column expression
+    (scale to ``bits`` bits, interleave — no UDF, codegen fuses it into
+    the scan), and ``repartitionByRange`` over that value is the single
+    shuffle, exactly like linear clustering. NULLs scale to 0 and sort
+    first. ``bits`` defaults to the most that fit 62 bits across the
+    dimensions (16 for 2-3 cols) — plenty: resolution beyond
+    files x row-groups adds nothing.
+    """
+    df = spark.read.parquet(path)
+    nd = len(by)
+    if nd < 2:
+        raise ValueError("zorder_cluster needs >= 2 columns; use cluster() for one")
+    bits = bits or min(16, 62 // nd)
+    aggs = []
+    for c in by:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    cap = (1 << bits) - 1
+    scaled = []
+    for c in by:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        rng = (mx - mn) if (mn is not None and mx is not None) else 0.0
+        if not rng:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        s = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(rng) * (cap + 1)
+        ).cast("bigint")
+        scaled.append(
+            F.coalesce(F.least(F.lit(cap), F.greatest(F.lit(0), s)), F.lit(0))
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for d, s in enumerate(scaled):
+            z = z + F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), i * nd + d)
+    (
+        df.withColumn("_zorder", z)
+        .repartitionByRange(max(1, files), "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return {"input": path, "output": out, "zorder_by": by, "bits": bits}

@@ -407,3 +407,57 @@ def test_cli_bpe_writes_merge_rules(spark, tmp_path, capsys):
     # 'l o' leads: low x3 + lower + lowest
     assert [tuple(m) for m in persisted["merges"]][0] == ("l o", 5)
     assert persisted["vocab_size"] == st["vocab_size"]
+
+
+def test_zorder_clusters_skip_on_both_dimensions(spark, tmp_path):
+    """Lexicographic clustering serves only its leading key: a filter on
+    the SECOND key still intersects every file's stat range. The Z-order
+    rewrite must make narrow filters selective on both dimensions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_python_aws_cdk_spark import maintenance
+
+    src = str(tmp_path / "src")
+    lex = str(tmp_path / "lex")
+    zo = str(tmp_path / "zorder")
+    # x cycles fast, y is a decorrelated permutation — in arrival order no
+    # row group can skip on either column
+    spark.range(0, 200_000).selectExpr(
+        "id % 1000 AS x", "(id * 7919) % 1000 AS y", "id AS payload"
+    ).write.parquet(src)
+
+    maintenance.cluster(spark, src, ["x", "y"], lex, files_per_partition=16)
+    maintenance.zorder_cluster(spark, src, ["x", "y"], zo, files=16)
+
+    def covering(root, col, lo, hi):
+        cover = total = 0
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            cidx = md.schema.to_arrow_schema().get_field_index(col)
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(cidx).statistics
+                total += 1
+                if st.min <= hi and lo <= st.max:
+                    cover += 1
+        return cover, total
+
+    # leading-dim filter: both layouts skip
+    cx_lex, t_lex = covering(lex, "x", 100, 120)
+    cx_zo, t_zo = covering(zo, "x", 100, 120)
+    assert cx_lex <= max(1, t_lex // 2)
+    assert cx_zo <= max(1, t_zo // 2)
+    # second-dim filter: lexicographic covers ~everything, z-order skips
+    cy_lex, _ = covering(lex, "y", 100, 120)
+    cy_zo, _ = covering(zo, "y", 100, 120)
+    assert cy_lex >= t_lex * 3 // 4  # sorted-within-x: y spans everything
+    assert cy_zo <= t_zo // 2
+    assert cy_zo < cy_lex
+    # layout change only: the data itself is intact on both filter axes
+    for pred in ("x BETWEEN 100 AND 120", "y BETWEEN 100 AND 120"):
+        a = spark.read.parquet(src).filter(pred).count()
+        b = spark.read.parquet(zo).filter(pred).count()
+        assert a == b > 0, pred
