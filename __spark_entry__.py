@@ -49,7 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # source_overlap_matrix, corpus_boilerplate_ngrams, events_drift_report,
 # documents_chunking, events_bot_detection, embedding_gram_matrix,
 # dedup_threshold_curve, corpus_lang_confusion, corpus_perplexity_buckets,
-# multimodal_audio_chunks, streaming_sliding_counts, corpus_bpe_pair_counts.
+# multimodal_audio_chunks, streaming_sliding_counts, corpus_bpe_pair_counts,
+# embedding_label_centroids, similarity_knn_label_vote, data_quality_audit.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

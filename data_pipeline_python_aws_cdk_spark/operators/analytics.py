@@ -2394,3 +2394,132 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (rate >= BOT_RATE_PER_MIN)
         ).alias("is_bot"),
     ).orderBy("user_id")
+
+
+@_register(
+    "data_quality_audit",
+    oracle="""
+    WITH lj AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphans,
+             SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+               AS early_ship,
+             SUM(CASE WHEN l.l_quantity IS NULL OR l.l_quantity <= 0
+                      THEN 1 ELSE 0 END) AS bad_qty,
+             SUM(CASE WHEN l.l_discount < 0 OR l.l_discount > 1
+                      THEN 1 ELSE 0 END) AS bad_disc
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    oj AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans,
+             SUM(CASE WHEN o.o_totalprice IS NULL OR o.o_totalprice <= 0
+                      THEN 1 ELSE 0 END) AS bad_price
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cu AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END)
+               AS no_name
+      FROM customer
+    ),
+    checks AS (
+      SELECT 'lineitem_discount_in_unit_range' AS check_name, total,
+             CAST(bad_disc AS BIGINT) AS violations FROM lj
+      UNION ALL
+      SELECT 'lineitem_orderkey_references_orders', total,
+             CAST(orphans AS BIGINT) FROM lj
+      UNION ALL
+      SELECT 'lineitem_quantity_positive', total, CAST(bad_qty AS BIGINT) FROM lj
+      UNION ALL
+      SELECT 'lineitem_ships_on_or_after_order', total,
+             CAST(early_ship AS BIGINT) FROM lj
+      UNION ALL
+      SELECT 'orders_custkey_references_customer', total,
+             CAST(orphans AS BIGINT) FROM oj
+      UNION ALL
+      SELECT 'orders_totalprice_positive', total, CAST(bad_price AS BIGINT) FROM oj
+      UNION ALL
+      SELECT 'customer_name_present', total, CAST(no_name AS BIGINT) FROM cu
+    )
+    SELECT check_name, total, violations, violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-validation suite (the Deequ/dbt-test shape): one
+    audit row per constraint — positivity, unit-range, referential
+    integrity, temporal ordering, presence — each with total/violation
+    counts and a pass verdict. The gate a pipeline runs before promoting
+    a batch into the curated zone.
+
+    Shape: ALL lineitem checks share one scan + one left equi-join to
+    orders (conditional aggregation folds the four constraints into a
+    single map-side-combined pass; the join also serves the referential
+    check, so integrity costs no extra pass); likewise orders+customer;
+    customer's presence check is a bare scan. Three 1-row aggregates then
+    unpivot to audit rows — at 100 TB the shuffles are the two equi-joins
+    a fact-dimension validation inherently needs, and every exchange
+    beyond them is scalar-sized.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    lj = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left")
+        .agg(
+            F.count("*").alias("total"),
+            cnt(F.col("o_orderkey").isNull()).alias("orphans"),
+            cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias("early_ship"),
+            cnt(
+                F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)
+            ).alias("bad_qty"),
+            cnt(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ).alias("bad_disc"),
+        )
+        .selectExpr(
+            "stack(4, "
+            "'lineitem_discount_in_unit_range', total, bad_disc, "
+            "'lineitem_orderkey_references_orders', total, orphans, "
+            "'lineitem_quantity_positive', total, bad_qty, "
+            "'lineitem_ships_on_or_after_order', total, early_ship"
+            ") AS (check_name, total, violations)"
+        )
+    )
+    oj = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count("*").alias("total"),
+            cnt(F.col("c_custkey").isNull()).alias("orphans"),
+            cnt(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+            ).alias("bad_price"),
+        )
+        .selectExpr(
+            "stack(2, "
+            "'orders_custkey_references_customer', total, orphans, "
+            "'orders_totalprice_positive', total, bad_price"
+            ") AS (check_name, total, violations)"
+        )
+    )
+    cu = c.agg(
+        F.count("*").alias("total"),
+        cnt(F.col("c_name").isNull() | (F.col("c_name") == "")).alias("no_name"),
+    ).selectExpr(
+        "stack(1, 'customer_name_present', total, no_name)"
+        " AS (check_name, total, violations)"
+    )
+    return (
+        lj.unionByName(oj)
+        .unionByName(cu)
+        .select(
+            "check_name",
+            "total",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )

@@ -1136,3 +1136,120 @@ def pca_project(spark: SparkSession, sf_dir: str, model: PCAModel) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     return e.select("vec_id", proj(F.col("embedding")).alias("proj"))
+
+
+# --- label-space diagnostics and kNN classification --------------------------
+
+
+@_register(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label, g.i AS dim, COUNT(*) AS n,
+           ROUND(AVG(embedding[g.i]::DOUBLE), 4) + 0 AS centroid
+    FROM embeddings, generate_series(1, {DIM}) g(i)
+    GROUP BY label, g.i
+    ORDER BY label, g.i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroids: the mean embedding of every label, one row per
+    (label, dimension) — classifier-head initialization, nearest-centroid
+    baselines, and the "are my classes even separable?" audit all read
+    this table.
+
+    Same shuffle geometry as embedding_dim_stats: posexplode keeps the
+    arithmetic JVM-side and the aggregate carries |labels| x DIM groups
+    with map-side combine — corpus-size-independent exchange. The "+ 0.0"
+    normalizes IEEE -0.0 cross-engine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return (
+        v.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def _knn_vote_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    p AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding AS ne
+          FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+    d AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+          FROM p, generate_series(1, {DIM}) g(i)
+          GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM d),
+    votes AS (
+      SELECT r.query_id, e.label, COUNT(*) AS votes
+      FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+      WHERE r.rank <= {TOP_K}
+      GROUP BY r.query_id, e.label
+    ),
+    win AS (
+      SELECT query_id, label AS predicted_label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT w.query_id, q.true_label, w.predicted_label, w.votes,
+           w.predicted_label = q.true_label AS correct
+    FROM win w JOIN q ON q.query_id = w.query_id
+    WHERE w.vr = 1
+    ORDER BY w.query_id
+    """
+
+
+@_register("similarity_knn_label_vote", oracle=_knn_vote_oracle())
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by neighbor-label majority vote: each query's
+    top-{TOP_K} cosine neighbors vote with their labels; (votes desc,
+    label asc) breaks ties deterministically. The standard embedding-space
+    sanity probe — if nearest-neighbor labels can't predict a vector's own
+    label, the space won't serve retrieval either.
+
+    Shape: the scoring pass IS similarity_topk (broadcast queries, Arrow
+    cosine, per-query top-k window); labels attach via an equi-join of the
+    K x |queries| neighbor-id rows back to the corpus (narrow rows — at
+    100 TB this is the candidates-only join the rerank already does),
+    and the vote/argmax windows run on vote-count-sized data.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label"))
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+    truth = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "votes",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
