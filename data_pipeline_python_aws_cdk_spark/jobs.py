@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
         "--probe", action="store_true", help="probe after building; print match count"
     )
 
+    p_exp = sub.add_parser(
+        "export", help="write the cleaned train corpus as JSONL shards"
+    )
+    p_exp.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_exp.add_argument("--output", required=True, help="shard root directory")
+
     p_bpe = sub.add_parser(
         "bpe", help="train BPE merge rules over the document corpus"
     )
@@ -217,6 +223,13 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "export":
+        from .operators.text import export_jsonl_shards
+
+        info = export_jsonl_shards(spark, args.sf_dir, args.output)
+        print(json.dumps({"statusCode": 200, **info}))
         return 0
 
     if args.cmd == "bpe":

@@ -1749,3 +1749,44 @@ def bpe_train(
         "vocab_size": int(stats.vocab),
         "total_symbols": int(stats.total),
     }
+
+
+def export_jsonl_shards(spark: SparkSession, sf_dir: str, out: str) -> dict:
+    """Materialize the cleaned train corpus as JSONL shards, one directory
+    per packing bucket — the hand-off format tokenizer/training jobs
+    consume (one shard per reader, records already in deterministic
+    token-stream order).
+
+    The record set and ordering ARE clean_survivor_packing's assignment
+    (quality filter -> exact dedup -> train split -> packing): the export
+    joins document bodies back to that skinny assignment by doc_id — the
+    ONE place bodies enter a shuffle, and they arrive pre-pruned to
+    survivors. Files are Spark's native JSONL writer partitioned by
+    bucket; ordering inside a shard follows (tok_start) so a sequential
+    reader sees the packed token stream.
+
+    Returns shard stats: buckets, docs, tokens.
+    """
+    assign = clean_survivor_packing(spark, sf_dir)
+    bodies = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    rows = (
+        assign.join(bodies, "doc_id")
+        .select("bucket", "tok_start", "seq_id", "doc_id", "doc_tokens",
+                "text", "lang", "source")
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", "tok_start")
+    )
+    rows.write.mode("overwrite").partitionBy("bucket").json(out)
+    stats = assign.agg(
+        F.count_distinct("bucket").alias("buckets"),
+        F.count("*").alias("docs"),
+        F.sum("doc_tokens").alias("tokens"),
+    ).collect()[0]
+    return {
+        "output": out,
+        "buckets": int(stats.buckets),
+        "docs": int(stats.docs),
+        "tokens": int(stats.tokens),
+    }

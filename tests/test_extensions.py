@@ -1073,3 +1073,41 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark, tmp_path):
     df.write.parquet(f"{out}/documents.parquet")
     rows = {r.pair: r.cnt for r in text.corpus_bpe_pair_counts(spark, str(out)).collect()}
     assert rows == {"a b": 4, "c d": 1}
+
+
+def test_bpe_train_property_random_corpora(spark, tmp_path):
+    """Property: on randomized small corpora the distributed trainer agrees
+    with the pure-Python reference merge-for-merge (argmax tie-breaks,
+    greedy left-to-right rewrite, overlapping-pair counting)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+
+    case = [0]
+
+    @given(texts=corpus)
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def check(texts):
+        case[0] += 1
+        out = tmp_path / f"bpe_prop_{case[0]}"
+        spark.createDataFrame(
+            [(i, t, "en", "s", 1) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{out}/documents.parquet")
+        wf = {}
+        for t in texts:
+            for w in t.lower().split():
+                wf[w] = wf.get(w, 0) + 1
+        expected = _reference_bpe(wf, 4)
+        got = text.bpe_train(spark, str(out), n_merges=4)
+        assert got["merges"] == expected
+
+    check()

@@ -461,3 +461,36 @@ def test_zorder_clusters_skip_on_both_dimensions(spark, tmp_path):
         a = spark.read.parquet(src).filter(pred).count()
         b = spark.read.parquet(zo).filter(pred).count()
         assert a == b > 0, pred
+
+
+def test_cli_export_jsonl_shards_match_packing(spark, tmp_path, capsys):
+    """The JSONL export must contain exactly the packed survivor set, one
+    record per surviving doc, shard-partitioned by bucket, readable back
+    as JSON with intact bodies."""
+    import glob
+
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        clean_survivor_packing,
+    )
+
+    out = str(tmp_path / "shards")
+    rc = jobs.main(
+        ["export", "--sf-dir", "/root/testdata/sf0.001", "--output", out]
+    )
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["statusCode"] == 200
+
+    assign = clean_survivor_packing(spark, "/root/testdata/sf0.001")
+    expected = {r.doc_id: r for r in assign.collect()}
+    assert st["docs"] == len(expected) > 0
+    assert st["tokens"] == sum(r.doc_tokens for r in expected.values())
+
+    back = spark.read.json(f"{out}")
+    got = {r.doc_id: r for r in back.collect()}
+    assert set(got) == set(expected)
+    some = next(iter(got))
+    assert got[some].text and got[some].lang
+    # bucket directories exist and every doc landed in its assigned bucket
+    assert glob.glob(f"{out}/bucket=*/*.json")
+    for doc_id, r in got.items():
+        assert int(r.bucket) == expected[doc_id].bucket
