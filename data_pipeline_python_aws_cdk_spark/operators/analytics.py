@@ -2523,3 +2523,115 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+@_register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    t AS (
+      SELECT src, dst, COUNT(*) AS transitions
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, transitions,
+           ROUND(CAST(transitions AS DOUBLE)
+                 / SUM(transitions) OVER (PARTITION BY src), 6) AS p
+    FROM t
+    ORDER BY src, dst
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    counts and conditional probabilities P(next type | current type) — the
+    behavioral fingerprint that feeds journey simulation, next-action
+    models, and change detection (a shifted row of this matrix is a
+    product change or a bot).
+
+    Shape: ONE per-user sort window produces successor pairs (the same
+    single-shuffle discipline as events_top_paths — (user, ts, type)
+    tuples only), then the matrix is a |types|^2 map-side-combined
+    aggregate and the probability normalization is a window over that
+    already-tiny table. The (ts, event_id) tie-break makes simultaneous
+    events order identically in both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count("*").alias("transitions"))
+    wn = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "transitions",
+        F.round(
+            F.col("transitions").cast("double") / F.sum("transitions").over(wn), 6
+        ).alias("p"),
+    ).orderBy("src", "dst")
+
+
+@_register(
+    "orders_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             ROUND(SUM(o_totalprice), 4) AS revenue,
+             COUNT(*) AS orders
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT month, orders, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 4) AS delta,
+           ROUND(
+             100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month), 4
+           ) AS pct_growth
+    FROM m
+    ORDER BY month
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: per-month totals with absolute and
+    percentage deltas against the prior month — the standard KPI series.
+
+    Shape: revenue pre-aggregates to |months| rows BEFORE the LAG window
+    (the pre-aggregation-before-global-window rule the plan gates pin for
+    window_running_revenue) — the unpartitioned window sees a few dozen
+    rows, never order rows, so the single-partition window stage is
+    scalar-sized at any corpus scale. Revenue is rounded once at the
+    month level and deltas derive from the rounded series, keeping both
+    engines' float exposure identical.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "orders",
+        "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("delta"),
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4).alias(
+            "pct_growth"
+        ),
+    ).orderBy("month")

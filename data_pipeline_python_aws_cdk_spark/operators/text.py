@@ -1790,3 +1790,63 @@ def export_jsonl_shards(spark: SparkSession, sf_dir: str, out: str) -> dict:
         "docs": int(stats.docs),
         "tokens": int(stats.tokens),
     }
+
+
+@_register(
+    "corpus_zipf_slope",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+    ranked AS (
+      SELECT ln(ROW_NUMBER() OVER (ORDER BY freq DESC, word)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM wf
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0 AS zipf_slope
+    FROM s
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: least-squares slope of ln(frequency) against ln(rank)
+    over the corpus vocabulary. Natural language sits near -1; a flat
+    slope flags template/machine-generated text, a cliff flags a
+    truncated vocabulary — a one-number corpus health check before
+    tokenizer training.
+
+    Shape: word counts are the usual map-side-combined shuffle to the
+    dictionary; ranking is ONE window over (word, freq) pairs — the
+    (freq desc, word) tie-break pins equal-frequency ranks identically in
+    both engines — and the regression is a single 5-sum aggregate to one
+    row. The closed-form slope (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) keeps both
+    engines' arithmetic identical; ROUND(...,4) absorbs float sum-order
+    noise.
+    """
+    wf = _word_freqs(spark, sf_dir)
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    ranked = wf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("vocab"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
+    )

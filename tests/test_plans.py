@@ -208,6 +208,8 @@ QUADRATIC_BY_DESIGN = {
     "source_overlap_matrix",    # |sources|^2 pair skeleton over a broadcast
                                 # totals table (sources is a bounded dimension)
     "dedup_threshold_curve",    # verified pairs x FIVE-ROW threshold grid
+    "corpus_perplexity_buckets",  # inherits text_lm_score's ONE-ROW total join
+    "similarity_knn_label_vote",  # inherits similarity_topk's broadcast query side
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
