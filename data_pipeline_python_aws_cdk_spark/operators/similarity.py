@@ -1253,3 +1253,95 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _dispersion_oracle() -> str:
+    return f"""
+    WITH cent AS (
+      SELECT label, g.i AS dim,
+             ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS c
+      FROM embeddings, generate_series(1, {DIM}) g(i)
+      GROUP BY label, g.i
+    ),
+    dist AS (
+      SELECT e.label, e.vec_id,
+             ROUND(sqrt(SUM((e.embedding[c.dim]::DOUBLE - c.c)
+                            * (e.embedding[c.dim]::DOUBLE - c.c))), 6) AS d
+      FROM embeddings e JOIN cent c ON e.label = c.label
+      GROUP BY e.label, e.vec_id
+    ),
+    ranked AS (
+      SELECT label, vec_id, d,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY d DESC, vec_id)
+               AS rn
+      FROM dist
+    )
+    SELECT r.label, s.n, s.mean_dist, s.max_dist,
+           r.vec_id AS farthest_vec_id
+    FROM ranked r
+    JOIN (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(d), 4) + 0 AS mean_dist,
+             ROUND(MAX(d), 4) + 0 AS max_dist
+      FROM dist GROUP BY label
+    ) s ON r.label = s.label
+    WHERE r.rn = 1
+    ORDER BY r.label
+    """
+
+
+@_register("embedding_label_dispersion", oracle=_dispersion_oracle())
+def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class compactness audit: per label, the distance profile of member
+    vectors around their own centroid plus the single farthest member —
+    the mislabeled-example / class-collapse detector run before training
+    a classifier head (a label whose max_dist towers over mean_dist has
+    outliers; one whose mean approaches other labels' has collapsed).
+
+    Shape: centroids are the |labels| x DIM map-side-combined aggregate
+    (embedding_label_centroids' geometry) broadcast back onto one corpus
+    scan; distances are a JVM-side posexplode-join-aggregate, and the
+    per-label profile plus argmax window run at |labels| cardinality.
+    Centroids round to 6 BEFORE the distance so both engines subtract
+    identical values; distances round before aggregation for the same
+    reason.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cent = (
+        v.groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    dist = (
+        v.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))),
+                6,
+            ).alias("d")
+        )
+    )
+    prof = dist.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.round(F.avg("d"), 4) + F.lit(0.0)).alias("mean_dist"),
+        (F.round(F.max("d"), 4) + F.lit(0.0)).alias("max_dist"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d").desc(), "vec_id")
+    far = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("vec_id").alias("farthest_vec_id"))
+    )
+    return (
+        prof.join(far, "label")
+        .select("label", "n", "mean_dist", "max_dist", "farthest_vec_id")
+        .orderBy("label")
+    )
