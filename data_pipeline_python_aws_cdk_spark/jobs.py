@@ -115,6 +115,15 @@ def main(argv: list[str] | None = None) -> int:
         "--probe", action="store_true", help="probe after building; print match count"
     )
 
+    p_roll = sub.add_parser(
+        "rollup", help="incrementally refresh a partitioned aggregate table"
+    )
+    p_roll.add_argument("--data", required=True, help="source dataset root")
+    p_roll.add_argument("--out", required=True, help="rollup table root")
+    p_roll.add_argument("--partition-col", required=True)
+    p_roll.add_argument("--group-cols", required=True, help="comma-separated")
+    p_roll.add_argument("--sum-col", required=True)
+
     p_exp = sub.add_parser(
         "export", help="write the cleaned train corpus as JSONL shards"
     )
@@ -223,6 +232,20 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "rollup":
+        from .maintenance import incremental_rollup
+
+        info = incremental_rollup(
+            spark,
+            args.data,
+            args.out,
+            args.partition_col,
+            [c for c in args.group_cols.split(",") if c],
+            args.sum_col,
+        )
+        print(json.dumps({"statusCode": 200, **info}))
         return 0
 
     if args.cmd == "export":

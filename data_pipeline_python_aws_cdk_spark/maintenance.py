@@ -520,3 +520,57 @@ def zorder_cluster(
         .parquet(out)
     )
     return {"input": path, "output": out, "zorder_by": by, "bits": bits}
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    data_path: str,
+    rollup_path: str,
+    partition_col: str,
+    group_cols: list[str],
+    sum_col: str,
+) -> dict:
+    """Materialized-view-style delta refresh: maintain a persisted
+    (partition, group) aggregate table by processing ONLY the source
+    partitions not yet present in the rollup — the incremental-ETL
+    primitive that turns "re-aggregate 100 TB nightly" into "aggregate
+    yesterday's partition and append".
+
+    Contract: source partitions are immutable once rolled (the engine's
+    append-only daily ingest — reference data_extractor.py:70 — satisfies
+    this; an upsert-revised partition should be re-rolled by deleting its
+    rollup rows first). Both sides are Hive-partitioned on
+    ``partition_col``, so (a) discovering done/new partitions is a
+    directory listing, no data scan, and (b) the delta read is a
+    partition-pruned scan — Catalyst's PruneFileSourcePartitions keeps
+    every already-rolled file unopened. The refresh appends one new
+    rollup partition per source partition: idempotent re-runs are no-ops,
+    and a crash between partitions resumes where it left off.
+
+    Returns {"partitions_processed": int, "partitions": [values...]}.
+    """
+    from .sources.objectstore import hadoop_fs
+
+    def _parts(root: str) -> set:
+        fs, p = hadoop_fs(spark, root)
+        if not fs.exists(p):
+            return set()
+        out = set()
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(f"{partition_col}="):
+                out.add(name.split("=", 1)[1])
+        return out
+
+    new = sorted(_parts(data_path) - _parts(rollup_path))
+    if not new:
+        return {"partitions_processed": 0, "partitions": []}
+    delta = spark.read.parquet(data_path).filter(
+        F.col(partition_col).isin([*new])
+    )
+    agg = delta.groupBy(partition_col, *group_cols).agg(
+        F.count("*").alias("rows"),
+        F.sum(sum_col).alias(f"sum_{sum_col}"),
+    )
+    agg.write.mode("append").partitionBy(partition_col).parquet(rollup_path)
+    return {"partitions_processed": len(new), "partitions": new}

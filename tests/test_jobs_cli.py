@@ -494,3 +494,52 @@ def test_cli_export_jsonl_shards_match_packing(spark, tmp_path, capsys):
     assert glob.glob(f"{out}/bucket=*/*.json")
     for doc_id, r in got.items():
         assert int(r.bucket) == expected[doc_id].bucket
+
+
+def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
+    """Delta refresh: the second refresh must touch only the newly arrived
+    partition (partition-pruned scan), the rollup must equal a full
+    re-aggregation, and an unchanged re-run must be a no-op."""
+    from data_pipeline_python_aws_cdk_spark.maintenance import incremental_rollup
+
+    data = str(tmp_path / "events_lake")
+    roll = str(tmp_path / "rollup")
+    spark.createDataFrame(
+        [("d1", "click", 1.0), ("d1", "click", 2.0), ("d1", "view", 3.0),
+         ("d2", "click", 4.0)],
+        "day string, event_type string, value double",
+    ).write.partitionBy("day").parquet(data)
+
+    st1 = incremental_rollup(spark, data, roll, "day", ["event_type"], "value")
+    assert st1 == {"partitions_processed": 2, "partitions": ["d1", "d2"]}
+
+    # nothing new -> no-op
+    st2 = incremental_rollup(spark, data, roll, "day", ["event_type"], "value")
+    assert st2["partitions_processed"] == 0
+
+    # a third day arrives; only it is processed
+    spark.createDataFrame(
+        [("d3", "view", 5.0)], "day string, event_type string, value double"
+    ).write.mode("append").partitionBy("day").parquet(data)
+    st3 = incremental_rollup(spark, data, roll, "day", ["event_type"], "value")
+    assert st3 == {"partitions_processed": 1, "partitions": ["d3"]}
+
+    # the pruned delta scan really prunes: d3-only partition filters
+    plan = (
+        spark.read.parquet(data)
+        .filter(F.col("day").isin(["d3"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "d3" in plan
+
+    # rollup == full re-aggregation of everything
+    got = {
+        (r.day, r.event_type): (r.rows, r.sum_value)
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert got == {
+        ("d1", "click"): (2, 3.0),
+        ("d1", "view"): (1, 3.0),
+        ("d2", "click"): (1, 4.0),
+        ("d3", "view"): (1, 5.0),
+    }
