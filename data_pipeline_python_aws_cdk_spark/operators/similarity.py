@@ -1345,3 +1345,104 @@ def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n", "mean_dist", "max_dist", "farthest_vec_id")
         .orderBy("label")
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+PQ_M = 8           # subspaces (DIM/PQ_M dims each)
+PQ_K = 16          # codewords per subspace -> 4 bits/sub, 32-bit code total
+PQ_SUBDIM = DIM // PQ_M
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH cb AS (
+      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, s.sub, cb.k,
+             ROUND(SUM((e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                        - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)
+                       * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                          - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
+               AS d6
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY e.vec_id, s.sub, cb.k
+    ),
+    best AS (
+      SELECT vec_id, sub, k, d6,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, k) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(SUM(k * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT) AS pq_code,
+           CAST(SUM(CAST(ROUND(d6 * 1000000) AS BIGINT)) AS BIGINT)
+             AS recon_err_micro
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+@_register("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each vector compresses to {PQ_M} x 4-bit
+    codeword ids (one 32-bit code for a 64-dim float vector — 64x smaller
+    than float32, the billion-vector-in-RAM encoding IVF-PQ serving
+    stacks use), plus the squared reconstruction error the code ladder
+    monitors (int8 scalar quantization -> PQ is the standard
+    memory/recall trade).
+
+    Codebooks are deterministic seed subvectors (the PQ_K lowest vec_ids,
+    same convention as the IVF centroid set) so the oracle replays every
+    assignment; a production build k-means-refines each subspace codebook
+    and only this table's contents change, not the plan. Shape: the
+    128-row codebook broadcasts; per (vector, subspace) the argmin over
+    16 codewords is a JVM-side slice + zip_with fold (no UDF), the
+    min-struct aggregation is map-side-combinable, and packing is one
+    groupBy(vec_id) at {PQ_M} rows per vector. Distances round to 6
+    BEFORE the argmin so both engines pick identical codewords.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("k"), F.col("embedding").alias("ce"))
+    )
+    subs = e.select(
+        "vec_id", "embedding", F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub")
+    )
+    pairs = subs.join(F.broadcast(cb))
+    sq = F.expr(
+        f"aggregate(zip_with("
+        f" slice(embedding, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f" slice(ce, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f" (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        f"        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    d = pairs.select("vec_id", "sub", "k", F.round(sq, 6).alias("d6"))
+    best = d.groupBy("vec_id", "sub").agg(F.min(F.struct("d6", "k")).alias("b"))
+    return (
+        best.select(
+            "vec_id",
+            "sub",
+            F.col("b.k").alias("k"),
+            F.col("b.d6").alias("d6"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.expr("k * shiftleft(CAST(1 AS BIGINT), CAST(4 * sub AS INT))")
+            ).cast("bigint").alias("pq_code"),
+            # integer micro-units: the 6-dp distances become exact BIGINTs
+            # before summation, so no float sum-order/rounding boundary can
+            # flip the last digit cross-engine
+            F.sum(F.round(F.col("d6") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("recon_err_micro"),
+        )
+        .orderBy("vec_id")
+    )
