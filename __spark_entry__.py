@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal_audio_chunks, streaming_sliding_counts, corpus_bpe_pair_counts,
 # embedding_label_centroids, similarity_knn_label_vote, data_quality_audit,
 # events_markov_transitions, orders_monthly_growth, corpus_zipf_slope,
-# events_sketch_rollup_merge, embedding_label_dispersion, embedding_pq_codes.
+# events_sketch_rollup_merge, embedding_label_dispersion, embedding_pq_codes,
+# similarity_ann_pq_adc.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

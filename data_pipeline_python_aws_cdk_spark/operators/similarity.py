@@ -1446,3 +1446,146 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+PQ_SHORTLIST = 50  # ADC-scored candidates kept per query for exact rerank
+
+
+def _pq_adc_oracle() -> str:
+    return f"""
+    WITH cb AS (
+      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, s.sub, cb.k,
+             CAST(ROUND(ROUND(SUM(
+               (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)
+               * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                  - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
+               * 1000000) AS BIGINT) AS dmic
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY e.vec_id, s.sub, cb.k
+    ),
+    best AS (
+      SELECT vec_id, sub, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dmic, k) AS rn
+      FROM d
+    ),
+    codes AS (SELECT vec_id, sub, k FROM best WHERE rn = 1),
+    adc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(t.dmic) AS adc_micro
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            WHERE vec_id < {N_QUERIES}) q
+      JOIN codes c ON c.vec_id != q.vec_id
+      JOIN d t ON t.vec_id = q.vec_id AND t.sub = c.sub AND t.k = c.k
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_micro, neighbor_id) AS srn
+      FROM adc
+    ),
+    p2 AS (
+      SELECT s.query_id, s.neighbor_id, a.embedding AS qe, b.embedding AS ne
+      FROM short s JOIN embeddings a ON a.vec_id = s.query_id
+                   JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.srn <= {PQ_SHORTLIST}
+    ),
+    ex AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+           FROM p2, generate_series(1, {DIM}) g(i)
+           GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM ex)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+    """
+
+
+@_register("similarity_ann_pq_adc", oracle=_pq_adc_oracle())
+def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over PQ codes with asymmetric distance computation: each query
+    precomputes a {PQ_M} x {PQ_K} lookup table of exact
+    query-subvector-to-codeword distances; a neighbor's approximate
+    distance is then just {PQ_M} table lookups keyed by its code nibbles
+    — the memory-resident scan that serves billion-vector corpora from
+    32-bit codes. The ADC shortlist of {PQ_SHORTLIST} reranks exactly.
+
+    Shape: codes come from embedding_pq_codes' plan (broadcast codebook,
+    no UDF); the per-query table is |queries| x 128 rows and broadcasts;
+    the ADC join touches (neighbor, sub) nibble rows — at 100 TB this is
+    the sequential integer scan PQ exists for, with NO float vectors read
+    until the {PQ_SHORTLIST}-row rerank. Distances ride as exact integer
+    micro-units end to end, so table build, lookup sums, and shortlist
+    boundaries are bit-identical cross-engine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("k"), F.col("embedding").alias("ce"))
+    )
+    sq_micro = F.round(
+        F.round(
+            F.expr(
+                f"aggregate(zip_with("
+                f" slice(embedding, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" slice(ce, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+                f"        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        )
+        * 1_000_000
+    ).cast("bigint")
+    subs = e.select(
+        "vec_id", "embedding",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+    )
+    dist = subs.join(F.broadcast(cb)).select(
+        "vec_id", "sub", "k", sq_micro.alias("dmic")
+    )
+    codes = dist.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dmic", "k")).alias("b")
+    ).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", F.col("b.k").alias("k")
+    )
+    qtable = dist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "k", "dmic"
+    )
+    adc = (
+        codes.join(F.broadcast(qtable), ["sub", "k"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dmic").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+    )
