@@ -1111,3 +1111,36 @@ def test_bpe_train_property_random_corpora(spark, tmp_path):
         assert got["merges"] == expected
 
     check()
+
+
+def test_pq_seed_vectors_reconstruct_exactly(spark):
+    """The PQ_K seed vectors ARE codewords, so their own reconstruction
+    error must be exactly zero and every other vector's must be >= 0;
+    codes must fit in PQ_M nibbles."""
+    rows = {r.vec_id: r for r in similarity.embedding_pq_codes(spark, SF_SMOKE).collect()}
+    assert len(rows) > similarity.PQ_K
+    for vid, r in rows.items():
+        assert 0 <= r.pq_code < (1 << (4 * similarity.PQ_M))
+        if vid < similarity.PQ_K:
+            assert r.recon_err_micro == 0, vid
+        else:
+            assert r.recon_err_micro >= 0
+
+
+def test_pq_adc_top1_mostly_agrees_with_exact(spark):
+    """ADC is approximate, but with a 50-deep shortlist over 150 vectors
+    the reranked top-1 should equal the exact brute-force top-1 for most
+    queries (the rerank is exact; only shortlist misses can differ)."""
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.similarity_topk(spark, SF_SMOKE).collect()
+        if r.rank == 1
+    }
+    adc = {
+        r.query_id: r.neighbor_id
+        for r in similarity.similarity_ann_pq_adc(spark, SF_SMOKE).collect()
+        if r.rank == 1
+    }
+    assert set(adc) == set(exact)
+    agree = sum(1 for q in exact if adc[q] == exact[q])
+    assert agree >= len(exact) // 2, (agree, len(exact))
