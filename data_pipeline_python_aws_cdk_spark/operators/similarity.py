@@ -449,7 +449,7 @@ KMEANS_SEED = 7
     "embedding_kmeans",
     oracle="""
     SELECT COUNT(*) AS n_points,
-           CAST(10 AS BIGINT) AS n_clusters,
+           CAST(LEAST(10, COUNT(DISTINCT embedding)) AS BIGINT) AS n_clusters,
            TRUE AS sse_below_label_partition,
            TRUE AS sse_below_global
     FROM embeddings
@@ -482,10 +482,23 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # Clamp k to the DISTINCT vector count: MLlib's k-means|| init crashes
+    # outright when k exceeds the candidate-center pool (a tiny or
+    # duplicate-heavy corpus), and a duplicate vector can never seed a
+    # second center. One map-side-combined distinct count; the oracle
+    # mirrors with LEAST(k, COUNT(DISTINCT embedding)).
+    n_distinct = e.select("embedding").distinct().count()
+    k = min(KMEANS_K, n_distinct)
+    if k == 0:
+        return spark.createDataFrame(
+            [(0, 0, True, True)],
+            "n_points long, n_clusters long, "
+            "sse_below_label_partition boolean, sse_below_global boolean",
+        )
     ef = e.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
-    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, maxIter=20).fit(ef)
+    model = KMeans(k=k, seed=KMEANS_SEED, maxIter=20).fit(ef)
     sse = float(model.summary.trainingCost)
     n_clusters = model.transform(ef).select("prediction").distinct().count()
 
