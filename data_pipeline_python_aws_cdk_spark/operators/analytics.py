@@ -2695,3 +2695,70 @@ def events_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@_register(
+    "events_gap_distribution",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(epoch(ts) * 1000000 AS BIGINT)
+             - LAG(CAST(epoch(ts) * 1000000 AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(FLOOR(ln(gap_us / 1e6 + 1) / ln(2)) AS BIGINT) AS bucket
+      FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           CAST(POW(2, bucket) - 1 AS BIGINT) AS gap_secs_lo,
+           COUNT(*) AS n
+    FROM b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event arrival profile: log2 histogram of the time gap between
+    a user's consecutive events, per event type — the arrival-process
+    fingerprint that sets session-gap thresholds (the sessionizer's
+    30-minute cut should fall in this histogram's valley) and flags
+    machine cadence (a spike in the sub-second buckets).
+
+    Shape: the same ONE per-user sort window as the sessionizer
+    (16-byte (user, ts) tuples), gaps bucket by a pure log2 projection,
+    and the rollup is a map-side-combined aggregate at |types| x ~40
+    buckets. Gaps compute on integer epoch-micros (the truncation-vs-
+    rounding rule events_bot_detection documents); the +1 inside the log
+    keeps zero-gaps (simultaneous events) in bucket 0 rather than -inf.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = (F.col("ts").cast("double") * 1_000_000).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.floor(
+        F.log(F.col("gap_us") / 1e6 + 1) / F.log(F.lit(2.0))
+    ).cast("bigint")
+    return (
+        g.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.pow(F.lit(2.0), F.col("bucket")) - 1).cast("bigint").alias(
+                "gap_secs_lo"
+            ),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
