@@ -34,8 +34,11 @@ def assert_matches_oracle(spark, duck, name: str, sf_dir: str = SF_SMOKE):
     assert len(srows) == len(orows), f"{name}: rows {len(srows)} != {len(orows)}"
     s_idx = [scols.index(c) for c in sorted(scols)]
     o_idx = [ocols.index(c) for c in sorted(ocols)]
-    smulti = sorted(tuple(_normalize(r[i]) for i in s_idx) for r in srows)
-    omulti = sorted(tuple(_normalize(r[i]) for i in o_idx) for r in orows)
+    # key=repr: a total order even when a NULL-bearing column mixes None
+    # with str/float values (Python 3 refuses None < str); equality still
+    # compares the actual normalized tuples
+    smulti = sorted((tuple(_normalize(r[i]) for i in s_idx) for r in srows), key=repr)
+    omulti = sorted((tuple(_normalize(r[i]) for i in o_idx) for r in orows), key=repr)
     assert smulti == omulti, f"{name}: value mismatch"
 
 

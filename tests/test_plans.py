@@ -210,6 +210,8 @@ QUADRATIC_BY_DESIGN = {
     "dedup_threshold_curve",    # verified pairs x FIVE-ROW threshold grid
     "corpus_perplexity_buckets",  # inherits text_lm_score's ONE-ROW total join
     "similarity_knn_label_vote",  # inherits similarity_topk's broadcast query side
+    "embedding_pq_codes",         # corpus x 16-row codebook broadcast (ann_ivf class)
+    "similarity_ann_pq_adc",      # same codebook broadcast feeds the ADC tables
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
