@@ -53,7 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding_label_centroids, similarity_knn_label_vote, data_quality_audit,
 # events_markov_transitions, orders_monthly_growth, corpus_zipf_slope,
 # events_sketch_rollup_merge, embedding_label_dispersion, embedding_pq_codes,
-# similarity_ann_pq_adc, events_gap_distribution.
+# similarity_ann_pq_adc, events_gap_distribution,
+# users_activity_reconciliation.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

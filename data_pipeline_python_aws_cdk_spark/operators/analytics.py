@@ -2762,3 +2762,62 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@_register(
+    "users_activity_reconciliation",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS clicks FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, COUNT(*) AS purchases FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.clicks, 0) AS clicks,
+           COALESCE(p.purchases, 0) AS purchases,
+           CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'click_only'
+                ELSE 'both' END AS status
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    ORDER BY user_id
+    """,
+)
+def users_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation via FULL OUTER join: every user appearing
+    on EITHER side of the click/purchase ledgers, with per-side counts
+    and a both/click_only/purchase_only verdict — the cross-system audit
+    shape (billing vs usage, crawl A vs crawl B) where inner/left joins
+    silently drop exactly the disagreement rows you are looking for.
+
+    Shape: both sides pre-aggregate to per-user counts BEFORE the join
+    (map-side combined; the full-outer then carries one skinny row per
+    user per side, co-partitioned on the join key — one shuffle each).
+    A full outer can't broadcast either side by definition, so this is
+    the sort-merge case; at 100 TB both inputs arrive already reduced to
+    their key cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("purchases"))
+        .withColumnRenamed("user_id", "p_user_id")
+    )
+    j = c.join(p, c.user_id == p.p_user_id, "full_outer")
+    return j.select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
+        F.when(F.col("user_id").isNull(), "purchase_only")
+        .when(F.col("p_user_id").isNull(), "click_only")
+        .otherwise("both")
+        .alias("status"),
+    ).orderBy("user_id")
