@@ -54,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_markov_transitions, orders_monthly_growth, corpus_zipf_slope,
 # events_sketch_rollup_merge, embedding_label_dispersion, embedding_pq_codes,
 # similarity_ann_pq_adc, events_gap_distribution,
-# users_activity_reconciliation.
+# users_activity_reconciliation, events_ab_test_summary,
+# events_pareto_concentration.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

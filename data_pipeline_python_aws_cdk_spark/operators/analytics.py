@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.hashing import hash60_sql
 from ..tables import load_table
 
 QUERIES = {}
@@ -2821,3 +2822,139 @@ def users_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise("both")
         .alias("status"),
     ).orderBy("user_id")
+
+
+@_register(
+    "events_ab_test_summary",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             ({hash60_sql("CAST(user_id AS VARCHAR)", salt="ab")}) % 2 AS variant
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    )
+    SELECT a.variant,
+           COUNT(*) AS users,
+           CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS converters,
+           ROUND(CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+    GROUP BY a.variant
+    ORDER BY a.variant
+    """,
+)
+def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with hash-deterministic assignment: users
+    split into variants by a salted hash of their id (the replayable
+    bucketing every experimentation platform uses — re-running the
+    analysis or adding late data never reassigns anyone), then per-variant
+    user counts, converters, and conversion rate.
+
+    Shape: assignment is a projection on the distinct-user reduction (one
+    map-side-combined shuffle at user cardinality); conversion attaches
+    via an equi-join of two per-user sets; the readout is a 2-row
+    aggregate. The deterministic hash is the same salted family the
+    samplers use — at 100 TB assignment is stateless, needs no
+    assignment table, and is identical on every engine and every re-run.
+    """
+    from ..functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (hash60(F.col("user_id").cast("string"), salt="ab") % 2).alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    j = assign.join(conv, "user_id", "left")
+    return (
+        j.groupBy("variant")
+        .agg(
+            F.count("*").alias("users"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("bigint").alias("converters"),
+            F.round(
+                F.sum(F.coalesce("converted", F.lit(0))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy("variant")
+    )
+
+
+@_register(
+    "events_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_events,
+             COUNT(*) OVER () AS total_users,
+             SUM(n) OVER () AS total_events
+      FROM per_user
+    )
+    SELECT CAST(decile AS BIGINT) AS user_decile,
+           MAX(cum_share) AS cum_event_share
+    FROM (
+      SELECT CAST(CEIL(10.0 * rnk / total_users) AS BIGINT) AS decile,
+             ROUND(CAST(cum_events AS DOUBLE) / total_events, 6) AS cum_share
+      FROM ranked
+    )
+    GROUP BY decile
+    ORDER BY user_decile
+    """,
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (the 80/20 audit): rank users by event count
+    and report the cumulative share of all events produced by each user
+    decile — decile 1's share near 0.8 means a handful of accounts
+    dominate the corpus, the signal to cap per-user contributions before
+    the dataset becomes a mirror of its power users.
+
+    Shape: the fact table reduces to per-user counts first (map-side
+    combined), the running total is ONE unpartitioned window over
+    |users| skinny rows (the pre-aggregate-before-global-window rule),
+    and the decile rollup is 10 rows. The (count desc, user_id)
+    tie-break pins both the ranking and the running sum cross-engine.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_events"
+        ),
+        F.count("*").over(wall).alias("total_users"),
+        F.sum("n").over(wall).alias("total_events"),
+    )
+    dec = ranked.select(
+        F.ceil(10.0 * F.col("rnk") / F.col("total_users")).cast("bigint").alias(
+            "user_decile"
+        ),
+        F.round(
+            F.col("cum_events").cast("double") / F.col("total_events"), 6
+        ).alias("cum_share"),
+    )
+    return (
+        dec.groupBy("user_decile")
+        .agg(F.max("cum_share").alias("cum_event_share"))
+        .orderBy("user_decile")
+    )
