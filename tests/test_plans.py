@@ -505,3 +505,21 @@ def test_length_histogram_is_metadata_scale_agg(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema  # bodies never read
     assert "lang" in read_schema and "n_chars" in read_schema
+
+
+def test_round3_global_windows_consume_aggregates(spark):
+    """Round-3 queries with unpartitioned windows (monthly growth's LAG,
+    pareto's running sum, zipf's rank) must feed the window an aggregate,
+    never raw fact rows — same discipline as orders_revenue_moving_avg."""
+    from data_pipeline_python_aws_cdk_spark.operators import text as text_ops
+
+    for fn in (
+        analytics.orders_monthly_growth,
+        analytics.events_pareto_concentration,
+        text_ops.corpus_zipf_slope,
+    ):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "Window" in plan, fn.__name__
+        # the DEEPEST aggregate must sit below the window (post-window
+        # rollups are fine; a window over raw fact rows is not)
+        assert plan.rindex("HashAggregate") > plan.index("Window"), fn.__name__
