@@ -1602,3 +1602,83 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
     )
+
+
+def _recall_oracle() -> str:
+    topk = ORACLES["similarity_topk"]
+    methods = {
+        "ann_lsh": _ann_oracle(),
+        "ann_ivf": _ivf_oracle(),
+        "ann_quantized": _ann_quantized_oracle(),
+        "ann_pq_adc": _pq_adc_oracle(),
+    }
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method, e.query_id,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS r
+        FROM ({topk}) e LEFT JOIN ({sql}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id"""
+        for name, sql in methods.items()
+    )
+    return f"""
+    SELECT method, ROUND(AVG(r), 6) AS recall_at_{TOP_K},
+           CAST(COUNT(*) AS BIGINT) AS queries
+    FROM ({sel})
+    GROUP BY method
+    ORDER BY method
+    """
+
+
+@_register("similarity_ann_recall_report", oracle=_recall_oracle())
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality scoreboard: recall@{TOP_K} of every approximate
+    method (hyperplane LSH, IVF probing, int8 quantized-rerank, PQ-ADC)
+    against the exact brute-force top-k, averaged over the query set —
+    the one table an operator reads before choosing an index type, and
+    the regression alarm that catches a silently mis-tuned bucket/probe/
+    codebook parameter (recall collapses long before results look
+    obviously wrong).
+
+    Shape: each method's candidate generation runs its own already-gated
+    plan; the comparison is a per-query left join of two {TOP_K}-row
+    sets followed by a |methods|-row rollup — evaluation cost is the sum
+    of the methods' costs, the joins are negligible. At 100 TB you run
+    this on a sampled query panel, which is exactly what the fixed
+    query set is.
+    """
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    methods = {
+        "ann_lsh": similarity_ann_lsh,
+        "ann_ivf": similarity_ann_ivf,
+        "ann_quantized": similarity_ann_quantized,
+        "ann_pq_adc": similarity_ann_pq_adc,
+    }
+    per = None
+    for name, fn in methods.items():
+        approx = fn(spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("a_neighbor")
+        )
+        hit = (
+            exact.join(
+                approx,
+                (exact.query_id == approx.query_id)
+                & (exact.neighbor_id == approx.a_neighbor),
+                "left",
+            )
+            .select(
+                exact.query_id.alias("qid"),
+                F.col("a_neighbor").isNotNull().cast("double").alias("hit"),
+            )
+            .groupBy("qid")
+            .agg(F.avg("hit").alias("r"))
+            .select(F.lit(name).alias("method"), "r")
+        )
+        per = hit if per is None else per.unionByName(hit)
+    return (
+        per.groupBy("method")
+        .agg(
+            F.round(F.avg("r"), 6).alias(f"recall_at_{TOP_K}"),
+            F.count("*").cast("bigint").alias("queries"),
+        )
+        .orderBy("method")
+    )

@@ -212,6 +212,7 @@ QUADRATIC_BY_DESIGN = {
     "similarity_knn_label_vote",  # inherits similarity_topk's broadcast query side
     "embedding_pq_codes",         # corpus x 16-row codebook broadcast (ann_ivf class)
     "similarity_ann_pq_adc",      # same codebook broadcast feeds the ADC tables
+    "similarity_ann_recall_report",  # composes similarity_topk's broadcast queries
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
