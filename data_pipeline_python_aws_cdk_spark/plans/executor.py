@@ -63,15 +63,54 @@ class QueryExecutor:
         self._pool = ThreadPoolExecutor(
             max_workers=max_workers, thread_name_prefix="query-exec"
         )
+        # latest SUCCEEDED execution per exact SQL text, for result reuse
+        self._by_sql: dict[str, str] = {}
 
     # -- submission (reference start_query_execution) ----------------------
 
-    def submit(self, sql: str) -> str:
+    def submit(self, sql: str, reuse_max_age_seconds: float | None = None) -> str:
         """Enqueue ``sql`` and return immediately with a query id.
 
         The query advances QUEUED -> RUNNING -> SUCCEEDED/FAILED on a pool
         thread; callers poll (reference polling contract) or ``wait``.
+
+        ``reuse_max_age_seconds`` mirrors Athena's result-reuse-by-age
+        option: when the SAME SQL text succeeded within the window, the
+        new execution completes instantly with its own query id pointing
+        at the prior result artifact (``stats["reused_from"]`` names the
+        original execution) — zero Spark jobs run. Reuse is per-executor
+        (in-memory index) and exact-text, like Athena's.
         """
+        if reuse_max_age_seconds is not None:
+            with self._lock:
+                prior_id = self._by_sql.get(sql)
+                prior = self._statuses.get(prior_id) if prior_id else None
+            if (
+                prior is not None
+                and prior.state == "SUCCEEDED"
+                and prior.completed_at is not None
+                and prior.output_location
+                and Path(prior.output_location).exists()
+            ):
+                age = (
+                    datetime.now(timezone.utc)
+                    - datetime.fromisoformat(prior.completed_at)
+                ).total_seconds()
+                if age <= reuse_max_age_seconds:
+                    reused_id = str(uuid.uuid4())
+                    now = datetime.now(timezone.utc).isoformat()
+                    status = QueryStatus(
+                        query_id=reused_id,
+                        state="SUCCEEDED",
+                        submitted_at=now,
+                        completed_at=now,
+                        output_location=prior.output_location,
+                        row_count=prior.row_count,
+                        stats={**prior.stats, "reused_from": prior.query_id},
+                    )
+                    with self._lock:
+                        self._statuses[reused_id] = status
+                    return reused_id
         query_id = str(uuid.uuid4())
         status = QueryStatus(
             query_id=query_id,
@@ -134,6 +173,7 @@ class QueryExecutor:
                     "execution_seconds": round(elapsed, 4),
                     "metrics": metrics,
                 }
+                self._by_sql[sql] = query_id
         except Exception as exc:  # noqa: BLE001 — FAILED state carries the reason
             with self._lock:
                 if status.state != "CANCELLED":

@@ -363,3 +363,37 @@ def test_catalog_survives_session_temp_views(spark, tmp_path):
         spark.catalog.dropTempView("tv_smoke_probe")
         spark.sql("DROP TABLE IF EXISTS tvdb.tv_smoke_probe")
         spark.sql("DROP DATABASE IF EXISTS tvdb")
+
+
+def test_result_reuse_by_age(spark, tmp_path):
+    """Athena result-reuse parity: re-submitting the SAME SQL within the
+    reuse window completes instantly against the prior artifact with a
+    NEW query id; outside the window (or without opting in) it re-runs."""
+    from data_pipeline_python_aws_cdk_spark.plans.executor import QueryExecutor
+
+    with QueryExecutor(spark, str(tmp_path / "results")) as ex:
+        sql = "SELECT 1 AS one"
+        q1 = ex.submit(sql)
+        st1 = ex.wait(q1)
+        assert st1.state == "SUCCEEDED"
+
+        q2 = ex.submit(sql, reuse_max_age_seconds=3600)
+        st2 = ex.poll(q2)  # no wait needed: reuse completes at submit time
+        assert q2 != q1
+        assert st2.state == "SUCCEEDED"
+        assert st2.output_location == st1.output_location
+        assert st2.stats["reused_from"] == q1
+        assert st2.row_count == st1.row_count
+
+        # no opt-in -> fresh execution with its own artifact
+        q3 = ex.submit(sql)
+        st3 = ex.wait(q3)
+        assert st3.state == "SUCCEEDED"
+        assert st3.output_location != st1.output_location
+        assert "reused_from" not in st3.stats
+
+        # zero-width window -> the prior result is too old by definition
+        q4 = ex.submit(sql, reuse_max_age_seconds=0)
+        st4 = ex.wait(q4)
+        assert st4.state == "SUCCEEDED"
+        assert "reused_from" not in st4.stats
