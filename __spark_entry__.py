@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_sketch_rollup_merge, embedding_label_dispersion, embedding_pq_codes,
 # similarity_ann_pq_adc, events_gap_distribution,
 # users_activity_reconciliation, events_ab_test_summary,
-# events_pareto_concentration, similarity_ann_recall_report.
+# events_pareto_concentration, similarity_ann_recall_report,
+# events_forecast_backtest.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

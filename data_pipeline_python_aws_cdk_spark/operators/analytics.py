@@ -2958,3 +2958,80 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cum_share").alias("cum_event_share"))
         .orderBy("user_decile")
     )
+
+
+@_register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cut AS (SELECT MAX(hb) - 167 AS c FROM h),
+    train AS (
+      SELECT event_type, hb % 168 AS how, AVG(CAST(cnt AS DOUBLE)) AS fc
+      FROM h CROSS JOIN cut WHERE hb < c
+      GROUP BY 1, 2
+    ),
+    eval_ AS (
+      SELECT event_type, hb % 168 AS how, cnt
+      FROM h CROSS JOIN cut WHERE hb >= c
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_hours,
+           ROUND(AVG(ABS(e.cnt - t.fc)), 4) + 0 AS mae,
+           ROUND(AVG(e.cnt - t.fc), 4) + 0 AS bias
+    FROM eval_ e JOIN train t
+      ON e.event_type = t.event_type AND e.how = t.how
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-seasonal forecast backtest: predict each of the final week's
+    hourly event counts from the average of the same hour-of-week in the
+    training weeks, and report per-type MAE and bias — the baseline every
+    capacity/traffic forecasting model must beat, and the cheapest
+    \"did the data's weekly shape just change?\" alarm.
+
+    Shape: the corpus reduces to (type, hour-bucket) counts in one
+    map-side-combined pass; the train/eval split is a 1-row max-hour
+    broadcast; the seasonal profile is |types| x 168 rows joined back to
+    one week of eval rows. Hour buckets are integer epoch-hours and the
+    week position is hb % 168 — no calendar/timezone functions, so both
+    engines bucket identically. Hours with zero events are absent from
+    both the profile and the eval set (documented: the backtest scores
+    observed hours).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = ev.groupBy(
+        "event_type",
+        F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 3600").alias("hb"),
+    ).agg(F.count("*").alias("cnt"))
+    cut = h.agg((F.max("hb") - 167).alias("c"))
+    train = (
+        h.join(F.broadcast(cut))
+        .filter(F.col("hb") < F.col("c"))
+        .groupBy("event_type", (F.col("hb") % 168).alias("how"))
+        .agg(F.avg(F.col("cnt").cast("double")).alias("fc"))
+    )
+    ev_week = (
+        h.join(F.broadcast(cut))
+        .filter(F.col("hb") >= F.col("c"))
+        .select("event_type", (F.col("hb") % 168).alias("how"), "cnt")
+    )
+    j = ev_week.join(train, ["event_type", "how"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            (F.round(F.avg(F.abs(F.col("cnt") - F.col("fc"))), 4) + F.lit(0.0)).alias(
+                "mae"
+            ),
+            (F.round(F.avg(F.col("cnt") - F.col("fc")), 4) + F.lit(0.0)).alias("bias"),
+        )
+        .orderBy("event_type")
+    )

@@ -213,6 +213,7 @@ QUADRATIC_BY_DESIGN = {
     "embedding_pq_codes",         # corpus x 16-row codebook broadcast (ann_ivf class)
     "similarity_ann_pq_adc",      # same codebook broadcast feeds the ADC tables
     "similarity_ann_recall_report",  # composes similarity_topk's broadcast queries
+    "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
