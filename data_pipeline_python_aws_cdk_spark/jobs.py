@@ -115,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
         "--probe", action="store_true", help="probe after building; print match count"
     )
 
+    p_str = sub.add_parser(
+        "stream", help="drain a parquet directory stream into an upsert table"
+    )
+    p_str.add_argument("--source", required=True, help="parquet directory to stream")
+    p_str.add_argument("--table", required=True, help="upsert table path")
+    p_str.add_argument("--checkpoint", required=True)
+    p_str.add_argument("--keys", required=True, help="comma-separated key columns")
+    p_str.add_argument("--version-col", required=True)
+    p_str.add_argument("--partition-cols", default="", help="comma-separated")
+
     p_roll = sub.add_parser(
         "rollup", help="incrementally refresh a partitioned aggregate table"
     )
@@ -232,6 +242,27 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "stream":
+        from .streaming.events import run_upsert_sink
+
+        # Schema from a batch read of the same directory: the scheduler's
+        # contract is "whatever the producer writes there", and availableNow
+        # makes each cron invocation a bounded incremental drain that
+        # resumes from the checkpoint.
+        schema = spark.read.parquet(args.source).schema
+        stream = spark.readStream.schema(schema).parquet(args.source)
+        run_upsert_sink(
+            stream,
+            args.table,
+            args.checkpoint,
+            key_cols=[c for c in args.keys.split(",") if c],
+            version_col=args.version_col,
+            partition_cols=[c for c in args.partition_cols.split(",") if c] or None,
+        )
+        n = spark.read.parquet(args.table).count()
+        print(json.dumps({"statusCode": 200, "table": args.table, "rows": n}))
         return 0
 
     if args.cmd == "rollup":

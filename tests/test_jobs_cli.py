@@ -543,3 +543,37 @@ def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
         ("d2", "click"): (1, 4.0),
         ("d3", "view"): (1, 5.0),
     }
+
+
+def test_cli_stream_incremental_upsert_drain(spark, tmp_path, capsys):
+    """Scheduler-facing streaming ingest: each `jobs stream` invocation is a
+    bounded availableNow drain that resumes from its checkpoint — new
+    files merge by key, replays are no-ops."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    table = str(tmp_path / "stream_table")
+    ckpt = str(tmp_path / "stream_ckpt")
+    schema = "user_id long, version long, score double"
+    spark.createDataFrame([(1, 1, 0.5), (2, 1, 0.7)], schema).coalesce(1)\
+        .write.parquet(str(src / "b1"))
+
+    args = ["stream", "--source", f"{src}/*", "--table", table,
+            "--checkpoint", ckpt, "--keys", "user_id", "--version-col", "version"]
+    rc = jobs.main(args)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["rows"] == 2
+
+    # a revision + a new key arrive; the next cron tick merges them
+    spark.createDataFrame([(1, 2, 9.9), (3, 1, 0.3)], schema).coalesce(1)\
+        .write.parquet(str(src / "b2"))
+    rc = jobs.main(args)
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st2["rows"] == 3
+    rows = {r.user_id: r for r in spark.read.parquet(table).collect()}
+    assert rows[1].version == 2 and rows[1].score == 9.9
+    assert rows[3].version == 1
+
+    # replay with nothing new: checkpoint makes it a no-op
+    rc = jobs.main(args)
+    st3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st3["rows"] == 3
