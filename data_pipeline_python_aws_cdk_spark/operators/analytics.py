@@ -3035,3 +3035,68 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "orders_sla_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(FLOOR(epoch(MIN(l.l_shipdate))) AS BIGINT)
+             - CAST(FLOOR(epoch(ANY_VALUE(o.o_orderdate))) AS BIGINT)
+               AS first_ship_secs
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS orders,
+           ROUND(quantile_cont(first_ship_secs / 86400.0, 0.50), 6) AS p50_days,
+           ROUND(quantile_cont(first_ship_secs / 86400.0, 0.95), 6) AS p95_days,
+           ROUND(MAX(first_ship_secs / 86400.0), 6) AS max_days
+    FROM lat
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_sla_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA report: time from order placement to FIRST shipment,
+    p50/p95/max per order priority — the ops dashboard that answers "are
+    urgent orders actually shipping faster?" and the input to any SLA
+    breach alert.
+
+    Shape: lineitem reduces to one MIN-shipdate row per order in the
+    fact-fact equi-join's own aggregation (map-side combined, keyed on
+    the join key so AQE serves both from one exchange), then exact
+    percentiles buffer only |orders-per-priority| latency scalars — with
+    percentile_approx as the one-token 100 TB swap, same note as
+    events_value_percentiles. Latencies are integer epoch-seconds before
+    the divide so both engines interpolate identical values.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    secs = lambda c: F.expr(f"CAST(FLOOR(CAST({c} AS DOUBLE)) AS BIGINT)")  # noqa: E731
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            (F.min(secs("l_shipdate")) - F.first(secs("o_orderdate"))).alias(
+                "first_ship_secs"
+            )
+        )
+    )
+    days = F.col("first_ship_secs") / 86400.0
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.expr("percentile(first_ship_secs / 86400.0, 0.50)"), 6).alias(
+                "p50_days"
+            ),
+            F.round(F.expr("percentile(first_ship_secs / 86400.0, 0.95)"), 6).alias(
+                "p95_days"
+            ),
+            F.round(F.max(days), 6).alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
