@@ -1692,3 +1692,43 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@_register(
+    "embedding_duplicate_vectors",
+    oracle="""
+    SELECT MIN(vec_id) AS keep_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS copies,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS labels
+    FROM embeddings
+    GROUP BY embedding
+    HAVING COUNT(*) > 1
+    ORDER BY keep_vec_id
+    """,
+)
+def embedding_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate embeddings: vectors that are bit-identical across
+    rows — the vector-side mirror of exact text dedup (an embedding
+    pipeline re-run over duplicated content, or a collapsed encoder,
+    shows up here first), with the label spread per group flagging
+    identical vectors carrying CONTRADICTORY labels (a training-data
+    poison the scalar audits can't see).
+
+    Shape: one groupBy directly on the array column (Spark hashes the
+    array bytes — no serialization to string needed), map-side combined;
+    survivors follow the ladder's canonical min-id rule. At 100 TB the
+    group key is the 256-byte vector — the fingerprint upgrade is
+    hashing it first (xxhash64 over the bytes), same plan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("keep_vec_id"),
+            F.count("*").cast("bigint").alias("copies"),
+            F.count_distinct("label").cast("bigint").alias("labels"),
+        )
+        .filter(F.col("copies") > 1)
+        .select("keep_vec_id", "copies", "labels")
+        .orderBy("keep_vec_id")
+    )

@@ -1850,3 +1850,63 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("vocab"),
         (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
     )
+
+
+def _budget_curve_oracle() -> str:
+    return f"""
+    WITH lm AS ({_lm_oracle()}),
+    toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS doc_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lm.doc_id, t.doc_tokens,
+             NTILE(10) OVER (ORDER BY lm.avg_nll, lm.doc_id) AS decile
+      FROM lm JOIN toks t ON t.doc_id = lm.doc_id
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS docs,
+             CAST(SUM(doc_tokens) AS BIGINT) AS tokens
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, docs, tokens,
+           CAST(SUM(tokens) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+    FROM per
+    ORDER BY decile
+    """
+
+
+@_register("corpus_token_budget_curve", oracle=_budget_curve_oracle())
+def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-budget curve: documents ranked best-first by unigram-LM
+    score and cut into deciles, with cumulative token counts — the table
+    that answers "if we keep only the cleanest X0% of the corpus, how
+    many training tokens remain?" before committing to a filtering
+    threshold (the CCNet-bucket decision, quantified in tokens).
+
+    Shape: scoring is text_lm_score's two-pass broadcast-model plan;
+    token counts ride the same narrow per-doc rows; the decile split is
+    one global window over (score, doc_id) scalars — pre-reduced, the
+    discipline the plan gates pin — and the cumulative sum runs over ten
+    rows. The doc_id tie-break keeps decile boundaries bit-stable.
+    """
+    lm = text_lm_score(spark, sf_dir).select("doc_id", "avg_nll")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count("text").alias("doc_tokens")
+    )
+    w = Window.orderBy("avg_nll", "doc_id")
+    ranked = lm.join(toks, "doc_id").withColumn("decile", F.ntile(10).over(w))
+    per = ranked.groupBy("decile").agg(
+        F.count("*").alias("docs"),
+        F.sum("doc_tokens").cast("bigint").alias("tokens"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "docs",
+        "tokens",
+        F.sum("tokens").over(wc).cast("bigint").alias("cum_tokens"),
+    ).orderBy("decile")

@@ -1144,3 +1144,24 @@ def test_pq_adc_top1_mostly_agrees_with_exact(spark):
     assert set(adc) == set(exact)
     agree = sum(1 for q in exact if adc[q] == exact[q])
     assert agree >= len(exact) // 2, (agree, len(exact))
+
+
+def test_duplicate_vectors_planted_copies_and_label_conflict(spark, tmp_path):
+    v1 = [0.1] * 64
+    v2 = [0.2] * 64
+    v3 = [float(i) / 64 for i in range(64)]
+    df = spark.createDataFrame(
+        [(0, v1, 1), (1, v2, 2), (2, v1, 1), (3, v1, 3), (4, v3, 4), (5, v2, 2)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = tmp_path / "dupvec"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    rows = {
+        r.keep_vec_id: r
+        for r in similarity.embedding_duplicate_vectors(spark, str(out)).collect()
+    }
+    # v1 appears 3x under labels {1,3} (conflict!), v2 2x under one label,
+    # v3 is unique and must not appear
+    assert set(rows) == {0, 1}
+    assert rows[0].copies == 3 and rows[0].labels == 2
+    assert rows[1].copies == 2 and rows[1].labels == 1
