@@ -14,7 +14,9 @@ and adds true streaming equivalents for the event analytics:
 - ``enrich_with_segment``   stream-static broadcast dimension join (static
                             side re-resolved per micro-batch)
 - sinks: memory drain (``run_available_now``), durable checkpointed file
-  sink (``run_to_files``), foreachBatch MERGE (``run_upsert_sink``)
+  sink (``run_to_files``), foreachBatch MERGE (``run_upsert_sink``);
+  observability: ``stream_health`` / ``run_available_now_with_health``
+  (rows/sec, batch timing, watermark position, keyed-state size)
 
 Scale notes: all state is keyed (window x type, session x user, user), so it
 shards across executors; watermarks bound state size; ``availableNow``
@@ -704,3 +706,61 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(spark, agg, "complete")
+
+
+def stream_health(query) -> dict:
+    """Operational health of a (finished or running) streaming query, from
+    its recent progress events: rows/sec, batch durations, watermark
+    position, and keyed-state size — the workgroup-metrics surface for
+    streams (the batch executor records the same class of numbers in its
+    result sidecars).
+
+    Reads the progress the query already emitted; no extra Spark work.
+    State metrics exist only for stateful queries (windows/dedup/
+    sessionization) — stateless passthroughs report state_rows 0.
+    """
+    progresses = [p for p in query.recentProgress if p is not None]
+    rows_in = sum(int(p.get("numInputRows", 0)) for p in progresses)
+    batch_ms = [
+        int(p["durationMs"]["triggerExecution"])
+        for p in progresses
+        if "durationMs" in p and "triggerExecution" in p["durationMs"]
+    ]
+    state_rows = 0
+    state_bytes = 0
+    watermark = None
+    for p in progresses:
+        for so in p.get("stateOperators", []) or []:
+            state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
+            state_bytes = max(state_bytes, int(so.get("memoryUsedBytes", 0)))
+        em = p.get("eventTime", {}) or {}
+        if em.get("watermark"):
+            watermark = em["watermark"]
+    return {
+        "batches": len(progresses),
+        "input_rows": rows_in,
+        "max_batch_ms": max(batch_ms) if batch_ms else 0,
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+        "watermark": watermark,
+    }
+
+
+def run_available_now_with_health(
+    stream_result: DataFrame, query_name: str, output_mode: str = "complete"
+) -> tuple[list, dict]:
+    """``run_available_now`` + the drained query's ``stream_health`` —
+    one call for harnesses that assert on both results and state size."""
+    spark = stream_result.sparkSession
+    q = (
+        stream_result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    health = stream_health(q)
+    rows = spark.sql(f"SELECT * FROM {query_name}").collect()
+    spark.catalog.dropTempView(query_name)
+    return rows, health

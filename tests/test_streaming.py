@@ -322,3 +322,21 @@ def test_sliding_counts_double_cover_the_tumbling_series(spark):
     hour_starts = {r.window_start for r in tumbling}
     slide_starts = {r.window_start for r in sliding}
     assert hour_starts <= slide_starts
+
+
+def test_stream_health_reports_state_and_watermark(spark, events_dir):
+    """The health surface must expose input volume, batch timing, keyed
+    state size, and the advanced watermark for a windowed aggregation."""
+    from data_pipeline_python_aws_cdk_spark.streaming.events import (
+        run_available_now_with_health,
+    )
+
+    stream = streaming.read_event_stream(spark, events_dir)
+    rows, health = run_available_now_with_health(
+        streaming.hourly_event_counts(stream), "health_probe"
+    )
+    assert rows and health["batches"] >= 1
+    assert health["input_rows"] > 0
+    assert health["max_batch_ms"] > 0
+    assert health["state_rows"] > 0  # one row per open (window, type)
+    assert health["watermark"]  # advanced past epoch by the drain
