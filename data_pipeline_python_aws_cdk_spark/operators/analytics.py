@@ -3100,3 +3100,136 @@ def orders_sla_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "orders_basket_lift",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_type AS t
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS total FROM ot),
+    tc AS (SELECT t, COUNT(*) AS ct FROM ot GROUP BY t),
+    pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS together
+      FROM ot a JOIN ot b ON a.okey = b.okey AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT p.type_a, p.type_b, p.together,
+           ROUND(p.together / n.total, 6) AS support,
+           ROUND((p.together / n.total)
+                 / ((ca.ct / n.total) * (cb.ct / n.total)), 6) AS lift
+    FROM pairs p
+    JOIN tc ca ON ca.t = p.type_a
+    JOIN tc cb ON cb.t = p.type_b
+    CROSS JOIN n
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: for every pair of part types appearing in
+    the same order, co-occurrence support and lift (observed / expected
+    under independence) — lift > 1 is the cross-sell signal, lift < 1 the
+    cannibalization signal; the classic association-rule statistic over
+    the order fact.
+
+    Shape: the basket table reduces each order to its DISTINCT types
+    first (map-side combined through the broadcast part join), so the
+    pair self-join is co-partitioned on orderkey with per-order fan-out
+    bounded by |types|^2, never line-item^2; type marginals and the
+    order total are |types|- and 1-row broadcasts over the pair rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ot = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("t"))
+        .distinct()
+    )
+    n = ot.agg(F.count_distinct("okey").cast("double").alias("total"))
+    tc = ot.groupBy("t").agg(F.count("*").alias("ct"))
+    a = ot.select(F.col("okey"), F.col("t").alias("type_a"))
+    b = ot.select(F.col("okey"), F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("together"))
+    )
+    ca = tc.select(F.col("t").alias("type_a"), F.col("ct").alias("ct_a"))
+    cb = tc.select(F.col("t").alias("type_b"), F.col("ct").alias("ct_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .join(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "together",
+            F.round(F.col("together") / F.col("total"), 6).alias("support"),
+            F.round(
+                (F.col("together") / F.col("total"))
+                / ((F.col("ct_a") / F.col("total")) * (F.col("ct_b") / F.col("total"))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@_register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN f.first_day < d.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM daily d JOIN first_seen f ON f.user_id = d.user_id
+    GROUP BY d.day
+    ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: each active user counts as new on
+    their first-seen day and returning after — the growth-vs-retention
+    decomposition every DAU chart hides.
+
+    Shape: one per-user MIN reduction plus one (day, user) distinct
+    reduction, equi-joined on user — both map-side combined, both skinny;
+    the rollup is |days| rows. Same first-seen skeleton as cohort
+    retention, folded to the two-column daily readout.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("first_day") < F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users", "returning_users")
+        .orderBy("day")
+    )

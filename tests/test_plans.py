@@ -215,6 +215,7 @@ QUADRATIC_BY_DESIGN = {
     "similarity_ann_recall_report",  # composes similarity_topk's broadcast queries
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
+    "orders_basket_lift",         # cross join against the ONE-ROW order total
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
