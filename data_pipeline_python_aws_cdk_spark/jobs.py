@@ -115,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
         "--probe", action="store_true", help="probe after building; print match count"
     )
 
+    p_ins = sub.add_parser(
+        "inspect", help="storage-health report (files/bytes/row-groups) for a dataset"
+    )
+    p_ins.add_argument("--path", required=True)
+
     p_str = sub.add_parser(
         "stream", help="drain a parquet directory stream into an upsert table"
     )
@@ -242,6 +247,12 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "inspect":
+        from .maintenance import inspect as inspect_dataset
+
+        print(json.dumps({"statusCode": 200, **inspect_dataset(args.path)}))
         return 0
 
     if args.cmd == "stream":

@@ -574,3 +574,41 @@ def incremental_rollup(
     )
     agg.write.mode("append").partitionBy(partition_col).parquet(rollup_path)
     return {"partitions_processed": len(new), "partitions": new}
+
+
+def inspect(path: str) -> dict:
+    """Storage-health report for a (possibly Hive-partitioned) parquet
+    dataset: file/byte/row-group totals, per-file averages, and the
+    small-file fraction — the numbers `compact` and `cluster` decisions
+    read. Pure footer metadata (pyarrow), no Spark job, no data pages
+    decoded. Like compact's walker, local-filesystem paths (tests /
+    single-node); the cluster version lists through the Hadoop FS API.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = rows = row_groups = total_bytes = small = 0
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, name)
+            size = os.path.getsize(fp)
+            md = pq.ParquetFile(fp).metadata
+            files += 1
+            rows += md.num_rows
+            row_groups += md.num_row_groups
+            total_bytes += size
+            if size < 16 * 1024 * 1024:
+                small += 1
+    return {
+        "path": path,
+        "files": files,
+        "rows": rows,
+        "row_groups": row_groups,
+        "total_bytes": total_bytes,
+        "avg_file_bytes": total_bytes // files if files else 0,
+        "avg_rows_per_row_group": rows // row_groups if row_groups else 0,
+        "small_file_fraction": round(small / files, 4) if files else 0.0,
+    }

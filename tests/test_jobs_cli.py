@@ -577,3 +577,28 @@ def test_cli_stream_incremental_upsert_drain(spark, tmp_path, capsys):
     rc = jobs.main(args)
     st3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and st3["rows"] == 3
+
+
+def test_cli_inspect_reports_storage_health_and_compaction_effect(spark, tmp_path, capsys):
+    """inspect must count files/rows/row-groups from footers only, and its
+    small-file fraction must drop after compaction fixes fragmentation."""
+    from datetime import datetime, timezone
+
+    from data_pipeline_python_aws_cdk_spark.sources import ingest_job
+
+    lake = str(tmp_path / "ins_lake")
+    now = datetime(2026, 8, 13, tzinfo=timezone.utc)
+    for _ in range(3):
+        ingest_job(spark, lake, records=USERS_FIXTURE, now=now)
+
+    rc = jobs.main(["inspect", "--path", lake])
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and before["files"] >= 3 and before["rows"] == 30
+    assert before["small_file_fraction"] == 1.0  # tiny daily drops
+
+    jobs.main(["compact", "--path", lake])
+    capsys.readouterr()
+    rc = jobs.main(["inspect", "--path", lake])
+    after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and after["files"] == 1 and after["rows"] == 30
+    assert after["row_groups"] >= 1 and after["total_bytes"] > 0
