@@ -115,6 +115,13 @@ def main(argv: list[str] | None = None) -> int:
         "--probe", action="store_true", help="probe after building; print match count"
     )
 
+    p_scr = sub.add_parser(
+        "screen", help="screen an ingest batch against the persisted LSH dedup index"
+    )
+    p_scr.add_argument("--index", required=True, help="lsh index directory")
+    p_scr.add_argument("--sf-dir", required=True, help="testdata directory (batch source)")
+    p_scr.add_argument("--output", required=True, help="verdict table destination")
+
     p_ins = sub.add_parser(
         "inspect", help="storage-health report (files/bytes/row-groups) for a dataset"
     )
@@ -244,6 +251,26 @@ def main(argv: list[str] | None = None) -> int:
                     "manifest": manifest_path,
                     "buckets": len(manifest),
                     "train_tokens": sum(m["tokens"] for m in manifest),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "screen":
+        from .operators.dedup import lsh_probe_indexed
+
+        verdicts = lsh_probe_indexed(spark, args.index, args.sf_dir)
+        verdicts.write.mode("overwrite").parquet(args.output)
+        flagged = spark.read.parquet(args.output)
+        n_total = flagged.count()
+        n_flagged = flagged.filter("near_candidates > 0").count()
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "batch_docs": n_total,
+                    "flagged": n_flagged,
+                    "output": args.output,
                 }
             )
         )

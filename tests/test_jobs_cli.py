@@ -602,3 +602,30 @@ def test_cli_inspect_reports_storage_health_and_compaction_effect(spark, tmp_pat
     after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and after["files"] == 1 and after["rows"] == 30
     assert after["row_groups"] >= 1 and after["total_bytes"] > 0
+
+
+def test_cli_screen_flags_batch_against_persisted_index(spark, tmp_path, capsys):
+    """The daily dedup screen: build the LSH index once, then screen the
+    ingest batch; verdicts persist and the flagged count matches the
+    inline dedup_incremental candidates."""
+    idx = str(tmp_path / "lsh_idx")
+    out = str(tmp_path / "verdicts")
+
+    rc = jobs.main(
+        ["index", "--kind", "lsh", "--sf-dir", "/root/testdata/sf0.001",
+         "--output", idx]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = jobs.main(
+        ["screen", "--index", idx, "--sf-dir", "/root/testdata/sf0.001",
+         "--output", out]
+    )
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["batch_docs"] > 0
+    assert 0 <= st["flagged"] <= st["batch_docs"]
+
+    persisted = spark.read.parquet(out)
+    assert persisted.count() == st["batch_docs"]
+    assert "near_candidates" in persisted.columns
