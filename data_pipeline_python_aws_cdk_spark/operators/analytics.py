@@ -3233,3 +3233,134 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users", "returning_users")
         .orderBy("day")
     )
+
+
+@_register(
+    "events_seasonality_strength",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT event_type, hb % 168 AS how, AVG(cnt) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    g AS (SELECT event_type, AVG(cnt) AS gm FROM h GROUP BY event_type)
+    SELECT h.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(1.0 - SUM((h.cnt - p.m) * (h.cnt - p.m))
+                 / NULLIF(SUM((h.cnt - g.gm) * (h.cnt - g.gm)), 0), 4) + 0
+             AS seasonal_r2
+    FROM h JOIN prof p ON p.event_type = h.event_type AND p.how = h.hb % 168
+           JOIN g ON g.event_type = h.event_type
+    GROUP BY h.event_type
+    ORDER BY h.event_type
+    """,
+)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength: the fraction of hourly-count variance
+    explained by the hour-of-week profile (R^2 of the seasonal-mean
+    model), per event type — near 1 means the weekly rhythm IS the
+    signal (forecast with the profile, alert on deviation); near 0 means
+    arrivals are memoryless and the seasonal forecast is no better than
+    the global mean.
+
+    Shape: the corpus reduces to (type, epoch-hour) counts once; the
+    168-slot profile and the global mean are tiny aggregates joined back
+    to the hourly rows; the R^2 is one conditional-sum pass. Same
+    integer hour-bucket grid as the forecast backtest — the two tables
+    are read together.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = ev.groupBy(
+        "event_type",
+        F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 3600").alias("hb"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    prof = h.groupBy("event_type", (F.col("hb") % 168).alias("how")).agg(
+        F.avg("cnt").alias("m")
+    )
+    g = h.groupBy("event_type").agg(F.avg("cnt").alias("gm"))
+    j = (
+        h.withColumn("how", F.col("hb") % 168)
+        .join(prof, ["event_type", "how"])
+        .join(F.broadcast(g), "event_type")
+    )
+    resid = (F.col("cnt") - F.col("m")) * (F.col("cnt") - F.col("m"))
+    total = (F.col("cnt") - F.col("gm")) * (F.col("cnt") - F.col("gm"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            (
+                F.round(
+                    1.0 - F.sum(resid) / F.nullif(F.sum(total), F.lit(0.0)), 4
+                )
+                + F.lit(0.0)
+            ).alias("seasonal_r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    shares AS (
+      SELECT s_nationkey, l_suppkey,
+             ROUND(r / SUM(r) OVER (PARTITION BY s_nationkey), 6) AS share
+      FROM rev
+    )
+    SELECT s_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS suppliers,
+           ROUND(SUM(share * share), 6) + 0 AS hhi
+    FROM shares
+    GROUP BY s_nationkey
+    ORDER BY nationkey
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration: the Herfindahl-Hirschman index of
+    revenue shares across each nation's suppliers — near 1/n means a
+    healthy spread, approaching 1 means one supplier owns the lane (the
+    single-point-of-failure procurement alarm).
+
+    Shape: lineitem reduces to per-supplier revenue through the
+    broadcast supplier join (map-side combined); shares are one window
+    over the |suppliers|-row aggregate, and the HHI is a |nations|-row
+    rollup. Shares round to 6 BEFORE squaring/summation so the float
+    exposure is a sum of ~100 identical-in-both-engines terms.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    shares = rev.select(
+        "s_nationkey",
+        F.round(F.col("r") / F.sum("r").over(w), 6).alias("share"),
+    )
+    return (
+        shares.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("suppliers"),
+            (F.round(F.sum(F.col("share") * F.col("share")), 6) + F.lit(0.0)).alias(
+                "hhi"
+            ),
+        )
+        .orderBy("nationkey")
+    )
