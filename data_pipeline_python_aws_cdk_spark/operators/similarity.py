@@ -1798,3 +1798,100 @@ def embedding_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_vec_id", "copies", "labels")
         .orderBy("keep_vec_id")
     )
+
+
+def pq_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the PQ code table: one (vec_id, pq_code) row per corpus
+    vector — 12 bytes each — plus the subspace codebook under
+    ``_codebook`` (same carries-its-own-codebook contract as the IVF
+    index). Unlike IVF/LSH there is nothing to partition-prune: the
+    whole point of PQ serving is that the FULL code table is small
+    enough to scan per query batch (64x under the float vectors), so
+    the index is written compact and probes read all of it.
+    """
+    codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "pq_code")
+    codes.write.mode("overwrite").parquet(index_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
+    )
+    cb.write.mode("overwrite").parquet(f"{index_dir}/_codebook")
+
+
+def pq_probe_indexed(
+    spark: SparkSession, index_dir: str, sf_dir: str
+) -> DataFrame:
+    """ADC search against the PERSISTED code table: the query batch builds
+    its distance lookup tables against the codebook stored with the
+    index, scores every stored 32-bit code with eight nibble lookups,
+    and exactly reranks the shortlist — result-equal to the inline
+    similarity_ann_pq_adc (gated by test) at O(code-table scan) probe
+    cost with zero corpus-vector reads outside the rerank.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = spark.read.parquet(f"{index_dir}/_codebook").select(
+        "k", F.col("ce").cast("array<float>").alias("ce")
+    )
+    sq_micro = F.round(
+        F.round(
+            F.expr(
+                f"aggregate(zip_with("
+                f" slice(embedding, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" slice(ce, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+                f"        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        )
+        * 1_000_000
+    ).cast("bigint")
+    qsubs = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+        )
+    )
+    qtable = qsubs.join(F.broadcast(cb)).select(
+        "query_id", "sub", "k", sq_micro.alias("dmic")
+    )
+    codes = spark.read.parquet(index_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "pq_code",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+    ).select(
+        "neighbor_id",
+        "sub",
+        F.expr("CAST(shiftright(pq_code, 4 * sub) & 15 AS BIGINT)").alias("k"),
+    )
+    adc = (
+        codes.join(F.broadcast(qtable), ["sub", "k"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dmic").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+    )

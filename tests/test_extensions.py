@@ -1203,3 +1203,24 @@ def test_ivf_index_carries_its_codebook(spark, tmp_path):
     ref_recall = len(ref1 & exact) / len(exact)
     assert seed_recall >= 0.8  # the deploy-choice input the scoreboard gives
     assert 0.0 < ref_recall <= 1.0
+
+
+def test_pq_persisted_index_matches_inline_adc(spark, tmp_path):
+    """The persisted PQ code table + codebook must reproduce the inline
+    ADC query exactly: same shortlist, same reranked top-k."""
+    idx = str(tmp_path / "pq_idx")
+    similarity.pq_build_index(spark, SF_SMOKE, idx)
+    # 12-byte rows + the codebook ride together
+    codes = spark.read.parquet(idx)
+    assert codes.columns == ["vec_id", "pq_code"]
+    assert spark.read.parquet(f"{idx}/_codebook").count() == similarity.PQ_K
+
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.similarity_ann_pq_adc(spark, SF_SMOKE).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.pq_probe_indexed(spark, idx, SF_SMOKE).collect()
+    }
+    assert probed == inline
