@@ -1208,12 +1208,26 @@ def pca_fit(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> PCAModel:
     return PCAModel(mu, v[:, order].T.copy(), w[order].copy())
 
 
-def pca_project(spark: SparkSession, sf_dir: str, model: PCAModel) -> DataFrame:
+def pca_project(
+    spark: SparkSession, sf_dir: str, model: PCAModel, whiten: bool = False
+) -> DataFrame:
     """Project every embedding onto the fitted basis: one numpy matmul per
     Arrow batch ((X - mu) @ C^T), map-only — the dimensionality-reduction
-    pass feeding cheaper ANN indexes and dedup at 100 TB."""
+    pass feeding cheaper ANN indexes and dedup at 100 TB.
+
+    ``whiten=True`` additionally scales each component by
+    1/sqrt(explained_variance), so projected components have unit
+    variance — the whitening prep OPQ/ZCA-style pipelines require (the
+    Gram-accumulation docstring's third customer). Same single matmul:
+    the scaling folds into the projection matrix on the driver.
+    """
     mu = model.mean
     comps = model.components
+    if whiten:
+        import numpy as _np
+
+        scale = 1.0 / _np.sqrt(_np.maximum(model.explained_variance, 1e-12))
+        comps = comps * scale[:, None]
 
     @pandas_udf("array<double>")
     def proj(a: pd.Series) -> pd.Series:

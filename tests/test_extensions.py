@@ -1224,3 +1224,39 @@ def test_pq_persisted_index_matches_inline_adc(spark, tmp_path):
         for r in similarity.pq_probe_indexed(spark, idx, SF_SMOKE).collect()
     }
     assert probed == inline
+
+
+def test_pca_whitening_unit_variance_components(spark, tmp_path):
+    """Whitened projections must have ~unit variance on every kept
+    component (that is the definition); unwhitened variances must echo
+    the model's explained_variance spectrum instead."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # anisotropic data: variance concentrated along two planted directions
+    base = rng.normal(size=(400, 64)) * 0.05
+    base[:, 3] += rng.normal(size=400) * 2.0
+    base[:, 17] += rng.normal(size=400) * 1.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row], 0) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = tmp_path / "whiten"
+    df.write.parquet(f"{out}/embeddings.parquet")
+
+    model = similarity.pca_fit(spark, str(out), k=4)
+    plain = np.stack(
+        [r.proj for r in similarity.pca_project(spark, str(out), model).collect()]
+    )
+    white = np.stack(
+        [r.proj for r in similarity.pca_project(
+            spark, str(out), model, whiten=True
+        ).collect()]
+    )
+    plain_var = plain.var(axis=0, ddof=0)
+    white_var = white.var(axis=0, ddof=0)
+    # unwhitened: spectrum matches the model's (descending, anisotropic)
+    assert plain_var[0] > 5 * plain_var[2]
+    np.testing.assert_allclose(plain_var, model.explained_variance, rtol=0.05)
+    # whitened: every component ~unit variance
+    np.testing.assert_allclose(white_var, np.ones(4), rtol=0.05)
