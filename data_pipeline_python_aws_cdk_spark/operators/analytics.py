@@ -3364,3 +3364,107 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@_register(
+    "events_ab_significance",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             ({hash60_sql("CAST(user_id AS VARCHAR)", salt="ab")}) % 2 AS variant
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    v AS (
+      SELECT a.variant,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               AS x
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.variant
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN x END) AS x0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN x END) AS x1
+      FROM v
+    )
+    SELECT CAST(n0 AS BIGINT) AS users_a, CAST(n1 AS BIGINT) AS users_b,
+           ROUND(x0 / n0, 6) AS rate_a,
+           ROUND(x1 / n1, 6) AS rate_b,
+           ROUND((x1 / n1 - x0 / n0)
+                 / sqrt(((x0 + x1) / (n0 + n1)) * (1 - (x0 + x1) / (n0 + n1))
+                        * (1 / n0 + 1 / n1)), 4) + 0 AS z_score,
+           ABS((x1 / n1 - x0 / n0)
+               / sqrt(((x0 + x1) / (n0 + n1)) * (1 - (x0 + x1) / (n0 + n1))
+                      * (1 / n0 + 1 / n1))) >= 1.96 AS significant_95
+    FROM w
+    """,
+)
+def events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on the A/B readout: pooled-variance z-score
+    of the conversion-rate difference plus the 95% verdict — the number
+    that separates "variant B looks better" from "ship variant B". Under
+    the null (hash assignment is independent of behavior by
+    construction) this should NOT be significant; a significant result
+    on hash-split data is itself an instrumentation alarm.
+
+    Shape: the same two per-user reductions as events_ab_test_summary,
+    pivoted to one row; the statistic is closed-form scalar arithmetic
+    both engines evaluate identically (rounded once at the end).
+    """
+    from ..functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (hash60(F.col("user_id").cast("string"), salt="ab") % 2).alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1.0))
+    )
+    v = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.coalesce("converted", F.lit(0.0))).alias("x"),
+        )
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    # try_divide throughout: a degenerate split (empty variant, zero or
+    # total conversion) yields NULLs like the oracle's NaN-free SQL,
+    # instead of an ANSI DIVIDE_BY_ZERO crash
+    pool = F.try_divide(F.col("x0") + F.col("x1"), F.col("n0") + F.col("n1"))
+    diff = F.try_divide(F.col("x1"), F.col("n1")) - F.try_divide(
+        F.col("x0"), F.col("n0")
+    )
+    z = F.try_divide(
+        diff,
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (F.try_divide(F.lit(1.0), F.col("n0"))
+               + F.try_divide(F.lit(1.0), F.col("n1")))
+        ),
+    )
+    return w.select(
+        F.col("n0").cast("bigint").alias("users_a"),
+        F.col("n1").cast("bigint").alias("users_b"),
+        F.round(F.try_divide(F.col("x0"), F.col("n0")), 6).alias("rate_a"),
+        F.round(F.try_divide(F.col("x1"), F.col("n1")), 6).alias("rate_b"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z_score"),
+        (F.abs(z) >= 1.96).alias("significant_95"),
+    )

@@ -486,3 +486,63 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     frame = attach_payload(d)
     return frame.mapInPandas(fake_audio_chunk_batch, schema=AUDIO_CHUNK_SCHEMA)
+
+
+# Minimum distinct shared frame hashes for a video near-dup verdict.
+VIDEO_DUP_MIN_FRAMES = 3
+
+
+def _video_near_dup_oracle() -> str:
+    return f"""
+    WITH vids AS (
+      SELECT doc_id, text, ({_F}) % 240 + 1 AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             unnest(generate_series(0, n_frames - 1, {FRAME_SAMPLE_EVERY}))
+               AS frame_idx,
+             text
+      FROM vids
+    ),
+    fh AS (
+      SELECT DISTINCT doc_id,
+             ({hash60_sql("text || ':' || frame_idx")}) % 1000000000 AS fhash
+      FROM frames
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_frames
+    FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {VIDEO_DUP_MIN_FRAMES}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("multimodal_video_near_dup", oracle=_video_near_dup_oracle())
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by shared frame fingerprints: two
+    payloads whose sampled frames collide on >= {VIDEO_DUP_MIN_FRAMES}
+    distinct hashes are the same footage (re-encodes, watermarked
+    mirrors, trims) — the multimodal mirror of the text dedup ladder,
+    with a perceptual hash (pHash/dHash per frame) as the production
+    drop-in for the deterministic fake.
+
+    Shape: the frame expansion is the gated map-only Arrow worker; the
+    pair discovery is an inverted-index equi-self-join on frame_hash —
+    identical to the text ladder's shingle join: only colliding hashes
+    produce pairs, the quadratic space is never materialized, and
+    per-hash groups are duplicate-volume sized.
+    """
+    frames = multimodal_frame_sample(spark, sf_dir)
+    fh = frames.select("doc_id", F.col("frame_hash").alias("fhash")).distinct()
+    a = fh.select(F.col("doc_id").alias("doc_a"), "fhash")
+    b = fh.select(F.col("doc_id").alias("doc_b"), "fhash")
+    return (
+        a.join(b, "fhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= VIDEO_DUP_MIN_FRAMES)
+        .orderBy("doc_a", "doc_b")
+    )

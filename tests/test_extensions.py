@@ -1260,3 +1260,29 @@ def test_pca_whitening_unit_variance_components(spark, tmp_path):
     np.testing.assert_allclose(plain_var, model.explained_variance, rtol=0.05)
     # whitened: every component ~unit variance
     np.testing.assert_allclose(white_var, np.ones(4), rtol=0.05)
+
+
+def test_video_near_dup_planted_mirror(spark, tmp_path):
+    """Two payloads with identical content must surface as a near-dup pair
+    sharing ALL their sampled frames; unrelated payloads must not pair."""
+    same = "identical video payload content replicated across two mirrors"
+    df = spark.createDataFrame(
+        [(1, same, "en", "s", 1), (2, same, "en", "s", 1),
+         (3, "completely different footage of something else entirely", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "viddup"
+    df.write.parquet(f"{out}/documents.parquet")
+
+    frames = {
+        r.doc_id: r.cnt
+        for r in multimodal.multimodal_frame_sample(spark, str(out))
+        .groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    pairs = multimodal.multimodal_video_near_dup(spark, str(out)).collect()
+    if frames.get(1, 0) >= multimodal.VIDEO_DUP_MIN_FRAMES:
+        assert [(p.doc_a, p.doc_b, p.shared_frames) for p in pairs] == [
+            (1, 2, frames[1])
+        ]
+    else:  # content hashing gave this text a short fake video: no verdict
+        assert pairs == []
