@@ -1839,3 +1839,67 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("t").alias("threshold"), "n_pairs", "n_docs")
         .orderBy("threshold")
     )
+
+
+def _semantic_lexical_oracle() -> str:
+    return f"""
+    WITH lexical AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()}) x
+    ),
+    semantic AS (
+      SELECT doc_a, doc_b FROM ({_embedding_cosine_oracle()}) y
+    ),
+    agree AS (
+      SELECT COUNT(*) AS both_pairs
+      FROM lexical l JOIN semantic s
+        ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lexical) AS lexical_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM semantic) AS semantic_pairs,
+           CAST(a.both_pairs AS BIGINT) AS both_pairs,
+           ROUND(CAST(a.both_pairs AS DOUBLE) /
+                 NULLIF((SELECT COUNT(*) FROM lexical)
+                        + (SELECT COUNT(*) FROM semantic) - a.both_pairs, 0), 6)
+             AS pair_jaccard
+    FROM agree a
+    """
+
+
+@_register("dedup_semantic_lexical_agreement", oracle=_semantic_lexical_oracle())
+def dedup_semantic_lexical_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup agreement: how much of the MinHash (lexical)
+    near-dup pair set the embedding-cosine (semantic) detector also finds,
+    and vice versa — pair-set Jaccard across the two families. High
+    agreement means paraphrase detection adds little on this corpus; low
+    agreement quantifies exactly what each family contributes, the input
+    to "do we pay for the embedding pass?" (dedup_family_compare answers
+    this WITHIN the lexical family; this is the cross-modality row).
+
+    Shape: both pair generators run their own gated bucketed plans; the
+    comparison is an equi-join of two duplicate-volume-sized pair sets
+    plus scalar counts — negligible next to either generator.
+    """
+    lex = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sem = dedup_embedding_cosine(spark, sf_dir).select("doc_a", "doc_b")
+    # Pure DataFrame composition (no driver-side counts in the query
+    # path): three 1-row aggregates cross-joined — scalar exchanges only.
+    ln = lex.agg(F.count("*").cast("bigint").alias("lexical_pairs"))
+    sn = sem.agg(F.count("*").cast("bigint").alias("semantic_pairs"))
+    bn = (
+        lex.join(sem, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("bigint").alias("both_pairs"))
+    )
+    return ln.join(F.broadcast(sn)).join(F.broadcast(bn)).select(
+        "lexical_pairs",
+        "semantic_pairs",
+        "both_pairs",
+        F.round(
+            F.try_divide(
+                F.col("both_pairs").cast("double"),
+                F.col("lexical_pairs")
+                + F.col("semantic_pairs")
+                - F.col("both_pairs"),
+            ),
+            6,
+        ).alias("pair_jaccard"),
+    )

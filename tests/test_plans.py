@@ -216,6 +216,7 @@ QUADRATIC_BY_DESIGN = {
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
+    "dedup_semantic_lexical_agreement",  # three ONE-ROW count aggregates joined
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
