@@ -60,7 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding_duplicate_vectors, corpus_token_budget_curve,
 # orders_basket_lift, events_new_vs_returning, events_seasonality_strength,
 # supplier_concentration_hhi, events_ab_significance,
-# multimodal_video_near_dup, dedup_semantic_lexical_agreement.
+# multimodal_video_near_dup, dedup_semantic_lexical_agreement,
+# dedup_cluster_size_histogram.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

@@ -1903,3 +1903,52 @@ def dedup_semantic_lexical_agreement(spark: SparkSession, sf_dir: str) -> DataFr
             6,
         ).alias("pair_jaccard"),
     )
+
+
+def _cluster_histogram_oracle() -> str:
+    chain, final = _clusters_oracle_parts()
+    return f"""
+    WITH RECURSIVE {chain},
+    clusters AS ({final}),
+    per AS (SELECT cluster_id, MAX(cluster_size) AS size
+            FROM clusters GROUP BY cluster_id)
+    SELECT CAST(FLOOR(ln(size) / ln(2)) AS BIGINT) AS size_log2_bucket,
+           CAST(POW(2, FLOOR(ln(size) / ln(2))) AS BIGINT) AS min_size,
+           CAST(COUNT(*) AS BIGINT) AS clusters,
+           CAST(SUM(size) AS BIGINT) AS docs
+    FROM per
+    GROUP BY 1, 2
+    ORDER BY size_log2_bucket
+    """
+
+
+@_register("dedup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pathology profile: log2 histogram of near-dup cluster
+    sizes, with how many documents each size class holds — a corpus
+    where most duplicate mass sits in a few giant clusters (mirrored
+    sites, boilerplate storms) needs different treatment (drop the
+    cluster) than one with many pairs (keep one of each), and this is
+    the table that tells them apart.
+
+    Shape: cluster resolution is the gated min-label-propagation plan;
+    the histogram is one groupBy over |clusters| rows then a bucket
+    rollup — noise next to the component computation.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    per = clusters.groupBy("cluster_id").agg(F.max("cluster_size").alias("size"))
+    bucket = F.floor(F.log(F.col("size").cast("double")) / F.log(F.lit(2.0))).cast(
+        "bigint"
+    )
+    return (
+        per.select(bucket.alias("size_log2_bucket"), "size")
+        .groupBy("size_log2_bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("size_log2_bucket")).cast("bigint").alias(
+                "min_size"
+            ),
+            F.count("*").cast("bigint").alias("clusters"),
+            F.sum("size").cast("bigint").alias("docs"),
+        )
+        .orderBy("size_log2_bucket")
+    )
