@@ -3468,3 +3468,54 @@ def events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z, 4) + F.lit(0.0)).alias("z_score"),
         (F.abs(z) >= 1.96).alias("significant_95"),
     )
+
+
+@_register(
+    "events_dispersion_index",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(AVG(cnt), 4) + 0 AS mean_per_hour,
+           ROUND(VAR_POP(cnt) / NULLIF(AVG(cnt), 0), 4) + 0
+             AS dispersion_index
+    FROM h
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance/mean of hourly counts) per event
+    type: ~1 means Poisson-like memoryless arrivals (rate alarms can use
+    sqrt bands), >>1 means bursty/clumped traffic (use the burst screen),
+    <1 means rate-limited/scheduled emission. The one-number arrival
+    characterization read next to seasonality_strength.
+
+    Shape: the same (type, epoch-hour) reduction the forecast and
+    seasonality tables use, then a |types|-row moment aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = ev.groupBy(
+        "event_type",
+        F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 3600").alias("hb"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            (F.round(F.avg("cnt"), 4) + F.lit(0.0)).alias("mean_per_hour"),
+            (
+                F.round(
+                    F.var_pop("cnt") / F.nullif(F.avg("cnt"), F.lit(0.0)), 4
+                )
+                + F.lit(0.0)
+            ).alias("dispersion_index"),
+        )
+        .orderBy("event_type")
+    )
