@@ -528,3 +528,27 @@ def test_round3_global_windows_consume_aggregates(spark):
         # the DEEPEST aggregate must sit below the window (post-window
         # rollups are fine; a window over raw fact rows is not)
         assert plan.rindex("HashAggregate") > plan.index("Window"), fn.__name__
+
+
+def test_basket_lift_reduces_to_distinct_types_before_pair_join(spark):
+    """The market-basket pair self-join must consume the per-order DISTINCT
+    type reduction, never raw lineitem rows: an Aggregate (the distinct)
+    sits below the okey self-join on both sides, bounding per-order
+    fan-out at |types|^2."""
+    plan = _plan(analytics.orders_basket_lift(spark, SF_SMOKE))
+    # whichever physical join AQE picks (broadcast at toy scale, sort-merge
+    # at corpus scale), a HashAggregate (the distinct reduction) must sit
+    # DEEPER than the first join in the plan tree
+    join_at = min(
+        plan.index(t)
+        for t in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        if t in plan
+    )
+    assert "HashAggregate" in plan[join_at:]
+
+
+def test_sla_latency_aggregates_lineitem_inside_join(spark):
+    """Order-to-first-ship latency must reduce lineitem to MIN-per-order
+    with partial aggregation (map-side combine below the exchange)."""
+    plan = _plan(analytics.orders_sla_latency_percentiles(spark, SF_SMOKE))
+    assert "partial_min" in plan
