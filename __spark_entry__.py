@@ -61,7 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # orders_basket_lift, events_new_vs_returning, events_seasonality_strength,
 # supplier_concentration_hhi, events_ab_significance,
 # multimodal_video_near_dup, dedup_semantic_lexical_agreement,
-# dedup_cluster_size_histogram, events_dispersion_index.
+# dedup_cluster_size_histogram, events_dispersion_index,
+# nation_trade_flow_matrix, corpus_vocab_growth_curve.
 _PRIORITY = (
     # -- never driver-verified: TPC-H shapes (operators/tpch.py)
     "q4_priority_with_returns",

@@ -3519,3 +3519,59 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "nation_trade_flow_matrix",
+    oracle="""
+    SELECT cn.n_name AS customer_nation,
+           sn.n_name AS supplier_nation,
+           CAST(COUNT(*) AS BIGINT) AS lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    ORDER BY customer_nation, supplier_nation
+    """,
+)
+def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bilateral trade-flow matrix: revenue between every
+    (customer nation, supplier nation) pair — TPC-H Q7 generalized from
+    two hand-picked nations to the complete matrix, the where-does-value
+    flow dashboard.
+
+    Shape: the reference Q7 discipline at matrix scale — lineitem is the
+    only fact that streams; orders joins it on the co-partitioned
+    orderkey, and customer/supplier/nation are all broadcast dimensions,
+    so the single wide shuffle is the fact-fact equi-join and the rollup
+    is |nations|^2 map-side-combined groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("customer_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supplier_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("customer_nation", "supplier_nation")
+        .agg(
+            F.count("*").cast("bigint").alias("lines"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy("customer_nation", "supplier_nation")
+    )

@@ -1910,3 +1910,74 @@ def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         F.sum("tokens").over(wc).cast("bigint").alias("cum_tokens"),
     ).orderBy("decile")
+
+
+def _vocab_growth_oracle() -> str:
+    return """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    first_use AS (
+      SELECT word, MIN(doc_id) AS first_doc
+      FROM w WHERE word <> '' GROUP BY word
+    ),
+    ord AS (
+      SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS decile
+      FROM (SELECT DISTINCT doc_id FROM documents)
+    ),
+    new_per AS (
+      SELECT o.decile, COUNT(*) AS new_words
+      FROM first_use f JOIN ord o ON o.doc_id = f.first_doc
+      GROUP BY o.decile
+    )
+    SELECT d.decile,
+           CAST(COALESCE(n.new_words, 0) AS BIGINT) AS new_words,
+           CAST(SUM(COALESCE(n.new_words, 0)) OVER (
+             ORDER BY d.decile ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS vocab_size
+    FROM (SELECT DISTINCT decile FROM ord) d
+    LEFT JOIN new_per n ON n.decile = d.decile
+    ORDER BY d.decile
+    """
+
+
+@_register("corpus_vocab_growth_curve", oracle=_vocab_growth_oracle())
+def corpus_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct-word count as the
+    corpus is consumed in doc_id order, per corpus decile — a curve that
+    keeps climbing steeply means the corpus still surfaces new
+    vocabulary (keep crawling / grow the tokenizer vocab); a flat tail
+    means coverage has saturated. The companion measurement to the Zipf
+    slope.
+
+    Shape: each word reduces to its FIRST-occurrence document (the usual
+    map-side-combined dictionary shuffle — cumulative distinct counting
+    without ever re-counting prefixes), deciles come from one window
+    over the distinct doc_id list, and the curve is a ten-row cumsum.
+    """
+    wf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(lower_ws_tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
+    w = Window.orderBy("doc_id")
+    ords = docs.withColumn("decile", F.ntile(10).over(w))
+    new_per = (
+        wf.join(ords, wf.first_doc == ords.doc_id)
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_words"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ords.select("decile")
+        .distinct()
+        .join(new_per, "decile", "left")
+        .select("decile", F.coalesce("new_words", F.lit(0)).cast("bigint").alias("new_words"))
+        .withColumn("vocab_size", F.sum("new_words").over(wc).cast("bigint"))
+        .orderBy("decile")
+    )
