@@ -3527,7 +3527,9 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cn.n_name AS customer_nation,
            sn.n_name AS supplier_nation,
            CAST(COUNT(*) AS BIGINT) AS lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3561,7 +3563,16 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supplier_nation")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Integer-cent revenue: prices and discounts are 2-decimal values, so
+    # ROUND(x*100) recovers exact integer cents/percent identically in both
+    # engines; the BIGINT summation is then exact regardless of sum order
+    # (a double SUM rounded to cents flipped a half-cent boundary at the
+    # smoke scale, and per-row double->DECIMAL casts tie-round differently
+    # across engines).
+    rev = F.expr(
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -3571,7 +3582,7 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("customer_nation", "supplier_nation")
         .agg(
             F.count("*").cast("bigint").alias("lines"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(rev) / 10000.0, 2).alias("revenue"),
         )
         .orderBy("customer_nation", "supplier_nation")
     )
