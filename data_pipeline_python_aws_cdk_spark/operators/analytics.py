@@ -105,11 +105,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fact-first join order: lineitem (the largest scan) is the streaming
     side throughout, so it is never serialized into a broadcast hash-table
-    build. customer (filtered to one segment) broadcasts into orders;
-    their join result is the build side against streaming lineitem —
-    broadcast under the threshold locally, shuffle join at real scale via
-    AQE. The groupBy key includes l_orderkey, so the orderkey exchange is
-    reused. Top-k via TakeOrderedAndProject.
+    build. customer (filtered to one segment) joins into orders with NO
+    explicit broadcast hint — customer scales with the corpus (~2.5 TB at
+    the 100 TB letter) and Spark honors user hints unconditionally (AQE
+    never demotes them), so a hard hint would OOM at scale. Under
+    autoBroadcastJoinThreshold the optimizer still picks a broadcast hash
+    join at bench scale from parquet size stats, and AQE degrades to a
+    shuffle join when the runtime size exceeds the threshold. The groupBy
+    key includes l_orderkey, so the orderkey exchange is reused. Top-k via
+    TakeOrderedAndProject.
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -121,7 +125,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
     joined = li.join(
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")),
+        o.join(c, F.col("c_custkey") == F.col("o_custkey")),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -172,8 +176,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 600 k-row scan is what parallelizes, probing small maps; the
     orders side auto-broadcasts under the threshold locally and degrades
     to a shuffle join at real scale (AQE re-plans from runtime sizes).
-    The supplier co-nation predicate rides the broadcast hash join as a
-    composite key."""
+    The supplier co-nation predicate rides the join as a composite key.
+    nation/region keep explicit broadcast hints (fixed-size: 25/5 rows at
+    any SF); customer and supplier carry NO hint — they scale with the
+    corpus and a user hint is honored unconditionally, so the size-based
+    threshold must make that call."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -185,11 +192,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )
@@ -218,13 +225,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast dim-fact join + top-k. At TPC-H ratios customer is ~10x
-    smaller than orders; broadcasting it means orders never shuffles for the
-    join — only the 10-row top-k crosses the wire after partial agg."""
+    """Dim-fact join + top-k. At TPC-H ratios customer is ~10x smaller
+    than orders; under the broadcast threshold orders never shuffles for
+    the join — only the 10-row top-k crosses the wire after partial agg.
+    No explicit hint: customer is SF-scaled, so the size-based threshold
+    (not an unconditional user hint) decides broadcast vs shuffle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
@@ -430,8 +439,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join discipline: the quarter filter cuts orders first (pushed to its
     scan), lineitem keeps only returned lines (also pushed), the o x l
-    fact-fact join shuffles once on orderkey, and customer/nation broadcast
-    onto the joined fact. The final ORDER BY ... LIMIT plans
+    fact-fact join shuffles once on orderkey, and customer/nation join
+    onto the joined fact — nation with an explicit broadcast hint (25 rows
+    at any SF), customer WITHOUT one (SF-scaled; the size threshold picks
+    broadcast at bench scale, shuffle at 100 TB). The final ORDER BY ...
+    LIMIT plans
     TakeOrderedAndProject — no global sort. Deterministic tie-break on
     c_custkey so the top-20 edge is stable across engines.
     """
@@ -445,7 +457,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_f = li.filter(F.col("l_returnflag") == "R")
     joined = (
         l_f.join(o_f, l_f.l_orderkey == o_f.o_orderkey)
-        .join(F.broadcast(c), o_f.o_custkey == c.c_custkey)
+        .join(c, o_f.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -575,10 +587,11 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional ratio-of-aggregates over a dim join.
 
-    part broadcasts onto the month-filtered lineitem slice (filter pushed
-    to the scan, so only one month of row groups is decoded before the
-    join); the CASE folds into the partial aggregation, so the shuffle is
-    two doubles + a count — regardless of input size.
+    part joins onto the month-filtered lineitem slice (filter pushed to
+    the scan, so only one month of row groups is decoded before the
+    join) — UNfiltered part is SF-scaled, so no hard broadcast hint; the
+    size threshold decides. The CASE folds into the partial aggregation,
+    so the shuffle is two doubles + a count — regardless of input size.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
@@ -588,7 +601,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             # try_divide: an all-zero-revenue slice yields NULL like the
             # oracle, not an ANSI DIVIDE_BY_ZERO crash
@@ -1038,6 +1051,12 @@ def segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the manual fallback when AQE's skewedJoin split
     (enabled in the session factory) can't help — e.g. a skewed *build*
     side or a non-splittable downstream aggregation on the same key.
+    No broadcast hint on the exploded dimension: salting pays off exactly
+    when the join SHUFFLES (a broadcast join has no reducer to skew), and
+    customer is SF-scaled — an unconditional hint would OOM at the scale
+    where salting matters. At bench scale the optimizer may still choose
+    broadcast from size stats; at real scale the salted composite key
+    spreads the hot custkey across SALT_N reducers of a shuffle join.
     """
     o = load_table(spark, sf_dir, "orders").withColumn(
         "salt", F.pmod(F.hash("o_orderkey"), F.lit(_SKEW_SALT_N))
@@ -1046,7 +1065,7 @@ def segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "salt", F.explode(F.array(*[F.lit(i) for i in range(_SKEW_SALT_N)]))
     )
     joined = o.join(
-        F.broadcast(c),
+        c,
         (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
         "inner",
     )
@@ -1135,7 +1154,7 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
     w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
+        spend.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -1281,9 +1300,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The IN-subquery of the official Q18 is decorrelated into an inner join
     against the pre-aggregated (orderkey, qty) table: the lineitem
     aggregation reduces the fact table BEFORE any join (map-side combine,
-    then one shuffle on orderkey that the orders join reuses), and the
-    customer dimension broadcasts. Joining — not semi-joining — keeps the
-    qty column without a second pass.
+    then one shuffle on orderkey that the orders join reuses); customer
+    joins without a hard hint (SF-scaled — size threshold decides, not an
+    unconditional user hint). Joining — not semi-joining — keeps the qty
+    column without a second pass.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -1295,7 +1315,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(q, o.o_orderkey == q.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -1746,7 +1766,9 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("f", F.ntile(4).over(f_w))
         .withColumn("m", F.ntile(4).over(m_w))
         .select(
-            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("bigint")
+            .alias("segment")
         )
         .groupBy("segment")
         .agg(F.count("*").alias("customers"))
@@ -3135,7 +3157,8 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order fact.
 
     Shape: the basket table reduces each order to its DISTINCT types
-    first (map-side combined through the broadcast part join), so the
+    first (map-side combined through the part join — unfiltered part is
+    SF-scaled, so no hard hint), so the
     pair self-join is co-partitioned on orderkey with per-order fan-out
     bounded by |types|^2, never line-item^2; type marginals and the
     order total are |types|- and 1-row broadcasts over the pair rollup.
@@ -3143,7 +3166,7 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     ot = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("t"))
         .distinct()
     )
@@ -3334,8 +3357,10 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     healthy spread, approaching 1 means one supplier owns the lane (the
     single-point-of-failure procurement alarm).
 
-    Shape: lineitem reduces to per-supplier revenue through the
-    broadcast supplier join (map-side combined); shares are one window
+    Shape: lineitem reduces to per-supplier revenue through the supplier
+    join (no hard hint — supplier is SF-scaled, the size threshold picks
+    broadcast at bench scale, map-side combined either way); shares are
+    one window
     over the |suppliers|-row aggregate, and the HHI is a |nations|-row
     rollup. Shares round to 6 BEFORE squaring/summation so the float
     exposure is a sum of ~100 identical-in-both-engines terms.
@@ -3343,7 +3368,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
@@ -3548,9 +3573,12 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the reference Q7 discipline at matrix scale — lineitem is the
     only fact that streams; orders joins it on the co-partitioned
-    orderkey, and customer/supplier/nation are all broadcast dimensions,
-    so the single wide shuffle is the fact-fact equi-join and the rollup
-    is |nations|^2 map-side-combined groups.
+    orderkey, the two 25-row nation projections carry explicit broadcast
+    hints (fixed-size at any SF), and customer/supplier join WITHOUT
+    hints — both scale with the corpus, so the size-based threshold (not
+    an unconditional user hint) decides broadcast vs shuffle. The single
+    wide shuffle is the fact-fact equi-join and the rollup is |nations|^2
+    map-side-combined groups.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -3575,8 +3603,8 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy("customer_nation", "supplier_nation")

@@ -601,7 +601,7 @@ def _simhash_pairs_sql() -> str:
         + "                b.doc_id AS doc_b, b.simhash AS sim_b\n"
         + "         FROM keyed a JOIN keyed b\n"
         + "           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)\n"
-        + "SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming\n"
+        + "SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming\n"
         + "FROM cand\n"
         + f"WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}"
     )
@@ -647,7 +647,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "sim_a", "doc_b", "sim_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= SIMHASH_MAX_HAMMING
     )

@@ -130,10 +130,10 @@ def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "byte_len": pd.Series(byte_lens, dtype="Int32"),
-                "width": pd.Series(widths, dtype="Int32"),
-                "height": pd.Series(heights, dtype="Int32"),
-                "n_frames": pd.Series(n_frames_col, dtype="Int32"),
+                "byte_len": pd.Series(byte_lens, dtype="Int64"),
+                "width": pd.Series(widths, dtype="Int64"),
+                "height": pd.Series(heights, dtype="Int64"),
+                "n_frames": pd.Series(n_frames_col, dtype="Int64"),
                 "channel_sum": pd.Series(channel_sums, dtype="Int64"),
             }
         )
@@ -163,7 +163,8 @@ def decode_features(frame: DataFrame, decoder: str | None = None) -> DataFrame:
 # --- deterministic fake decoder (the tested plumbing) ---------------------
 
 FEATURE_SCHEMA = (
-    "doc_id long, byte_len int, width int, height int, n_frames int, channel_sum long"
+    "doc_id long, byte_len long, width long, height long, n_frames long, "
+    "channel_sum long"
 )
 
 
@@ -190,10 +191,10 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": raws.map(lambda b: None if b is None else len(b)).astype("Int32"),
-                "width": h("w", 1920, 1).astype("Int32"),
-                "height": h("h", 1080, 1).astype("Int32"),
-                "n_frames": h("f", 240, 1).astype("Int32"),
+                "byte_len": raws.map(lambda b: None if b is None else len(b)).astype("Int64"),
+                "width": h("w", 1920, 1).astype("Int64"),
+                "height": h("h", 1080, 1).astype("Int64"),
+                "n_frames": h("f", 240, 1).astype("Int64"),
                 "channel_sum": h("c", 1_000_000).astype("Int64"),
             }
         )
@@ -216,7 +217,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = attach_payload(d)
     return frame.select(
         "doc_id",
-        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.byte_len").cast("bigint").alias("byte_len"),
         F.md5("payload").alias("content_md5"),
         F.col("meta.origin").alias("origin"),
     )
@@ -259,7 +260,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESIZE_TARGET = 224  # longest-edge fit, aspect preserved
 
-RESIZE_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
+RESIZE_SCHEMA = "doc_id long, width long, height long, out_w long, out_h long"
 
 
 def fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -287,10 +288,10 @@ def fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": w.astype("Int32"),
-                "height": h.astype("Int32"),
-                "out_w": scale(w).astype("Int32"),
-                "out_h": scale(h).astype("Int32"),
+                "width": w.astype("Int64"),
+                "height": h.astype("Int64"),
+                "out_w": scale(w).astype("Int64"),
+                "out_h": scale(h).astype("Int64"),
             }
         )
 
@@ -321,7 +322,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_SAMPLE_EVERY = 30  # keep one frame per N (1 fps at 30 fps video)
 
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash long"
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_hash long"
 
 
 def fake_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -349,7 +350,7 @@ def fake_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out_doc, dtype="int64"),
-                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
                 "frame_hash": pd.Series(out_hash, dtype="int64"),
             }
         )

@@ -149,7 +149,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -289,7 +294,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the query. Only candidates get the exact cosine + window rerank, so
     the heavy math runs on a small fraction of the corpus — the scale path
     when both sides are large. Recall vs the exact top-k is asserted in
-    tests/test_similarity.py.
+    tests/test_extensions.py.
     """
     chunks = _signatures(spark, sf_dir)
     q = chunks.filter(F.col("vec_id") < N_QUERIES).select(
@@ -319,7 +324,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -387,9 +397,16 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosines round to 6 dp before ranking so Spark's and DuckDB's float-sum
     orders agree (same convention as similarity_ann_lsh). At 100 TB the
     assignment output is what you'd persist, bucketed/partitioned by
-    centroid_id, turning probes into partition-pruned scans; the top-1
-    window becomes a max_by(centroid_id, (c6, -centroid_id)) groupBy to
-    keep the assignment map-side-combinable.
+    centroid_id, turning probes into partition-pruned scans.
+
+    Assignment is a map-side argmax, NOT a window: the broadcast join
+    fans each vector out to NLIST in-partition rows, and
+    max_by(centroid_id, (c6, -centroid_id)) collapses them back to one
+    row per vector INSIDE the partial aggregate — the exchange carries
+    |corpus| narrow (vec_id, centroid) rows, never the NLIST-fanned
+    stream, and no corpus-scale window sort exists anywhere in the plan.
+    (The earlier row_number spelling shuffled corpus x NLIST rows and
+    sorted them per vec_id — a 16x wire cost for the same result.)
     """
     e = load_table(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
@@ -400,15 +417,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
     )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
-    assign = (
-        ac.withColumn("rn", F.row_number().over(w_vec))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    # highest c6 wins; ties break to the LOWEST centroid_id (hence the
+    # negated id in the ordering struct) — byte-identical to the oracle's
+    # ROW_NUMBER() ... ORDER BY c6 DESC, centroid_id.
+    assign = ac.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("c6"), (-F.col("centroid_id")).alias("nid"))
+        ).alias("centroid_id")
     )
-    # Probe ranking filters to the query vectors BEFORE the window: the
-    # filter is on the window's partition key, so it commutes — and the
-    # corpus-wide ranking pass isn't re-executed just to rank 8 queries.
+    # Probe ranking filters to the query vectors BEFORE its window: the
+    # filter is on the window's partition key, so it commutes — this
+    # window ranks N_QUERIES x NLIST rows, a constant, never the corpus.
+    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
     probes = (
         ac.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", F.row_number().over(w_vec))
@@ -437,7 +457,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -448,7 +473,7 @@ KMEANS_SEED = 7
 @_register(
     "embedding_kmeans",
     oracle="""
-    SELECT COUNT(*) AS n_points,
+    SELECT COUNT(embedding) AS n_points,
            CAST(LEAST(10, COUNT(DISTINCT embedding)) AS BIGINT) AS n_clusters,
            TRUE AS sse_below_label_partition,
            TRUE AS sse_below_global
@@ -478,7 +503,12 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface; tests/test_extensions.py::test_kmeans_recovers_planted_clusters
     pins exact recovery on constructed Gaussian blobs.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings can neither seed nor join a cluster (MLlib's fit
+    # crashes on null features), and the oracle's COUNT(DISTINCT embedding)
+    # ignores NULLs — filter them out before both the clamp and the fit.
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -729,11 +759,16 @@ def ivf_build_index(
         "centroid_id",
         F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
     )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
-    assign = (
-        ac.withColumn("rn", F.row_number().over(w_vec))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    # Map-side argmax (same discipline as similarity_ann_ivf): the NLIST
+    # fan-out collapses inside the partial aggregate, so the exchange
+    # carries |corpus| rows — vec_id, its (single-valued) embedding, and
+    # the winning centroid — not the 16x-fanned stream a per-vec window
+    # sort would shuffle.
+    assign = ac.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.max_by(
+            "centroid_id", F.struct(F.col("c6"), (-F.col("centroid_id")).alias("nid"))
+        ).alias("centroid_id"),
     )
     assign.write.mode("overwrite").partitionBy("centroid_id").parquet(index_dir)
     # Codebook rides WITH the lists (written after them: the overwrite
@@ -810,7 +845,12 @@ def ivf_probe_indexed(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -835,7 +875,7 @@ QUANT_LEVELS = 255
       FROM ex JOIN st ON st.pos = ex.pos
     )
     SELECT vec_id,
-           SUM(code) AS code_sum,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
            CAST(SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
            CAST(SUM(CASE WHEN code = {QUANT_LEVELS} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_high
@@ -987,12 +1027,14 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
     )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
-    assign = (
-        ac.withColumn("rn", F.row_number().over(w_vec))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    # Map-side argmax assignment (similarity_ann_ivf's discipline): the
+    # NLIST fan-out collapses in the partial aggregate; no corpus window.
+    assign = ac.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("c6"), (-F.col("centroid_id")).alias("nid"))
+        ).alias("centroid_id")
     )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
     probes = (
         ac.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", F.row_number().over(w_vec))
@@ -1077,7 +1119,12 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rer.withColumn("rank", F.row_number().over(w_r))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -1096,7 +1143,7 @@ GRAM_QSCALE = 1 << 20  # quantization scale: floor(v * 2^20 + 0.5)
       FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) u(i)
       WHERE embedding IS NOT NULL
     )
-    SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS m2
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS m2
     FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
     ORDER BY i, j
@@ -1142,13 +1189,13 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         if total is not None:
             iu = np.triu_indices(total.shape[0])
             yield pd.DataFrame(
-                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"),
                  "m2": total[iu]}
             )
 
     return (
         e.select("embedding")
-        .mapInPandas(gram_partials, "i int, j int, m2 long")
+        .mapInPandas(gram_partials, "i long, j long, m2 long")
         .groupBy("i", "j")
         .agg(F.sum("m2").alias("m2"))
         .orderBy("i", "j")
@@ -1690,7 +1737,12 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -1907,5 +1959,10 @@ def pq_probe_indexed(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )

@@ -78,9 +78,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        ws_token_count("text").alias("ws_tokens"),
-        bpe_ish_token_count("text").alias("bpe_tokens"),
-        F.length("text").alias("chars"),
+        ws_token_count("text").cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("chars"),
     )
 
 
@@ -136,8 +136,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "doc_id",
-        "chars",
-        "n_tokens",
+        F.col("chars").cast("bigint").alias("chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
         # try_divide: chars=0 (empty doc) yields NULL like DuckDB's float
         # division, instead of an ANSI DIVIDE_BY_ZERO crash
         F.round(F.try_divide(F.col("n_punct").cast("double"), F.col("chars")), 6).alias("punct_ratio"),
@@ -278,7 +278,7 @@ def _rolling_oracle() -> str:
                  list_sum(list_transform(generate_series(0, {ROLL_W - 1}),
                           j -> {tok_h} * ({powers})[j + 1])) % {ROLL_M} AS hv
           FROM pos)
-    SELECT doc_id, i AS pos, hv AS chunk_hash
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(hv AS BIGINT) AS chunk_hash
     FROM h WHERE hv % {ROLL_MASK + 1} = 0
     """
 
@@ -319,7 +319,11 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" 0L, (acc, v) -> acc + v) % {ROLL_M} AS hv))"
             )
         ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.hv").alias("chunk_hash"))
+    ).select(
+        "doc_id",
+        F.col("w.pos").cast("bigint").alias("pos"),
+        F.col("w.hv").alias("chunk_hash"),
+    )
     return windows.filter(F.col("chunk_hash") % (ROLL_MASK + 1) == 0)
 
 
@@ -537,16 +541,18 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_URL), F.lit(0))).alias(
-            "n_urls"
-        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_URL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_urls"),
         F.size(
             F.regexp_extract_all(
                 F.regexp_replace(F.col("text"), PII_URL, "<URL>"),
                 F.lit(PII_EMAIL),
                 F.lit(0),
             )
-        ).alias("n_emails"),
+        )
+        .cast("bigint")
+        .alias("n_emails"),
         F.md5(
             redact_text(F.col("text")).cast("binary")
         ).alias("clean_md5"),
@@ -1171,7 +1177,7 @@ GATE_MIN_STOP = 0.0  # synthetic corpus: stopword floor disabled by data
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS n_pass,
+           CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            ROUND(SUM(CASE WHEN passed THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
              AS pass_rate
     FROM g
@@ -1898,7 +1904,9 @@ def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", bpe_ish_token_count("text").alias("doc_tokens")
     )
     w = Window.orderBy("avg_nll", "doc_id")
-    ranked = lm.join(toks, "doc_id").withColumn("decile", F.ntile(10).over(w))
+    ranked = lm.join(toks, "doc_id").withColumn(
+        "decile", F.ntile(10).over(w).cast("bigint")
+    )
     per = ranked.groupBy("decile").agg(
         F.count("*").alias("docs"),
         F.sum("doc_tokens").cast("bigint").alias("tokens"),
@@ -1966,7 +1974,7 @@ def corpus_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
     w = Window.orderBy("doc_id")
-    ords = docs.withColumn("decile", F.ntile(10).over(w))
+    ords = docs.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
     new_per = (
         wf.join(ords, wf.first_doc == ords.doc_id)
         .groupBy("decile")

@@ -109,9 +109,12 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bi-directional nation-pair volume by ship year.
 
-    All dims (supplier+nation, customer+nation) broadcast; lineitem is the
-    streaming side into both broadcasts, and orders⨝lineitem is the one
-    shuffle. The disjunctive nation-pair predicate is applied AFTER both
+    The nation-filtered supplier/customer sides join into streaming
+    lineitem without explicit broadcast hints — both scale with the corpus
+    (a 2/25-nation cut of an SF-scaled table is still SF-scaled, and Spark
+    honors user hints unconditionally), so the size threshold picks
+    broadcast at bench scale and AQE degrades to shuffle at 100 TB.
+    orders⨝lineitem is the one guaranteed shuffle. The disjunctive nation-pair predicate is applied AFTER both
     nation joins on the already-filtered supplier/customer sides — the
     nation filter cannot be pushed below the join (it references both
     sides) but each side is pre-filtered to the 2-nation subset, so the
@@ -135,9 +138,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -181,10 +184,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The share is a conditional-ratio-of-aggregates computed in ONE
     aggregation pass (CASE folds into the partial agg) — never a self-join
-    of two grouped scans. part (type-filtered) and supplier+nation
-    broadcast into streaming lineitem; customers of the region reduce via
-    a broadcast semi-ish projection onto orders. The only fact-fact
-    shuffle is orders⨝lineitem on orderkey.
+    of two grouped scans. part keeps an explicit broadcast hint (hard
+    type-filter); supplier+nation and the region-filtered customer
+    projection join WITHOUT hints — both are SF-scaled, so the size
+    threshold decides (broadcast at bench scale, shuffle at 100 TB). The
+    only fact-fact shuffle is orders⨝lineitem on orderkey.
     """
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -208,9 +212,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vol = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(region_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(region_cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_year", "supp_nation", _revenue().alias("volume"))
     )
     national = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
@@ -248,7 +252,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``0.6 * p_retailprice * l_quantity`` — same join/agg shape.) The
     infix-LIKE filter cannot prune row groups but does cut the broadcast
     part dim to ~1/6 before it reaches the fact scan; supplier+nation
-    broadcasts; orders joins on the one orderkey shuffle. Aggregation is
+    joins without a hint (SF-scaled — threshold decides); orders joins on
+    the one orderkey shuffle. Aggregation is
     25 nations x 7 years — map-side combine collapses everything early.
     """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
@@ -264,7 +269,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
@@ -544,7 +549,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
-        l1.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # No hint on the 1/25-nation supplier cut: still SF-scaled, so the
+        # size threshold (broadcast here, shuffle at 100 TB) decides.
+        l1.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(order_stats, F.col("l_orderkey") == F.col("g_orderkey"))
         .filter((F.col("n_supp") >= 2) & (F.col("returned_supp") == 1))
@@ -672,7 +679,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bk") == eligible["p_partkey"])
             & (F.col("supplycost") == F.col("mincost")),
         )
-        .join(F.broadcast(dim), F.col("suppkey") == F.col("s_suppkey"))
+        # dim is region-filtered supplier — SF-scaled, so no hard hint; the
+        # size threshold picks broadcast at bench scale.
+        .join(dim, F.col("suppkey") == F.col("s_suppkey"))
         .select(
             eligible["p_partkey"].alias("partkey"),
             F.col("p_name").alias("part_name"),
@@ -727,7 +736,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem")
     byp = (
-        li.join(F.broadcast(nat_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        # nat_supp is a 1/25-nation cut of SF-scaled supplier: no hard hint.
+        li.join(nat_supp, li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")

@@ -505,18 +505,20 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 def enrich_with_segment(stream: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static broadcast join + per-segment aggregation.
 
-    The canonical enrichment topology: the static dimension (customer
-    segment) is broadcast to every task, so each micro-batch joins
-    map-side with no stream-side shuffle; the only stateful operator is
-    the small per-segment aggregation. The static side is re-resolved per
-    micro-batch — on a real deployment that makes slowly-changing
-    dimension updates visible to the stream without a restart.
+    The canonical enrichment topology: when the static dimension
+    (customer segment) fits the broadcast threshold, each micro-batch
+    joins map-side with no stream-side shuffle; the only stateful
+    operator is the small per-segment aggregation. No hard broadcast
+    hint — customer is SF-scaled and a user hint is honored
+    unconditionally, so the size threshold makes the call (at true
+    dimension sizes it broadcasts; past the threshold each micro-batch
+    shuffle-joins). The static side is re-resolved per micro-batch — on
+    a real deployment that makes slowly-changing dimension updates
+    visible to the stream without a restart.
     """
-    dim = F.broadcast(
-        customer.select(
-            F.col("c_custkey").alias("user_id"),
-            F.col("c_mktsegment").alias("segment"),
-        )
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
     )
     return (
         stream.join(dim, "user_id")

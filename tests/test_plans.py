@@ -304,12 +304,69 @@ def test_q16_pushes_part_filters_to_scan(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_salted_join_broadcasts_exploded_dim(spark):
-    """The salted dimension side must broadcast (the whole point: spread a
-    hot fact key across SALT_N reducers without shuffling the dimension)."""
+def test_salted_join_composite_key_no_cartesian(spark):
+    """The salted join must stay an equi-join on the (custkey, salt)
+    composite key — the dimension explodes SALT_N ways (Generate in the
+    plan) and no nested-loop/cartesian appears. The dim side carries NO
+    broadcast hint: salting pays off exactly when the join shuffles, and
+    customer is SF-scaled; the size threshold picks the physical strategy
+    (broadcast at bench scale, salted shuffle at 100 TB)."""
     plan = _plan(analytics.segment_revenue_salted(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
     assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+# Expected BroadcastHashJoin count per query with the size-based broadcast
+# threshold DISABLED: what remains is exactly the explicitly-hinted
+# fixed-size dims (nation=25 rows, region=5 rows, hard-filtered part) —
+# proof that no SF-scaled table (customer / supplier / unfiltered part)
+# carries an unconditional user hint, which Spark would honor at any size
+# (AQE never demotes explicit hints; at 100 TB that is an OOM, not a plan).
+_HINTED_BOUNDED_DIMS = {
+    "q3_shipping_priority": 0,
+    "q5_local_supplier_volume": 2,  # nation + region
+    "q10_returned_items": 1,  # nation
+    "q18_large_volume_customers": 0,
+    "top_customers_by_revenue": 0,
+    "segment_revenue_salted": 0,
+    "supplier_concentration_hhi": 0,
+    "nation_trade_flow_matrix": 2,  # two 25-row nation projections
+    "q14_promo_revenue": 0,
+}
+_HINTED_BOUNDED_DIMS_TPCH = {
+    "q7_volume_shipping": 0,
+    "q8_market_share": 2,  # type-filtered part + nation⨝region build
+    "q9_product_profit": 1,  # LIKE-filtered part
+    "q11_important_stock": 2,  # one nation hint; subtree planned twice
+    #                            (byp feeds both the total and the output)
+    "q21_waiting_suppliers": 0,
+}
+
+
+def test_no_unconditional_broadcast_of_sf_scaled_tables(spark):
+    """With autoBroadcastJoinThreshold=-1 the ONLY BroadcastHashJoins left
+    must be the explicitly-hinted bounded dims — an SF-scaled table that
+    still broadcasts with the threshold off is being pinned by a user
+    hint, the exact 100 TB liability this gate exists to prevent."""
+    from data_pipeline_python_aws_cdk_spark.operators import tpch
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for mod, table in (
+            (analytics, _HINTED_BOUNDED_DIMS),
+            (tpch, _HINTED_BOUNDED_DIMS_TPCH),
+        ):
+            for name, want in table.items():
+                plan = _plan(getattr(mod, name)(spark, SF_SMOKE))
+                got = plan.count("BroadcastHashJoin")
+                assert got == want, f"{name}: {got} BroadcastHashJoin, want {want}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_moving_avg_aggregates_before_global_window(spark):
