@@ -66,6 +66,71 @@ def _plane(p: int, i: int) -> float:
     return (hash60_py(f"{p}:{i}") % 2000001 - 1000000) / 1e6
 
 
+def _assign_nearest_centroid(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Map-ONLY nearest-centroid assignment: e + a ``centroid_id`` column.
+
+    The codebook (bounded: NLIST rows at any corpus size) is collected and
+    shipped in the UDF closure; each Arrow batch computes all NLIST cosines
+    with one vectorized pass and the argmax never leaves the row. Nothing
+    shuffles — the corpus streams through a single ArrowEvalPython stage.
+    This replaces both earlier spellings (per-vec row_number window: corpus
+    x NLIST shuffle + sort; max_by groupBy: corpus-row exchange) with zero
+    exchanges.
+
+    Float discipline: per centroid j the cosine is computed exactly like
+    ``cosine_arrow`` — float64 widen, ``(x * C[j]).sum(axis=1)`` (numpy
+    pairwise summation along axis 1, the same reduction the pairwise UDF
+    runs), norms via ``np.linalg.norm(..., axis=1)`` on 2-D inputs for both
+    sides (the 1-D BLAS nrm2 path can differ in the last bit) — so the
+    assignment agrees bit-for-bit with the probe-side cosine_arrow ranking
+    and, after the shared ROUND(·, 6), with the DuckDB oracle.
+
+    Rounding and argmax run JVM-SIDE on the UDF's raw cosine array: the
+    UDF never rounds (numpy's round is half-to-even; ``F.round`` and the
+    oracle's ROUND are half-up — a last-bit divergence trap), ``F.round``
+    applies the one shared convention, and
+    ``array_position(c6s, array_max(c6s))`` implements the oracle's
+    ``ORDER BY c6 DESC, centroid_id`` exactly: first occurrence of the
+    max = lowest centroid_id on ties.
+
+    Zero-norm semantics: numpy's 0/0 NaN crosses Arrow as NULL — the same
+    value DuckDB's 0/0 division and the cosine_arrow probe path produce —
+    and both engines sort NULL LAST under DESC, so a null cosine never
+    beats a real one; ``array_max`` likewise ignores nulls. When EVERY
+    cosine is null (a zero-norm vector against any codebook), both
+    engines' tiebreak falls through to the lowest centroid_id, which the
+    coalesce pins explicitly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    rows = cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
+    ids = [int(r["centroid_id"]) for r in rows]
+    C = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in rows])
+    cn = np.linalg.norm(C, axis=1)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def cos_all(a: pd.Series) -> pd.Series:
+        x = np.stack(a.values).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        out = np.empty((x.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(C.shape[0]):
+            num = (x * C[j]).sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[:, j] = num / (xn * cn[j])
+        return pd.Series(list(out))
+
+    c6s = F.transform(cos_all(F.col("embedding")), lambda v: F.round(v, 6))
+    id_arr = F.array(*[F.lit(i).cast("long") for i in ids])
+    # The all-null fallback coalesces the INDEX, not the element: ANSI
+    # element_at is (mis)declared non-nullable, so Catalyst folds a
+    # coalesce AROUND it away and codegen then returns garbage for a null
+    # index. A never-null index sidesteps the whole class.
+    pos = F.coalesce(F.array_position(c6s, F.array_max(c6s)), F.lit(1)).cast("int")
+    return e.withColumn("centroid_id", F.element_at(id_arr, pos))
+
+
 _COS_SQL = (
     "SUM(qe[i]::DOUBLE * ne[i]::DOUBLE)"
     " / (sqrt(SUM(qe[i]::DOUBLE * qe[i]::DOUBLE))"
@@ -399,39 +464,30 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment output is what you'd persist, bucketed/partitioned by
     centroid_id, turning probes into partition-pruned scans.
 
-    Assignment is a map-side argmax, NOT a window: the broadcast join
-    fans each vector out to NLIST in-partition rows, and
-    max_by(centroid_id, (c6, -centroid_id)) collapses them back to one
-    row per vector INSIDE the partial aggregate — the exchange carries
-    |corpus| narrow (vec_id, centroid) rows, never the NLIST-fanned
-    stream, and no corpus-scale window sort exists anywhere in the plan.
-    (The earlier row_number spelling shuffled corpus x NLIST rows and
-    sorted them per vec_id — a 16x wire cost for the same result.)
+    Assignment is MAP-ONLY (``_assign_nearest_centroid``): the bounded
+    codebook ships in an Arrow UDF closure, every batch computes all
+    NLIST cosines in one vectorized pass, and the rounded argmax resolves
+    JVM-side — the corpus crosses NO exchange to learn its list. The two
+    earlier spellings both shuffled (row_number: corpus x NLIST rows +
+    per-vec sort; max_by groupBy: one corpus-row exchange); this one
+    streams scan→assign→bucket-join in a single stage.
     """
     e = load_table(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    ac = e.join(F.broadcast(cent)).select(
+    assign = _assign_nearest_centroid(e, cent).select("vec_id", "centroid_id")
+    # Probe ranking fans out only the N_QUERIES query vectors against the
+    # broadcast codebook — NLIST x N_QUERIES rows, a constant, never the
+    # corpus — and windows over that to take the NPROBE nearest lists.
+    ac_q = e.filter(F.col("vec_id") < N_QUERIES).join(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
         F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
     )
-    # highest c6 wins; ties break to the LOWEST centroid_id (hence the
-    # negated id in the ordering struct) — byte-identical to the oracle's
-    # ROW_NUMBER() ... ORDER BY c6 DESC, centroid_id.
-    assign = ac.groupBy("vec_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("c6"), (-F.col("centroid_id")).alias("nid"))
-        ).alias("centroid_id")
-    )
-    # Probe ranking filters to the query vectors BEFORE its window: the
-    # filter is on the window's partition key, so it commutes — this
-    # window ranks N_QUERIES x NLIST rows, a constant, never the corpus.
     w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
     probes = (
-        ac.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_vec))
+        ac_q.withColumn("rn", F.row_number().over(w_vec))
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "centroid_id")
     )
@@ -753,22 +809,11 @@ def ivf_build_index(
     cent = cent.select(
         "centroid_id", F.col("ce").cast("array<float>").alias("ce")
     ).localCheckpoint(eager=True)
-    ac = e.join(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "centroid_id",
-        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
-    )
-    # Map-side argmax (same discipline as similarity_ann_ivf): the NLIST
-    # fan-out collapses inside the partial aggregate, so the exchange
-    # carries |corpus| rows — vec_id, its (single-valued) embedding, and
-    # the winning centroid — not the 16x-fanned stream a per-vec window
-    # sort would shuffle.
-    assign = ac.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        F.max_by(
-            "centroid_id", F.struct(F.col("c6"), (-F.col("centroid_id")).alias("nid"))
-        ).alias("centroid_id"),
+    # Map-only argmax (same discipline as similarity_ann_ivf): each vector
+    # learns its list inside one Arrow stage, its embedding riding in-row —
+    # the build is scan → assign → partitioned write with ZERO exchanges.
+    assign = _assign_nearest_centroid(e, cent).select(
+        "vec_id", "embedding", "centroid_id"
     )
     assign.write.mode("overwrite").partitionBy("centroid_id").parquet(index_dir)
     # Codebook rides WITH the lists (written after them: the overwrite
@@ -1022,22 +1067,17 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    ac = e.join(F.broadcast(cent)).select(
+    # Map-only argmax assignment (similarity_ann_ivf's discipline): the
+    # corpus learns its list inside one Arrow stage, no exchange at all.
+    assign = _assign_nearest_centroid(e, cent).select("vec_id", "centroid_id")
+    ac_q = e.filter(F.col("vec_id") < N_QUERIES).join(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
         F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
     )
-    # Map-side argmax assignment (similarity_ann_ivf's discipline): the
-    # NLIST fan-out collapses in the partial aggregate; no corpus window.
-    assign = ac.groupBy("vec_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("c6"), (-F.col("centroid_id")).alias("nid"))
-        ).alias("centroid_id")
-    )
     w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
     probes = (
-        ac.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_vec))
+        ac_q.withColumn("rn", F.row_number().over(w_vec))
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "centroid_id")
     )
