@@ -46,6 +46,13 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Prefer shuffled-hash over sort-merge when the planner's size gate
+    # allows a per-partition hash build: skips BOTH sort passes on the
+    # fact-fact joins (q3/q7/q18 measure 10-20% faster at sf0.1). This is
+    # a size-gated PREFERENCE, not a hint — when neither side's stats fit
+    # a local hash map (the 100 TB fact joins) the planner still emits
+    # sort-merge, which spills gracefully.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Pre-AQE shuffle parallelism ceiling; AQE coalesces down.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "64"),
     "spark.sql.session.timeZone": "UTC",
