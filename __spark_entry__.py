@@ -30,9 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the registry in insertion order and caps at the
 # first 50 entries.  Union of green rows across rounds = full
-# driver-verified coverage: r01∪r02∪r03 drove 128 of the 182 registry
-# queries green (each overflow query still holds a green result in the
-# local differential harness, tools/check_correctness.py, driver-grade
+# driver-verified coverage: r01∪r02∪r03 drove 128 of the round-3 182
+# registry queries green (now 183 with round 4's text_bm25_retrieval;
+# each overflow query still holds a green result in the local
+# differential harness, tools/check_correctness.py, driver-grade
 # compare, vanilla session, at sf0.01 AND sf0.1, plus the
 # SPARK_GRAFT_SHUFFLE=7 sweep and the tools/check_types.py width gate).
 #

@@ -402,6 +402,150 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_DOCS = 8  # doc_id < 8 are the query documents (ANN convention)
+BM25_TOP_K = 10
+
+# The per-term weight as ONE shared SQL expression, engineered so the two
+# engines cannot drift:
+#
+# - ln() is the single transcendental, and JVM Math.log vs glibc log CAN
+#   differ by 1 ulp — so the idf is quantized to integer micro-units
+#   IMMEDIATELY, per TERM. A 1-ulp log difference only matters if
+#   ln(...)*1e6 sits within that ulp of a rounding boundary: with |vocab|
+#   trials (tens) instead of |candidate-row| trials (hundreds of
+#   thousands), that exposure is ~1e-9 per corpus rather than near-certain
+#   (the unquantized spelling hash-mismatched at sf0.01 exactly this way).
+# - The BM25 tf saturation factor is exact integer arithmetic: with
+#   k1=6/5 and b=3/4, multiplying through by 10*total_tokens gives
+#   tffac = 22*tf*T / (10*tf*T + 3*T + 9*dl*N) — two exact int64s and ONE
+#   double division, identical in any engine.
+# - The final weight rounds a product of those exact values computed with
+#   an identical operator tree, then SUMs as int64 — order-independent, so
+#   partition layout, shuffle count, and engine agree bit-for-bit (same
+#   discipline as nation_trade_flow_matrix's integer cents).
+_BM25_WMIC_SQL = (
+    "CAST(ROUND("
+    "CAST(CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1000000)"
+    " AS BIGINT) AS DOUBLE)"
+    " * (22 * tf * total_tokens)"
+    " / (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs)"
+    ") AS BIGINT)"
+)
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t != ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dlt AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dlt),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+           WHERE doc_id < {BM25_QUERY_DOCS}),
+    cand AS (
+      SELECT qt.query_id, tf.doc_id AS neighbor_id, tf.tf, dft.df,
+             dlt.dl, s.n_docs, s.total_tokens
+      FROM qt
+      JOIN dft ON dft.term = qt.term
+      JOIN tf ON tf.term = qt.term
+      JOIN dlt ON dlt.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      WHERE tf.doc_id != qt.query_id
+    ),
+    sc AS (
+      SELECT query_id, neighbor_id, CAST(SUM({_BM25_WMIC_SQL}) AS BIGINT) AS smic
+      FROM cand GROUP BY query_id, neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, ROUND(smic / 1000000.0, 6) AS bm25,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY smic DESC, neighbor_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, neighbor_id, bm25, rank FROM r WHERE rank <= {BM25_TOP_K}
+    """
+
+
+@_register("text_bm25_retrieval", oracle=_bm25_oracle())
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-k corpus documents per query document —
+    the sparse-retrieval counterpart to the embedding ANN tier
+    (similarity_topk/ann_*), and the workhorse behind hard-negative
+    mining, retrieval-based decontamination, and RAG indexing in a
+    training-data pipeline.
+
+    Pipeline: tokenize once -> (doc, term) counts -> doc length + corpus
+    stats + document frequency, all derived from that ONE count table ->
+    inverted-index join of the query docs' term sets against the postings
+    -> per-(query, neighbor) score -> top-{BM25_TOP_K} window.
+
+    Scale shape: corpus text is scanned exactly once; every later input is
+    the (doc, term) count table. The postings join shuffles on term with
+    the tiny query-term set broadcast; the score aggregation is map-side
+    combinable because each term's weight quantizes to integer micro-units
+    BEFORE summation (exact int64 adds — also what makes Spark, DuckDB,
+    and any partitioning agree bit-for-bit; the ranking orders by the
+    integer sum itself). At 100 TB the dlt/dft tables are the persisted
+    index artifacts, and production retrieval adds a df cap on the
+    postings join (``dft.df * K <= n_docs``) so the worst posting list is
+    bounded at |corpus|/K — idf already scores ubiquitous terms near
+    zero, so the cap changes cost, not ranking. It is omitted from the
+    registered query because the synthetic corpus's 31-term vocabulary is
+    ~all high-df: any cap empties the index instead of pruning it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(lower_ws_tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dlt = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlt.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = (
+        tf.filter(F.col("doc_id") < BM25_QUERY_DOCS)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    cand = (
+        F.broadcast(qt)
+        .join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dlt, "doc_id")
+    )
+    sc = (
+        cand.select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.expr(_BM25_WMIC_SQL).alias("wmic"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("wmic").cast("bigint").alias("smic"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("smic").desc(), "neighbor_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("smic") / 1000000.0, 6).alias("bm25"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 SAMPLE_PCT = 20
 
 
