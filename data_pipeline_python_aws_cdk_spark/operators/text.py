@@ -546,6 +546,103 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000_000  # nano-unit contributions: exact int64 fusion
+
+
+def _rrf_oracle() -> str:
+    from .similarity import ORACLES as SIM_ORACLES
+
+    contrib = f"CAST(ROUND({RRF_SCALE} / ({RRF_K} + {{r}})) AS BIGINT)"
+    return f"""
+    WITH lex AS ({_bm25_oracle()}),
+    sem AS ({SIM_ORACLES["similarity_topk"]}),
+    u AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+             l.rank AS lr, s.rank AS sr
+      FROM lex l FULL JOIN sem s
+        ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id
+    ),
+    sc AS (
+      SELECT query_id, neighbor_id,
+             COALESCE({contrib.format(r="lr")}, 0)
+               + COALESCE({contrib.format(r="sr")}, 0) AS rmic,
+             lr IS NOT NULL AS in_lexical,
+             sr IS NOT NULL AS in_semantic
+      FROM u
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, rmic, in_lexical, in_semantic,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rmic DESC, neighbor_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(rmic / {RRF_SCALE}.0, 6) AS rrf,
+           in_lexical, in_semantic, rank
+    FROM r WHERE rank <= {BM25_TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@_register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+    semantic (embedding cosine top-k) rankings — the standard two-tower
+    serving pattern, where each system's blind spots (vocabulary mismatch
+    for BM25, rare-entity precision for embeddings) are covered by the
+    other. The in_lexical/in_semantic flags make the fusion auditable:
+    a neighbor found by only one system is exactly the case fusion exists
+    for.
+
+    RRF needs only each system's RANK (1/(k + rank), k={RRF_K}) — no score
+    calibration across systems, which is why it wins in practice. Each
+    contribution quantizes to integer nano-units from identical-in-both-
+    engines doubles ({RRF_SCALE}/(k+rank) of exact integers), the fused
+    score is one int64 add (no float summation anywhere), and the re-rank
+    orders by that integer — bit-stable across engines and partitionings.
+
+    Scale shape: both inputs are already top-{BM25_TOP_K}-per-query tables
+    (bounded: queries x k rows), so the FULL OUTER fusion join, the
+    re-rank window, and the output are all query-set-sized — the corpus
+    was only touched by the two underlying retrievers.
+    """
+    from .similarity import similarity_topk
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(RRF_SCALE) / (F.lit(RRF_K) + r)).cast("bigint"), F.lit(0)
+    )
+    lex = text_bm25_retrieval(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lr")
+    )
+    sem = similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("sr")
+    )
+    u = lex.join(sem, ["query_id", "neighbor_id"], "full_outer")
+    sc = u.select(
+        "query_id",
+        "neighbor_id",
+        (contrib(F.col("lr")) + contrib(F.col("sr"))).alias("rmic"),
+        F.col("lr").isNotNull().alias("in_lexical"),
+        F.col("sr").isNotNull().alias("in_semantic"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rmic").desc(), "neighbor_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("rmic") / float(RRF_SCALE), 6).alias("rrf"),
+            "in_lexical",
+            "in_semantic",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 SAMPLE_PCT = 20
 
 
