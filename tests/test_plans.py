@@ -217,6 +217,8 @@ QUADRATIC_BY_DESIGN = {
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
     "dedup_semantic_lexical_agreement",  # three ONE-ROW count aggregates joined
+    "text_bm25_retrieval",        # cross join against the ONE-ROW corpus stats
+    "retrieval_hybrid_rrf",       # composes text_bm25_retrieval's stats join
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
