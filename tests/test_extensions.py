@@ -1286,3 +1286,67 @@ def test_video_near_dup_planted_mirror(spark, tmp_path):
         ]
     else:  # content hashing gave this text a short fake video: no verdict
         assert pairs == []
+
+
+def test_bm25_ranks_planted_rare_term_doc_first(spark, tmp_path):
+    # Query doc 0 carries a rare term; exactly one corpus doc repeats it.
+    # Every doc shares the common vocabulary, whose idf ~ ln(1 + 0.5/N) is
+    # negligible, so the rare-term doc must win rank 1 for query 0.
+    common = "the quick brown fox jumps over the lazy dog "
+    rows = [(0, common + "zyzzyva", "en", "s", 1)]
+    rows += [(i, common * 3, "en", "s", 1) for i in range(10, 24)]
+    rows.append((30, common * 2 + "zyzzyva zyzzyva", "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "bm25docs"
+    df.write.parquet(f"{out}/documents.parquet")
+    got = (
+        text.text_bm25_retrieval(spark, str(out))
+        .filter(F.col("query_id") == 0)
+        .orderBy("rank")
+        .collect()
+    )
+    assert got, "query 0 retrieved nothing"
+    assert got[0].neighbor_id == 30
+    assert got[0].rank == 1
+    # BM25 tf saturation: two occurrences score ABOVE the common-only docs
+    # but below 2x a single occurrence's weight.
+    assert got[0].bm25 > got[1].bm25
+
+
+def test_rrf_fuses_lexical_and_semantic_agreement(spark, tmp_path):
+    common = "the quick brown fox jumps over the lazy dog "
+    rows = [(0, common + "zyzzyva", "en", "s", 1)]
+    rows += [(i, common * 3, "en", "s", 1) for i in range(10, 24)]
+    rows.append((30, common * 2 + "zyzzyva zyzzyva", "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "rrfdocs"
+    df.write.parquet(f"{out}/documents.parquet")
+    # Embeddings: vec 30 nearly parallel to query vec 0; the rest orthogonal-ish.
+    import random
+
+    rng = random.Random(7)
+    def vec(seed_parallel: float | None):
+        if seed_parallel is not None:
+            return [1.0, seed_parallel] + [0.0] * 6
+        return [0.0, 0.0] + [abs(rng.random()) for _ in range(6)]
+
+    evs = [(0, vec(0.0), "a")]
+    evs += [(i, vec(None), "a") for i in range(10, 24)]
+    evs.append((30, vec(0.05), "a"))
+    spark.createDataFrame(
+        evs, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    fused = (
+        text.retrieval_hybrid_rrf(spark, str(out))
+        .filter(F.col("query_id") == 0)
+        .orderBy("rank")
+        .collect()
+    )
+    assert fused[0].neighbor_id == 30
+    # found by BOTH systems -> both audit flags set, fused score = 2/(60+1)
+    assert fused[0].in_lexical and fused[0].in_semantic
+    assert abs(fused[0].rrf - 2 / 61) < 1e-6
