@@ -546,6 +546,63 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ws,
+             len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6) AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace word
+    and characters per token — THE cross-lingual tokenizer-evaluation
+    table. High fertility on a language means the vocabulary under-serves
+    it (each word fragments into many subwords), which silently taxes its
+    effective context window and training compute; chars/token is the
+    compression read. Run before and after a bpe_train to quantify what a
+    vocabulary change buys each language.
+
+    One map-side-combined aggregation over |langs| groups; both token
+    counters fuse into the scan (the same expressions text_token_stats
+    projects per doc). Ratios divide two exact int64 sums — one double op
+    from identical inputs, so engines agree bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            ws_token_count("text").alias("ws"),
+            bpe_ish_token_count("text").alias("bpe"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(
+                F.sum("bpe").cast("double") / F.sum("ws"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("bpe"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 RRF_SCALE = 1_000_000_000  # nano-unit contributions: exact int64 fusion
 
