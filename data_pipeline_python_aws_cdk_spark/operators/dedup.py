@@ -278,6 +278,22 @@ def _minhash_oracle() -> str:
     return "WITH " + ctes + "\n" + final
 
 
+def _minhash_signature_table(d: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}) — all K min-hashes in ONE groupBy pass over one
+    base hash per shingle (see _minhash_candidates for the cost analysis)."""
+    base = hash60(F.col("s")) % MINHASH_PRIME
+    hb = _shingles(d, distinct=False).select("doc_id", base.alias("base"))
+    return hb.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("base") + F.lit(MINHASH_B[i]))
+                % MINHASH_PRIME
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+
+
 def _minhash_candidates(d: DataFrame) -> DataFrame:
     """LSH candidate pairs (doc_a, doc_b) from the banded minhash index.
 
@@ -297,17 +313,7 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
     the checkpoint avoids a doc-scale materialization to executor-local disk
     and one serial job barrier.
     """
-    base = hash60(F.col("s")) % MINHASH_PRIME
-    hb = _shingles(d, distinct=False).select("doc_id", base.alias("base"))
-    mins = hb.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("base") + F.lit(MINHASH_B[i]))
-                % MINHASH_PRIME
-            ).alias(f"m{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
+    mins = _minhash_signature_table(d)
     r = MINHASH_K // MINHASH_BANDS
     band_structs = [
         F.struct(
@@ -405,6 +411,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = _pair_jaccard(hashed, pairs=cand)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _estimator_audit_oracle() -> str:
+    ctes, final = _minhash_oracle_parts()
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    ag AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard, CAST({agree} AS BIGINT) AS agree
+      FROM pairs p JOIN mh a ON a.doc_id = p.doc_a
+                   JOIN mh b ON b.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, agree,
+           ROUND(agree / {MINHASH_K}.0, 6) AS jaccard_est,
+           jaccard,
+           ROUND(agree / {MINHASH_K}.0 - jaccard, 6) AS est_err
+    FROM ag ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dedup_minhash_estimator_audit", oracle=_estimator_audit_oracle())
+def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: signature-agreement Jaccard estimate
+    (agree/K, the unbiased MinHash estimator) next to the EXACT Jaccard on
+    every verified near-dup pair. dedup_threshold_curve calibrates the
+    THRESHOLDS; this audits the ESTIMATOR the banding math is built on —
+    a systematic est_err means the hash family or K is wrong for this
+    corpus (expected spread at K={MINHASH_K} is ~sqrt(j(1-j)/K) ≈ 0.12),
+    and that error feeds directly into the band false-negative rate.
+
+    Shape: the verified pair table (near-dup-bounded) broadcasts into two
+    probes of the signature table — the corpus streams through the one
+    signature groupBy it already pays in the discovery path; agreement is
+    K integer equality tests per pair, summed map-side. Every compared
+    quantity is integer-derived, so the cross-engine hash is exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sig = _minhash_signature_table(d)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(MINHASH_K)
+    ).cast("bigint")
+    est = F.round(F.col("agree") / float(MINHASH_K), 6)
+    return (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("agree", agree)
+        .select(
+            "doc_a",
+            "doc_b",
+            "agree",
+            est.alias("jaccard_est"),
+            "jaccard",
+            F.round(F.col("agree") / float(MINHASH_K) - F.col("jaccard"), 6).alias(
+                "est_err"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 
