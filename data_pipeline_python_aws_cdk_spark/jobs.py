@@ -108,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     p_idx = sub.add_parser(
         "index", help="build (and optionally probe) a persisted ANN/LSH index"
     )
-    p_idx.add_argument("--kind", choices=("ivf", "lsh", "pq"), required=True)
+    p_idx.add_argument("--kind", choices=("ivf", "lsh", "pq", "bm25"), required=True)
     p_idx.add_argument("--sf-dir", required=True, help="testdata directory")
     p_idx.add_argument("--output", required=True, help="index directory")
     p_idx.add_argument(
@@ -427,6 +427,11 @@ def main(argv: list[str] | None = None) -> int:
 
             pq_build_index(spark, args.sf_dir, args.output)
             probe = pq_probe_indexed if args.probe else None
+        elif args.kind == "bm25":
+            from .operators.text import bm25_build_index, bm25_probe_indexed
+
+            bm25_build_index(spark, args.sf_dir, args.output)
+            probe = bm25_probe_indexed if args.probe else None
         else:
             from .operators.dedup import lsh_build_index, lsh_probe_indexed
 

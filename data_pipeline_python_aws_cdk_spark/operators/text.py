@@ -500,29 +500,17 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered query because the synthetic corpus's 31-term vocabulary is
     ~all high-df: any cap empties the index instead of pruning it.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(lower_ws_tokens("text")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dlt = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dlt.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_tokens"),
-    )
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    postings, stats = _bm25_corpus_tables(spark, sf_dir)
     qt = (
-        tf.filter(F.col("doc_id") < BM25_QUERY_DOCS)
+        postings.filter(F.col("doc_id") < BM25_QUERY_DOCS)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
     cand = (
         F.broadcast(qt)
-        .join(dft, "term")
-        .crossJoin(F.broadcast(stats))
-        .join(tf, "term")
+        .join(postings, "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(dlt, "doc_id")
+        .crossJoin(F.broadcast(stats))
     )
     sc = (
         cand.select(
@@ -697,6 +685,101 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+BM25_INDEX_BUCKETS = 64
+
+
+def _bm25_corpus_tables(spark: SparkSession, sf_dir: str):
+    """(postings, stats): the two tables BM25 retrieval consumes.
+
+    postings = (doc_id, term, tf, dl, df) — df denormalized onto each
+    posting so a probe needs NO vocabulary-side join; stats = the ONE-ROW
+    (n_docs, total_tokens) corpus aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(lower_ws_tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dlt = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dlt.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    postings = tf.join(dlt, "doc_id").join(dft, "term")
+    return postings, stats
+
+
+def bm25_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the BM25 inverted index — the sparse-retrieval member of
+    the write-once/probe-many index family (ivf/pq/lsh_build_index).
+
+    Postings (doc_id, term, tf, dl, df) write Hive-partitioned by a
+    {BM25_INDEX_BUCKETS}-way term-hash bucket: a probe that knows its
+    query terms' buckets prunes every other directory at the FILE level,
+    so per-query cost is O(collided posting lists), never the corpus. df
+    rides denormalized on each posting (an index trades bytes for probe
+    joins); the ONE-ROW corpus stats land in an underscore-prefixed
+    sidecar the partition readers never see.
+    """
+    postings, stats = _bm25_corpus_tables(spark, sf_dir)
+    out = postings.withColumn(
+        "bucket", F.pmod(hash60(F.col("term")), F.lit(BM25_INDEX_BUCKETS))
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
+    stats.write.mode("overwrite").parquet(f"{index_dir}/_stats")
+
+
+def bm25_probe_indexed(
+    spark: SparkSession, index_dir: str, sf_dir: str
+) -> DataFrame:
+    """Probe the persisted BM25 index with partition pruning — result-equal
+    to the inline ``text_bm25_retrieval`` (pinned by test).
+
+    The query docs' term set is query-bounded, so the driver-side bucket
+    collect is trivially small; Catalyst turns the bucket isin into
+    partition-path pruning on the index scan. Scoring replays the exact
+    integer-micro-unit weight expression, so index and inline rankings are
+    bit-identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.col("doc_id") < BM25_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(lower_ws_tokens("text")).alias("term"),
+    ).filter(F.col("term") != "")
+    qt = toks.distinct().withColumn(
+        "bucket", F.pmod(hash60(F.col("term")), F.lit(BM25_INDEX_BUCKETS))
+    )
+    buckets_hit = sorted({r.bucket for r in qt.select("bucket").distinct().collect()})
+    postings = spark.read.parquet(index_dir).filter(F.col("bucket").isin(buckets_hit))
+    stats = spark.read.parquet(f"{index_dir}/_stats")
+    cand = (
+        F.broadcast(qt.drop("bucket"))
+        .join(postings, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(stats))
+    )
+    sc = (
+        cand.select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.expr(_BM25_WMIC_SQL).alias("wmic"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("wmic").cast("bigint").alias("smic"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("smic").desc(), "neighbor_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("smic") / 1000000.0, 6).alias("bm25"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 

@@ -1350,3 +1350,27 @@ def test_rrf_fuses_lexical_and_semantic_agreement(spark, tmp_path):
     # found by BOTH systems -> both audit flags set, fused score = 2/(60+1)
     assert fused[0].in_lexical and fused[0].in_semantic
     assert abs(fused[0].rrf - 2 / 61) < 1e-6
+
+
+def test_bm25_index_probe_matches_inline_with_pruning(spark, tmp_path):
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        bm25_build_index,
+        bm25_probe_indexed,
+        text_bm25_retrieval,
+    )
+
+    index_dir = str(tmp_path / "bm25_index")
+    bm25_build_index(spark, SF_SMOKE, index_dir)
+    probed = bm25_probe_indexed(spark, index_dir, SF_SMOKE)
+    inline = text_bm25_retrieval(spark, SF_SMOKE)
+    assert {tuple(r) for r in probed.collect()} == {tuple(r) for r in inline.collect()}
+    # The query-term bucket list must land in the index scan's
+    # PartitionFilters — the file-level pruning that makes a probe
+    # O(collided posting lists) instead of a corpus scan. (The smoke
+    # corpus's tiny vocabulary may hit many of the 64 buckets; assert the
+    # mechanism, like the IVF/LSH twins.)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*", plan)
+    assert m is not None, "bucket filter missing from index scan PartitionFilters"
