@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from ..functions.hashing import hash60_py
+from ..functions.hashing import hash60, hash60_py, hash60_sql
 from ..functions.vectors import cosine, cosine_arrow
 from ..tables import load_table
 
@@ -520,6 +520,147 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+CONTRASTIVE_POS_K = 2  # top ranks kept as positives
+CONTRASTIVE_HARD_LO = 6  # hard negatives: close but not closest
+CONTRASTIVE_HARD_HI = 10
+CONTRASTIVE_RAND_K = 5  # hash-deterministic random negatives per query
+
+
+def _contrastive_oracle() -> str:
+    h = hash60_sql(
+        "CAST(query_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)", salt="neg"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    p AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding AS ne
+          FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+    d AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+          FROM p, generate_series(1, {DIM}) g(i)
+          GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM d),
+    pos AS (SELECT query_id, 'positive' AS kind, rank AS pair_rank,
+                   neighbor_id AS cand_id, cosine
+            FROM r WHERE rank <= {CONTRASTIVE_POS_K}),
+    hard AS (SELECT query_id, 'hard_negative' AS kind,
+                    rank - {CONTRASTIVE_HARD_LO} + 1 AS pair_rank,
+                    neighbor_id AS cand_id, cosine
+             FROM r WHERE rank BETWEEN {CONTRASTIVE_HARD_LO}
+                                   AND {CONTRASTIVE_HARD_HI}),
+    pool AS (
+      SELECT qq.query_id, e.vec_id, ({h}) AS h
+      FROM (SELECT DISTINCT query_id FROM r) qq
+      JOIN embeddings e ON e.vec_id != qq.query_id
+      WHERE NOT EXISTS (SELECT 1 FROM r
+                        WHERE r.query_id = qq.query_id
+                          AND r.neighbor_id = e.vec_id
+                          AND r.rank <= {TOP_K})
+    ),
+    rnd AS (
+      SELECT query_id, 'random_negative' AS kind,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY h, vec_id)
+               AS pair_rank,
+             vec_id AS cand_id, CAST(NULL AS DOUBLE) AS cosine
+      FROM pool
+    )
+    SELECT * FROM pos
+    UNION ALL SELECT * FROM hard
+    UNION ALL SELECT * FROM rnd WHERE pair_rank <= {CONTRASTIVE_RAND_K}
+    ORDER BY query_id, kind, pair_rank
+    """
+
+
+@_register("contrastive_training_pairs", oracle=_contrastive_oracle())
+def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair assembly: per query vector, positives
+    (exact top-{CONTRASTIVE_POS_K}), HARD negatives (ranks
+    {CONTRASTIVE_HARD_LO}-{CONTRASTIVE_HARD_HI} — semantically close but
+    wrong, the examples that actually move an embedding model), and
+    hash-deterministic RANDOM negatives ({CONTRASTIVE_RAND_K} per query,
+    drawn outside the top-{TOP_K}) — the (anchor, positive, negatives)
+    batch builder behind every contrastive embedding run.
+
+    The random tier is sampled by ranking hash60(query:candidate) — the
+    engine's standard replayable-sampling move: no RNG state, identical
+    draws at any parallelism and in the oracle, and a re-run after an
+    incremental corpus append only re-draws where candidates changed.
+
+    Shape: one ranking pass (the brute-force top-k plan: broadcast query
+    side, Arrow cosine, per-query window); the random pool reuses that
+    ranking as a broadcast anti-join filter and ranks a second per-query
+    window over (hash, id) scalars. Corpus text/embeddings stream once;
+    at 100 TB the ranking pass swaps for the ANN shortlist and the pool
+    for a bucket-sampled candidate stream — same downstream shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rank"
+    )
+    pos = ranked.filter(F.col("rank") <= CONTRASTIVE_POS_K).select(
+        "query_id",
+        F.lit("positive").alias("kind"),
+        F.col("rank").cast("bigint").alias("pair_rank"),
+        F.col("neighbor_id").alias("cand_id"),
+        "cosine",
+    )
+    hard = ranked.filter(
+        F.col("rank").between(CONTRASTIVE_HARD_LO, CONTRASTIVE_HARD_HI)
+    ).select(
+        "query_id",
+        F.lit("hard_negative").alias("kind"),
+        (F.col("rank") - CONTRASTIVE_HARD_LO + 1).cast("bigint").alias("pair_rank"),
+        F.col("neighbor_id").alias("cand_id"),
+        "cosine",
+    )
+    top = ranked.filter(F.col("rank") <= TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    pool = (
+        F.broadcast(q.select("query_id"))
+        .join(e.select("vec_id"), F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(top), ["query_id", "vec_id"], "left_anti")
+        .withColumn(
+            "h",
+            hash60(
+                F.concat(
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("vec_id").cast("string"),
+                ),
+                salt="neg",
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("h", "vec_id")
+    rnd = (
+        pool.withColumn("pr", F.row_number().over(wr))
+        .filter(F.col("pr") <= CONTRASTIVE_RAND_K)
+        .select(
+            "query_id",
+            F.lit("random_negative").alias("kind"),
+            F.col("pr").cast("bigint").alias("pair_rank"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    )
+    return pos.unionAll(hard).unionAll(rnd).orderBy("query_id", "kind", "pair_rank")
 
 
 KMEANS_K = 10

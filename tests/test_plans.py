@@ -219,6 +219,8 @@ QUADRATIC_BY_DESIGN = {
     "dedup_semantic_lexical_agreement",  # three ONE-ROW count aggregates joined
     "text_bm25_retrieval",        # cross join against the ONE-ROW corpus stats
     "retrieval_hybrid_rrf",       # composes text_bm25_retrieval's stats join
+    "contrastive_training_pairs",  # broadcast queries x corpus (topk's shape),
+    #                                + the anti-joined random-negative pool
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
