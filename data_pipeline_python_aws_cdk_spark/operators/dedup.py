@@ -830,6 +830,101 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle() -> str:
+    from .similarity import _COS_SQL, DIM, IVF_NLIST
+
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    ac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN cent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM ac
+    ),
+    assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.centroid_id AS cell
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ),
+    p2 AS (
+      SELECT p.va, p.vb, p.cell, ea.embedding AS qe, eb.embedding AS ne
+      FROM p JOIN embeddings ea ON ea.vec_id = p.va
+             JOIN embeddings eb ON eb.vec_id = p.vb
+    ),
+    d AS (SELECT va, vb, cell, {_COS_SQL} AS c
+          FROM p2, generate_series(1, {DIM}) g(i)
+          GROUP BY va, vb, cell)
+    SELECT va AS doc_a, vb AS doc_b, ROUND(c, 6) AS cosine, cell
+    FROM d WHERE ROUND(c, 6) >= {EMBEDDING_DUP_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dedup_embedding_semdedup", oracle=_semdedup_oracle())
+def dedup_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540 — public method): cluster the embedding space, then
+    compare pairs ONLY within each cluster cell. The third candidate
+    scheme of the semantic-dedup ladder, next to hyperplane-LSH bucketing
+    (dedup_embedding_cosine) and the ANN probe path — clustering adapts
+    the buckets to the corpus's actual density, where LSH bands are
+    data-oblivious.
+
+    Candidate recall is cell-bounded BY DESIGN: a near-dup pair straddling
+    a cell boundary is missed (the paper accepts this; k trades recall for
+    the pair-space bound n²/k). Cells here are the deterministic seed
+    codebook so the oracle replays the assignment; production swaps in
+    k-means centroids (kmeans_assign) with k ~ sqrt(n), identical shape.
+
+    Shape: assignment is the MAP-ONLY argmax (codebook in the Arrow
+    closure — zero exchanges, embeddings ride in-row into the cell join);
+    the within-cell self-join shuffles one (cell, id, vector) row per doc,
+    and exact cosine runs on in-cell pairs only — per-cell quadratic,
+    never corpus-quadratic.
+    """
+    from .similarity import IVF_NLIST, _assign_nearest_centroid
+    from ..functions.vectors import cosine_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    assign = _assign_nearest_centroid(e, cent).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cell")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("qe"), "cell"
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("ne"), "cell"
+    )
+    pairs = a.join(b, "cell").filter(F.col("va") < F.col("vb"))
+    return (
+        pairs.select(
+            "va",
+            "vb",
+            F.round(cosine_arrow(F.col("qe"), F.col("ne")), 6).alias("cosine"),
+            "cell",
+        )
+        .filter(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD)
+        .select(
+            F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"), "cosine", "cell"
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- train/test decontamination ----------------------------------------------
 
 DECON_NGRAM = 8
