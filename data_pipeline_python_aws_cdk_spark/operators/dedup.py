@@ -598,6 +598,110 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_id", "doc_id")
 
 
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10**12  # pico-unit integer mass
+PAGERANK_D_NUM = 85  # damping 0.85 as the exact rational 85/100
+PAGERANK_D_DEN = 100
+
+
+def _pagerank_oracle() -> str:
+    ctes, final = _minhash_oracle_parts()
+    s, dn, dd = PAGERANK_SCALE, PAGERANK_D_NUM, PAGERANK_D_DEN
+    its = []
+    prev = "p0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+      SELECT e.dst AS doc_id,
+             ({dd - dn} * {s}) // ({dd} * nn.n)
+               + SUM((p.pr * {dn}) // ({dd} * d.deg)) AS pr
+      FROM edges e
+      JOIN {prev} p ON p.doc_id = e.src
+      JOIN deg d ON d.src = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst, nn.n
+    )"""
+        )
+        prev = f"it{i}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {ctes},
+    prpairs AS ({final}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM prpairs
+              UNION ALL SELECT doc_b, doc_a FROM prpairs),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    p0 AS (SELECT d.src AS doc_id, {s} // nn.n AS pr FROM deg d CROSS JOIN nn),
+    {its_sql}
+    SELECT doc_id, CAST(pr AS BIGINT) AS pr_pico,
+           ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id) AS rank
+    FROM {prev} ORDER BY rank
+    """
+
+
+@_register("dedup_graph_pagerank", oracle=_pagerank_oracle())
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup graph — {PAGERANK_ITERS} power-
+    iteration rounds with damping {PAGERANK_D_NUM}/{PAGERANK_D_DEN}. The
+    duplication-HUB detector: a template/boilerplate document that
+    near-matches many others concentrates rank mass, where
+    cluster_size_histogram only sees component sizes — rank 1 here is the
+    "which single document explains the most duplication?" answer the
+    drop-the-cluster decision wants.
+
+    The batch-iterative workload class done deterministically: every
+    quantity is an int64 of pico-units, the per-edge contribution is
+    integer floor division ((pr * {PAGERANK_D_NUM}) DIV
+    ({PAGERANK_D_DEN} * deg)) and the per-round sum is exact integer
+    addition — no float ever appears, so engines, partitionings, and
+    summation orders agree bit-for-bit (mass lost to flooring is
+    deterministic too). Each Spark round is one (edges ⨝ pr ⨝ deg) join +
+    a map-side-combined groupBy, localCheckpointed so lineage stays one
+    round deep (the dedup_clusters discipline); the graph is
+    candidate-scale, never the corpus.
+    """
+    s, dn, dd = PAGERANK_SCALE, PAGERANK_D_NUM, PAGERANK_D_DEN
+    prpairs = (
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
+    edges = (
+        prpairs.union(prpairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, pr_pico long, rank long")
+    pr = deg.select(
+        F.col("src").alias("doc_id"), F.lit(s // n).cast("bigint").alias("pr")
+    ).localCheckpoint()
+    base = ((dd - dn) * s) // (dd * n)
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["doc_id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.expr(f"(pr * {dn}L) DIV ({dd}L * deg)").alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("c").alias("sc"))
+            .select("doc_id", (F.lit(base) + F.col("sc")).cast("bigint").alias("pr"))
+            .localCheckpoint()
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pr").desc(), "doc_id")
+    return pr.select(
+        "doc_id",
+        F.col("pr").alias("pr_pico"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("rank")
+
+
 def _simhash_sig_sql() -> str:
     h_expr = hash60_sql("s")
     bit_sums = ",\n    ".join(
