@@ -61,9 +61,31 @@ def cosine(a: Column, b: Column) -> Column:
 # module is imported ahead of session creation (e.g. the driver contract).
 @pandas_udf(DoubleType())
 def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batch cosine: one numpy matmul per Arrow batch, no per-row Python."""
-    x = np.stack(a.values).astype(np.float64)
-    y = np.stack(b.values).astype(np.float64)
+    """Batch cosine: one numpy matmul per Arrow batch, no per-row Python.
+
+    NULL-safe like the SQL expression it mirrors: a NULL vector on either
+    side yields NULL (np.stack would otherwise throw and kill the task) —
+    the same NULL the DuckDB oracle's SUM-over-NULL produces, and the NaN
+    a zero-norm vector produces also crosses Arrow back as NULL, so both
+    degenerate classes sort NULLS LAST identically in both engines.
+    """
+    mask = a.isna().values | b.isna().values
+    if mask.any():
+        dim = next((len(v) for v in a.values if v is not None), None) or next(
+            (len(v) for v in b.values if v is not None), 1
+        )
+        zero = np.zeros(dim)
+        x = np.stack([zero if m else v for m, v in zip(mask, a.values)]).astype(
+            np.float64
+        )
+        y = np.stack([zero if m else v for m, v in zip(mask, b.values)]).astype(
+            np.float64
+        )
+    else:
+        x = np.stack(a.values).astype(np.float64)
+        y = np.stack(b.values).astype(np.float64)
     num = (x * y).sum(axis=1)
-    den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-    return pd.Series(num / den)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / (np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1))
+    out[mask] = np.nan
+    return pd.Series(out)

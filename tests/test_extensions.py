@@ -1374,3 +1374,18 @@ def test_bm25_index_probe_matches_inline_with_pruning(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*", plan)
     assert m is not None, "bucket filter missing from index scan PartitionFilters"
+
+
+def test_cosine_arrow_null_safe(spark):
+    from data_pipeline_python_aws_cdk_spark.functions.vectors import cosine_arrow
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]),
+         (2, None, [1.0, 0.0]),
+         (3, [0.0, 1.0], None),
+         (4, [0.0, 0.0], [1.0, 0.0])],  # zero norm -> NaN -> NULL via Arrow
+        "id long, a array<float>, b array<float>",
+    )
+    rows = {r.id: r.c for r in df.select("id", cosine_arrow("a", "b").alias("c")).collect()}
+    assert rows[1] == 1.0
+    assert rows[2] is None and rows[3] is None and rows[4] is None
