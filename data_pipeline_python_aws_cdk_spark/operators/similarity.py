@@ -107,18 +107,38 @@ def _assign_nearest_centroid(e: DataFrame, cent: DataFrame) -> DataFrame:
 
     rows = cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
     ids = [int(r["centroid_id"]) for r in rows]
-    C = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in rows])
+    # A NULL codebook entry stands in as a zero row: its norm is 0, so
+    # every cosine against it is 0/0 = NaN -> NULL after Arrow — exactly
+    # the oracle's NULL cosine for a NULL centroid, which never wins the
+    # desc ranking. np.stack would otherwise throw on the None.
+    dim = next((len(r["ce"]) for r in rows if r["ce"] is not None), 1)
+    C = np.stack(
+        [
+            np.zeros(dim) if r["ce"] is None else np.asarray(r["ce"], dtype=np.float64)
+            for r in rows
+        ]
+    )
     cn = np.linalg.norm(C, axis=1)
 
     @pandas_udf(ArrayType(DoubleType()))
     def cos_all(a: pd.Series) -> pd.Series:
-        x = np.stack(a.values).astype(np.float64)
+        # NULL embedding -> all-NaN cosines (NULL after Arrow), which the
+        # JVM argmax resolves to the lowest centroid — identical to the
+        # oracle's all-NULL ranking tiebreak. Zero rows stand in for the
+        # Nones so np.stack cannot throw; 0/0 already yields NaN.
+        vals = a.values
+        mask = a.isna().values
+        if mask.any():
+            dim = next((len(v) for v in vals if v is not None), 1)
+            vals = [np.zeros(dim) if v is None else v for v in vals]
+        x = np.stack(vals).astype(np.float64)
         xn = np.linalg.norm(x, axis=1)
         out = np.empty((x.shape[0], C.shape[0]), dtype=np.float64)
         for j in range(C.shape[0]):
             num = (x * C[j]).sum(axis=1)
             with np.errstate(invalid="ignore", divide="ignore"):
                 out[:, j] = num / (xn * cn[j])
+        out[mask, :] = np.nan
         return pd.Series(list(out))
 
     c6s = F.transform(cos_all(F.col("embedding")), lambda v: F.round(v, 6))
@@ -328,7 +348,15 @@ def _signatures(
 
     @pandas_udf(LongType())
     def packed_sig(emb: pd.Series) -> pd.Series:
-        x = np.stack(emb.values).astype(np.float64)  # batch x DIM
+        # NULL embedding -> all-zero signature: the oracle's CASE WHEN
+        # NULL > 0 takes the ELSE 0 branch for every bit, and a zero row
+        # reproduces that exactly (0 > 0 is False bitwise) — np.stack
+        # would otherwise throw on the None and kill the task.
+        vals = emb.values
+        if emb.isna().values.any():
+            dim = next((len(v) for v in vals if v is not None), 1)
+            vals = [np.zeros(dim) if v is None else v for v in vals]
+        x = np.stack(vals).astype(np.float64)  # batch x DIM
         bits = (x @ planes) > 0  # batch x n_bits
         return pd.Series((bits * weights).sum(axis=1))
 
@@ -1478,6 +1506,7 @@ def pca_project(
     SELECT label, g.i AS dim, COUNT(*) AS n,
            ROUND(AVG(embedding[g.i]::DOUBLE), 4) + 0 AS centroid
     FROM embeddings, generate_series(1, {DIM}) g(i)
+    WHERE embedding IS NOT NULL
     GROUP BY label, g.i
     ORDER BY label, g.i
     """,
@@ -1491,7 +1520,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shuffle geometry as embedding_dim_stats: posexplode keeps the
     arithmetic JVM-side and the aggregate carries |labels| x DIM groups
     with map-side combine — corpus-size-independent exchange. The "+ 0.0"
-    normalizes IEEE -0.0 cross-engine.
+    normalizes IEEE -0.0 cross-engine. Rows with a NULL embedding
+    contribute nothing (posexplode drops them; the oracle filters
+    explicitly), so n counts a label's VECTORS, not its rows.
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("label", F.posexplode("embedding").alias("pos", "v")).select(
@@ -1592,6 +1623,7 @@ def _dispersion_oracle() -> str:
       SELECT label, g.i AS dim,
              ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS c
       FROM embeddings, generate_series(1, {DIM}) g(i)
+      WHERE embedding IS NOT NULL
       GROUP BY label, g.i
     ),
     dist AS (
@@ -1599,6 +1631,7 @@ def _dispersion_oracle() -> str:
              ROUND(sqrt(SUM((e.embedding[c.dim]::DOUBLE - c.c)
                             * (e.embedding[c.dim]::DOUBLE - c.c))), 6) AS d
       FROM embeddings e JOIN cent c ON e.label = c.label
+      WHERE e.embedding IS NOT NULL
       GROUP BY e.label, e.vec_id
     ),
     ranked AS (
@@ -1755,7 +1788,19 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     d = pairs.select("vec_id", "sub", "k", F.round(sq, 6).alias("d6"))
-    best = d.groupBy("vec_id", "sub").agg(F.min(F.struct("d6", "k")).alias("b"))
+    # Ordering key coalesces NULL distances (NULL vector or NULL codebook
+    # entry) to +inf: Spark's struct-min sorts NULL FIRST, the oracle's
+    # ORDER BY d6 sorts it LAST — +inf reproduces nulls-last exactly, and
+    # the raw d6 rides along for the (possibly NULL) error sum.
+    best = d.groupBy("vec_id", "sub").agg(
+        F.min(
+            F.struct(
+                F.coalesce(F.col("d6"), F.lit(float("inf"))).alias("ord"),
+                F.col("k"),
+                F.col("d6"),
+            )
+        ).alias("b")
+    )
     return (
         best.select(
             "vec_id",

@@ -11,6 +11,9 @@ concentrates the known traps:
 - non-ASCII text in two scripts (char count != byte count)
 - exact duplicate docs across sources (dedup/fingerprint paths)
 - an all-zero embedding (cosine division by zero under ANSI mode)
+- a NULL embedding (np.stack over None kills a careless Arrow worker; the
+  SQL twin produces NULL cosines / drops the row from unnest, so every
+  vector operator must reproduce those semantics, not crash)
 
 Usage:
     python tools/hostile_dataset.py /tmp/hostile_sf
@@ -56,6 +59,8 @@ def main() -> int:
         SELECT vec_id,
                CASE WHEN vec_id = 3
                     THEN list_transform(range(64), x -> CAST(0.0 AS FLOAT))
+                    WHEN vec_id = 8
+                    THEN NULL
                     ELSE list_transform(range(64), x -> CAST(sin(vec_id * 64 + x) AS FLOAT))
                END AS embedding,
                CAST(vec_id % 3 AS INT) AS label
