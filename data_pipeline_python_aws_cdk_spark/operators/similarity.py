@@ -66,8 +66,69 @@ def _plane(p: int, i: int) -> float:
     return (hash60_py(f"{p}:{i}") % 2000001 - 1000000) / 1e6
 
 
-def _assign_nearest_centroid(e: DataFrame, cent: DataFrame) -> DataFrame:
+def _round6_half_up(v: float) -> float | None:
+    """F.round(x, 6) replicated exactly: BigDecimal.valueOf(double) parses
+    Double.toString's shortest-roundtrip decimal — identical to Python's
+    repr — and setScale(6, HALF_UP) is Decimal.quantize(1e-6,
+    ROUND_HALF_UP). NaN (zero-norm cosine) maps to None like Arrow does."""
+    import decimal
+    import math
+
+    if v is None or math.isnan(v):
+        return None
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _probe_lists(
+    cent_rows: list, query_rows: list, nprobe: int
+) -> list[tuple[int, int]]:
+    """Driver-side probe selection: per query, the nprobe nearest centroid
+    ids — metadata-scale work (|queries| x NLIST cosines) that previously
+    spent a whole Spark stage on a 128-row window. Cosines use the exact
+    cos_all op order (bit-identical to the distributed path), rounding
+    replicates F.round, and ordering is (c6 DESC NULLS LAST, centroid_id)
+    — the oracle's ranking to the letter."""
+    ids = [int(r["centroid_id"]) for r in cent_rows]
+    dim = next((len(r["ce"]) for r in cent_rows if r["ce"] is not None), 1)
+    C = np.stack(
+        [
+            np.zeros(dim) if r["ce"] is None else np.asarray(r["ce"], dtype=np.float64)
+            for r in cent_rows
+        ]
+    )
+    cn = np.linalg.norm(C, axis=1)
+    out: list[tuple[int, int]] = []
+    for qr in query_rows:
+        qid = int(qr["vec_id"])
+        if qr["embedding"] is None:
+            ranked = sorted(ids)[:nprobe]
+        else:
+            x = np.asarray(qr["embedding"], dtype=np.float64)[None, :]
+            xn = np.linalg.norm(x, axis=1)
+            c6 = []
+            for j in range(C.shape[0]):
+                num = (x * C[j]).sum(axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    c6.append(_round6_half_up(float(num[0] / (xn[0] * cn[j]))))
+            key = [
+                ((-c if c is not None else float("inf")), cid)
+                for c, cid in zip(c6, ids)
+            ]
+            ranked = [cid for _, cid in sorted(zip(key, ids))][:nprobe]
+        out.extend((qid, cid) for cid in ranked)
+    return out
+
+
+def _assign_nearest_centroid(
+    e: DataFrame, cent: DataFrame, cent_rows: list | None = None
+) -> DataFrame:
     """Map-ONLY nearest-centroid assignment: e + a ``centroid_id`` column.
+    ``cent_rows``: optionally pass the already-collected codebook so a
+    caller that also probes driver-side pays the bounded collect once.
 
     The codebook (bounded: NLIST rows at any corpus size) is collected and
     shipped in the UDF closure; each Arrow batch computes all NLIST cosines
@@ -105,7 +166,11 @@ def _assign_nearest_centroid(e: DataFrame, cent: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType
 
-    rows = cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
+    rows = (
+        cent_rows
+        if cent_rows is not None
+        else cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
+    )
     ids = [int(r["centroid_id"]) for r in rows]
     # A NULL codebook entry stands in as a zero row: its norm is 0, so
     # every cosine against it is 0/0 = NaN -> NULL after Arrow — exactly
@@ -504,20 +569,22 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    assign = _assign_nearest_centroid(e, cent).select("vec_id", "centroid_id")
-    # Probe ranking fans out only the N_QUERIES query vectors against the
-    # broadcast codebook — NLIST x N_QUERIES rows, a constant, never the
-    # corpus — and windows over that to take the NPROBE nearest lists.
-    ac_q = e.filter(F.col("vec_id") < N_QUERIES).join(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
+    cent_rows = cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
+    assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
+        "vec_id", "centroid_id"
     )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
-    probes = (
-        ac_q.withColumn("rn", F.row_number().over(w_vec))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    # Probe selection is METADATA-scale (N_QUERIES x NLIST cosines) and
+    # runs driver-side — bit-identical math + F.round-faithful HALF_UP
+    # rounding (_probe_lists), replacing a whole Spark stage that windowed
+    # 128 rows. The persisted-index probe does the same.
+    query_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probes = spark.createDataFrame(
+        _probe_lists(cent_rows, query_rows, IVF_NPROBE) or [],
+        "query_id long, centroid_id long",
     )
     cand = (
         F.broadcast(probes)
@@ -1237,18 +1304,18 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
     # Map-only argmax assignment (similarity_ann_ivf's discipline): the
-    # corpus learns its list inside one Arrow stage, no exchange at all.
-    assign = _assign_nearest_centroid(e, cent).select("vec_id", "centroid_id")
-    ac_q = e.filter(F.col("vec_id") < N_QUERIES).join(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
+    # corpus learns its list inside one Arrow stage, no exchange at all;
+    # probe lists resolve driver-side from the same collected codebook.
+    cent_rows = cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
+    assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
+        "vec_id", "centroid_id"
     )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.col("c6").desc(), "centroid_id")
-    probes = (
-        ac_q.withColumn("rn", F.row_number().over(w_vec))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    query_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    probes = spark.createDataFrame(
+        _probe_lists(cent_rows, query_rows, IVF_NPROBE) or [],
+        "query_id long, centroid_id long",
     )
     cand = (
         F.broadcast(probes)
