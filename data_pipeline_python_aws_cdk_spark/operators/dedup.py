@@ -414,6 +414,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlap_spans_oracle() -> str:
+    from .text import _rolling_oracle
+
+    ctes, final = _minhash_oracle_parts()
+    return f"""
+    WITH {ctes},
+    mpairs AS ({final}),
+    roll AS ({_rolling_oracle()}),
+    shared AS (
+      SELECT p.doc_a, p.doc_b, ra.chunk_hash,
+             MIN(ra.pos) AS pa, MIN(rb.pos) AS pb
+      FROM mpairs p
+      JOIN roll ra ON ra.doc_id = p.doc_a
+      JOIN roll rb ON rb.doc_id = p.doc_b AND rb.chunk_hash = ra.chunk_hash
+      GROUP BY p.doc_a, p.doc_b, ra.chunk_hash
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_chunks,
+           MIN(pa) AS first_pos_a,
+           MIN(pb) AS first_pos_b
+    FROM shared GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dedup_pair_overlap_spans", oracle=_overlap_spans_oracle())
+def dedup_pair_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE does the duplication live: for each verified near-dup pair,
+    the content-defined chunks (doc_rolling_fingerprint's rsync/LBFS
+    boundaries) present in BOTH documents, with each side's first shared
+    token position. The explanation surface between the dedup verdict and
+    the raw text — "these two docs share 7 chunks starting at token 12
+    vs token 380" distinguishes a quoted block from a whole-document copy
+    without anyone re-reading the corpus.
+
+    Composes two existing streams: the verified pair table (near-dup-
+    bounded) broadcasts into two probes of the rolling-fingerprint stream
+    (map-only per doc), and the rollup is pair x shared-chunk sized.
+    Pairs sharing NO boundary chunk are absent by design — boundaries
+    sample ~1/64 of windows, so absence means the overlap is shorter than
+    a chunk, which is itself the answer.
+    """
+    from .text import doc_rolling_fingerprint
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    roll = doc_rolling_fingerprint(spark, sf_dir)
+    ra = roll.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pa"),
+        "chunk_hash",
+    )
+    rb = roll.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+        "chunk_hash",
+    )
+    shared = (
+        F.broadcast(pairs)
+        .join(ra, "doc_a")
+        .join(rb, ["doc_b", "chunk_hash"])
+        .groupBy("doc_a", "doc_b", "chunk_hash")
+        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
+    )
+    return (
+        shared.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("shared_chunks"),
+            F.min("pa").alias("first_pos_a"),
+            F.min("pb").alias("first_pos_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _estimator_audit_oracle() -> str:
     ctes, final = _minhash_oracle_parts()
     agree = " + ".join(
