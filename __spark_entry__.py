@@ -43,10 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     corpus_quality_gate, embedding_quantize — must re-verify;
 #   * 47 of the 51 queries never yet inside a driver evaluation window
 #     (all round-3-late additions).
-# Overflow to round 5 (4 lowest-risk single-aggregation rollups, never
-# driver-evaluated, local-green): orders_monthly_growth,
-# events_gap_distribution, events_new_vs_returning, events_dispersion_index.
-# After this round the never-evaluated remainder is those 4.
+# Overflow to round 5 (each local-green at sf0.01 AND sf0.1, on hostile
+# data, under SPARK_GRAFT_SHUFFLE=7, in the vanilla sweep, and through the
+# width gate):
+#   * 4 lowest-risk single-aggregation rollups, never driver-evaluated:
+#     orders_monthly_growth, events_gap_distribution,
+#     events_new_vs_returning, events_dispersion_index;
+#   * the 8 round-4 additions: text_bm25_retrieval, retrieval_hybrid_rrf,
+#     corpus_tokenizer_fertility, dedup_minhash_estimator_audit,
+#     contrastive_training_pairs, dedup_embedding_semdedup,
+#     dedup_graph_pagerank, dedup_pair_overlap_spans.
+# After this round the never-evaluated remainder is those 12 — one round-5
+# window closes the union with 38 slots to spare.
 _PRIORITY = (
     # -- re-verify: r03 hash-mismatch rows, oracle widths fixed this round
     "doc_rolling_fingerprint",
