@@ -37,13 +37,17 @@ def main(argv: list[str] | None = None) -> int:
     p_ingest.add_argument("--output", required=True)
     p_ingest.add_argument("--url", default=None)
     p_ingest.add_argument("--fixture", default=None, help="JSON file of records (offline mode)")
-    p_ingest.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    p_ingest.add_argument(
+        "--format", default="parquet", choices=["parquet", "csv", "orc", "json"]
+    )
 
     p_crawl = sub.add_parser("crawl", help="infer schema + register catalog table")
     p_crawl.add_argument("--path", required=True)
     p_crawl.add_argument("--database", default="data_pipeline_db")
     p_crawl.add_argument("--table", default="raw_data")
-    p_crawl.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    p_crawl.add_argument(
+        "--format", default="parquet", choices=["parquet", "csv", "orc", "json"]
+    )
 
     p_query = sub.add_parser("query", help="run SQL through the executor harness")
     p_query.add_argument("--sql", required=True)

@@ -54,13 +54,21 @@ def write_partitioned(
     """Hive-layout append write: root/year=YYYY/month=MM/day=DD/part-*.
 
     ``fmt="csv"`` reproduces the reference's headered-CSV-at-rest; parquet is
-    the native format (columnar, pushdown-friendly).
+    the native format (columnar, pushdown-friendly); ``fmt="orc"`` serves
+    Hive/Trino-leaning downstreams with the same columnar properties
+    (predicate pushdown, column pruning, splittable stripes) from Spark's
+    built-in writer; ``fmt="json"`` emits JSON-lines for log-pipeline
+    interop (schemaless readers, kafka-connect-style consumers).
     """
     writer = df.write.mode(mode).partitionBy("year", "month", "day")
     if fmt == "csv":
         writer.option("header", True).csv(root)
     elif fmt == "parquet":
         writer.parquet(root)
+    elif fmt == "orc":
+        writer.orc(root)
+    elif fmt == "json":
+        writer.json(root)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

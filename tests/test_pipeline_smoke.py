@@ -397,3 +397,24 @@ def test_result_reuse_by_age(spark, tmp_path):
         st4 = ex.wait(q4)
         assert st4.state == "SUCCEEDED"
         assert "reused_from" not in st4.stats
+
+
+def test_orc_and_json_lake_formats_round_trip(spark, tmp_path):
+    """ORC (Hive/Trino-leaning downstreams) and JSON-lines (log interop)
+    write through the same Hive-partitioned layout and register through the
+    same crawler path as parquet/csv — one writer, four at-rest formats."""
+    from data_pipeline_python_aws_cdk_spark.catalog import crawl
+
+    for fmt in ("orc", "json"):
+        root = str(tmp_path / f"{fmt}-lake")
+        res = ingest_job(spark, root, records=USERS_FIXTURE, fmt=fmt, now=NOW)
+        assert res["statusCode"] == 200
+        back = spark.read.format(fmt).load(root)
+        assert back.count() == 10
+        assert "extraction_timestamp" in back.columns
+        qualified = crawl(
+            spark, root, database="fmt_rt_db", table=f"raw_{fmt}", fmt=fmt
+        )
+        n = spark.sql(f"SELECT COUNT(*) AS n FROM {qualified}").first().n
+        assert n == 10
+        spark.sql(f"DROP TABLE {qualified}")
