@@ -71,7 +71,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p_comp = sub.add_parser("compact", help="rewrite small files into target-size files")
     p_comp.add_argument("--path", required=True)
-    p_comp.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    p_comp.add_argument(
+        "--format", default="parquet", choices=["parquet", "csv", "orc", "json"]
+    )
     p_comp.add_argument("--target-file-bytes", type=int, default=DEFAULT_TARGET_FILE_BYTES)
 
     p_bkt = sub.add_parser(
