@@ -2110,7 +2110,17 @@ def lsh_probe_indexed(
     the inline screen).
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
-    nb = _band_table(d).withColumn("bucket", _lsh_bucket(F.col("bkey")))
+    return screen_docs_against_index(spark, d, index_dir)
+
+
+def screen_docs_against_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """The reusable probe core: screen any (doc_id, text) batch against the
+    persisted band-signature index (partition-pruned read, collision count
+    per batch doc). lsh_probe_indexed is this over the sf_dir src0 split;
+    streaming.run_stream_screen calls it per micro-batch."""
+    nb = _band_table(docs).withColumn("bucket", _lsh_bucket(F.col("bkey")))
     hit_parts = sorted(
         {(r.band, r.bucket) for r in nb.select("band", "bucket").distinct().collect()}
     )

@@ -766,3 +766,44 @@ def run_available_now_with_health(
     rows = spark.sql(f"SELECT * FROM {query_name}").collect()
     spark.catalog.dropTempView(query_name)
     return rows, health
+
+
+def run_stream_screen(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    verdict_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous ingest dedup screen: every micro-batch of arriving
+    documents probes the PERSISTED LSH signature index and appends its
+    collision verdicts — ``jobs screen`` as a standing stream instead of a
+    cron tick, the shape a real curation queue runs (documents land all
+    day; each lands in the verdict table seconds later, at O(batch) cost
+    against the write-once index).
+
+    foreachBatch composes the batch probe core
+    (``dedup.screen_docs_against_index``: batch band signatures, a
+    bounded (band, bucket) hit-list collect, partition-pruned index read,
+    collision rollup) with checkpointed availableNow/continuous delivery:
+    a replayed batch rewrites the same (batch_id, doc_id) verdicts —
+    idempotent by construction, same discipline as run_upsert_sink.
+    """
+    static_schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(static_schema).parquet(docs_dir)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        from ..operators.dedup import screen_docs_against_index
+
+        verdicts = screen_docs_against_index(
+            batch_df.sparkSession, batch_df, index_dir
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        verdicts.write.mode("append").parquet(verdict_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -340,3 +340,40 @@ def test_stream_health_reports_state_and_watermark(spark, events_dir):
     assert health["max_batch_ms"] > 0
     assert health["state_rows"] > 0  # one row per open (window, type)
     assert health["watermark"]  # advanced past epoch by the drain
+
+
+def test_stream_screen_matches_batch_probe(spark, tmp_path):
+    """The continuous ingest dedup screen: foreachBatch probing the
+    persisted LSH index must produce exactly the batch probe's verdicts
+    (same docs, same index), and a checkpointed re-run must add nothing."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+    from data_pipeline_python_aws_cdk_spark.streaming.events import run_stream_screen
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    index_dir = str(tmp_path / "lsh_index")
+    lsh_build_index(spark, SF_SMOKE, index_dir)
+    docs_dir = str(tmp_path / "incoming")
+    load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("source") == "src0"
+    ).write.parquet(docs_dir)
+    verdicts = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_screen(spark, docs_dir, index_dir, verdicts, ckpt)
+    got = {
+        (r.doc_id, r.near_candidates)
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    want = {
+        (r.doc_id, r.near_candidates)
+        for r in lsh_probe_indexed(spark, index_dir, SF_SMOKE).collect()
+    }
+    assert got == want and want
+    # replay: the checkpoint remembers processed files -> no new verdicts
+    run_stream_screen(spark, docs_dir, index_dir, verdicts, ckpt)
+    again = spark.read.parquet(verdicts).count()
+    assert again == len(got)
