@@ -66,6 +66,25 @@ def _plane(p: int, i: int) -> float:
     return (hash60_py(f"{p}:{i}") % 2000001 - 1000000) / 1e6
 
 
+def _codebook_matrix(rows: list) -> tuple[list[int], "np.ndarray", "np.ndarray"]:
+    """Shared codebook prep for the driver-side probe ranking and the
+    executor-side assignment — ONE place for the NULL-as-zero-row /
+    stacking / norm conventions the two sides must agree on bit-for-bit.
+    Returns (ids, C, cn); empty input returns ([], 0x1 zeros, zeros) so
+    callers can guard on ids without np.stack throwing."""
+    ids = [int(r["centroid_id"]) for r in rows]
+    if not ids:
+        return [], np.zeros((0, 1)), np.zeros(0)
+    dim = next((len(r["ce"]) for r in rows if r["ce"] is not None), 1)
+    C = np.stack(
+        [
+            np.zeros(dim) if r["ce"] is None else np.asarray(r["ce"], dtype=np.float64)
+            for r in rows
+        ]
+    )
+    return ids, C, np.linalg.norm(C, axis=1)
+
+
 def _round6_half_up(v: float) -> float | None:
     """F.round(x, 6) replicated exactly: BigDecimal.valueOf(double) parses
     Double.toString's shortest-roundtrip decimal — identical to Python's
@@ -92,15 +111,9 @@ def _probe_lists(
     cos_all op order (bit-identical to the distributed path), rounding
     replicates F.round, and ordering is (c6 DESC NULLS LAST, centroid_id)
     — the oracle's ranking to the letter."""
-    ids = [int(r["centroid_id"]) for r in cent_rows]
-    dim = next((len(r["ce"]) for r in cent_rows if r["ce"] is not None), 1)
-    C = np.stack(
-        [
-            np.zeros(dim) if r["ce"] is None else np.asarray(r["ce"], dtype=np.float64)
-            for r in cent_rows
-        ]
-    )
-    cn = np.linalg.norm(C, axis=1)
+    ids, C, cn = _codebook_matrix(cent_rows)
+    if not ids:
+        return []
     out: list[tuple[int, int]] = []
     for qr in query_rows:
         qid = int(qr["vec_id"])
@@ -171,19 +184,15 @@ def _assign_nearest_centroid(
         if cent_rows is not None
         else cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
     )
-    ids = [int(r["centroid_id"]) for r in rows]
-    # A NULL codebook entry stands in as a zero row: its norm is 0, so
-    # every cosine against it is 0/0 = NaN -> NULL after Arrow — exactly
-    # the oracle's NULL cosine for a NULL centroid, which never wins the
-    # desc ranking. np.stack would otherwise throw on the None.
-    dim = next((len(r["ce"]) for r in rows if r["ce"] is not None), 1)
-    C = np.stack(
-        [
-            np.zeros(dim) if r["ce"] is None else np.asarray(r["ce"], dtype=np.float64)
-            for r in rows
-        ]
-    )
-    cn = np.linalg.norm(C, axis=1)
+    # Codebook prep is shared with the driver-side probe ranking
+    # (_codebook_matrix) — ONE site for the NULL-centroid-as-zero-row
+    # convention (norm 0 -> 0/0 = NaN -> NULL after Arrow, exactly the
+    # oracle's NULL cosine, which never wins the desc ranking).
+    ids, C, cn = _codebook_matrix(rows)
+    if not ids:
+        # Empty codebook (empty embeddings table): no assignment exists;
+        # emit NULL ids on whatever rows e has (typically none).
+        return e.withColumn("centroid_id", F.lit(None).cast("bigint"))
 
     @pandas_udf(ArrayType(DoubleType()))
     def cos_all(a: pd.Series) -> pd.Series:

@@ -506,12 +506,21 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    cand = (
+    return _bm25_score(
         F.broadcast(qt)
         .join(postings, "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .crossJoin(F.broadcast(stats))
     )
+
+
+def _bm25_score(cand: DataFrame) -> DataFrame:
+    """The ONE scoring tail both the inline retrieval and the persisted-
+    index probe run: integer-micro-unit per-term weights, exact int64
+    aggregation, rank by the integer sum. A single site keeps the
+    'index probe result-equal to inline' invariant true by construction —
+    a scoring change cannot be applied to only one path. ``cand``: rows
+    with (query_id, doc_id, tf, dl, df, n_docs, total_tokens)."""
     sc = (
         cand.select(
             "query_id",
@@ -580,11 +589,14 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("ws").alias("ws_tokens"),
             F.sum("bpe").alias("bpe_tokens"),
+            # try_divide: a language whose docs are all empty/whitespace
+            # has SUM(bpe)=0 — the oracle's float division yields NULL,
+            # ANSI '/' would crash the query instead.
             F.round(
-                F.sum("bpe").cast("double") / F.sum("ws"), 6
+                F.try_divide(F.sum("bpe").cast("double"), F.sum("ws")), 6
             ).alias("fertility"),
             F.round(
-                F.sum("chars").cast("double") / F.sum("bpe"), 6
+                F.try_divide(F.sum("chars").cast("double"), F.sum("bpe")), 6
             ).alias("chars_per_token"),
         )
         .orderBy("lang")
@@ -755,31 +767,11 @@ def bm25_probe_indexed(
     buckets_hit = sorted({r.bucket for r in qt.select("bucket").distinct().collect()})
     postings = spark.read.parquet(index_dir).filter(F.col("bucket").isin(buckets_hit))
     stats = spark.read.parquet(f"{index_dir}/_stats")
-    cand = (
+    return _bm25_score(
         F.broadcast(qt.drop("bucket"))
         .join(postings, "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .crossJoin(F.broadcast(stats))
-    )
-    sc = (
-        cand.select(
-            "query_id",
-            F.col("doc_id").alias("neighbor_id"),
-            F.expr(_BM25_WMIC_SQL).alias("wmic"),
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("wmic").cast("bigint").alias("smic"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("smic").desc(), "neighbor_id")
-    return (
-        sc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("smic") / 1000000.0, 6).alias("bm25"),
-            F.col("rank").cast("bigint").alias("rank"),
-        )
     )
 
 

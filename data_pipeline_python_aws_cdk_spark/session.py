@@ -51,7 +51,13 @@ _DEFAULT_CONFS: dict[str, str] = {
     # fact-fact joins (q3/q7/q18 measure 10-20% faster at sf0.1). This is
     # a size-gated PREFERENCE, not a hint — when neither side's stats fit
     # a local hash map (the 100 TB fact joins) the planner still emits
-    # sort-merge, which spills gracefully.
+    # sort-merge, which spills gracefully. Residual risk: the gate is an
+    # aggregate estimate, so a hot key can concentrate a passing build
+    # side into one partition's in-memory map; AQE's skew-join split
+    # (enabled below, and it rewrites shuffled-hash joins too since Spark
+    # 3.2) divides exactly that partition before the build, and the
+    # salting pattern (segment_revenue_salted) remains the manual
+    # fallback for non-splittable cases.
     "spark.sql.join.preferSortMergeJoin": "false",
     # Pre-AQE shuffle parallelism ceiling; AQE coalesces down.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "64"),

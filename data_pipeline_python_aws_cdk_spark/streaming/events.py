@@ -785,9 +785,13 @@ def run_stream_screen(
     foreachBatch composes the batch probe core
     (``dedup.screen_docs_against_index``: batch band signatures, a
     bounded (band, bucket) hit-list collect, partition-pruned index read,
-    collision rollup) with checkpointed availableNow/continuous delivery:
-    a replayed batch rewrites the same (batch_id, doc_id) verdicts —
-    idempotent by construction, same discipline as run_upsert_sink.
+    collision rollup) with checkpointed availableNow/continuous delivery.
+    Each batch OVERWRITES its own ``batch_id`` partition (dynamic
+    partition overwrite), so a batch replayed after a mid-write crash
+    replaces its partial output instead of appending a second copy —
+    effectively-once verdicts, the same idempotence discipline as
+    run_upsert_sink (a plain append sink would duplicate exactly the
+    crashed batch).
     """
     static_schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(static_schema).parquet(docs_dir)
@@ -798,7 +802,12 @@ def run_stream_screen(
         verdicts = screen_docs_against_index(
             batch_df.sparkSession, batch_df, index_dir
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        verdicts.write.mode("append").parquet(verdict_path)
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_path)
+        )
 
     q = (
         stream.writeStream.foreachBatch(_screen)
