@@ -128,6 +128,16 @@ def main(argv: list[str] | None = None) -> int:
     p_scr.add_argument("--sf-dir", required=True, help="testdata directory (batch source)")
     p_scr.add_argument("--output", required=True, help="verdict table destination")
 
+    p_ret = sub.add_parser(
+        "retrieve",
+        help="run retrieval (bm25 | semantic | hybrid RRF) and persist the top-k table",
+    )
+    p_ret.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_ret.add_argument("--output", required=True, help="result table destination")
+    p_ret.add_argument(
+        "--mode", default="hybrid", choices=["bm25", "semantic", "hybrid"]
+    )
+
     p_ins = sub.add_parser(
         "inspect", help="storage-health report (files/bytes/row-groups) for a dataset"
     )
@@ -257,6 +267,28 @@ def main(argv: list[str] | None = None) -> int:
                     "manifest": manifest_path,
                     "buckets": len(manifest),
                     "train_tokens": sum(m["tokens"] for m in manifest),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "retrieve":
+        if args.mode == "bm25":
+            from .operators.text import text_bm25_retrieval as _ret
+        elif args.mode == "semantic":
+            from .operators.similarity import similarity_topk as _ret
+        else:
+            from .operators.text import retrieval_hybrid_rrf as _ret
+        result = _ret(spark, args.sf_dir)
+        result.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "mode": args.mode,
+                    "rows": n,
+                    "output": args.output,
                 }
             )
         )

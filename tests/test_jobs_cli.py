@@ -629,3 +629,20 @@ def test_cli_screen_flags_batch_against_persisted_index(spark, tmp_path, capsys)
     persisted = spark.read.parquet(out)
     assert persisted.count() == st["batch_docs"]
     assert "near_candidates" in persisted.columns
+
+
+def test_cli_retrieve_all_modes(spark, tmp_path, capsys):
+    """`jobs retrieve` persists each retrieval mode's top-k table and the
+    hybrid output carries the fusion audit flags."""
+    import json
+
+    from tests.conftest import SF_SMOKE
+
+    for mode in ("bm25", "semantic", "hybrid"):
+        out = str(tmp_path / f"ret_{mode}")
+        rc = jobs.main(["retrieve", "--sf-dir", SF_SMOKE, "--output", out, "--mode", mode])
+        assert rc == 0
+        st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert st["statusCode"] == 200 and st["mode"] == mode and st["rows"] > 0
+    hybrid = spark.read.parquet(str(tmp_path / "ret_hybrid"))
+    assert {"in_lexical", "in_semantic", "rrf", "rank"} <= set(hybrid.columns)
