@@ -943,6 +943,88 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_drift_report",
+    oracle=f"""
+    WITH t AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS thr FROM embeddings),
+    v AS (
+      SELECT g.i AS dim, e.embedding[g.i]::DOUBLE AS v,
+             e.vec_id <= t.thr AS early
+      FROM embeddings e CROSS JOIN t, generate_series(1, {DIM}) g(i)
+      WHERE e.embedding IS NOT NULL
+    ),
+    agg AS (
+      SELECT dim,
+             ROUND(AVG(CASE WHEN early THEN v END), 4) + 0 AS mean_early,
+             ROUND(AVG(CASE WHEN NOT early THEN v END), 4) + 0 AS mean_late,
+             ROUND(STDDEV_POP(v), 4) + 0 AS std_all
+      FROM v GROUP BY dim
+    )
+    SELECT dim, mean_early, mean_late, std_all,
+           ROUND(ABS(mean_early - mean_late) / NULLIF(std_all, 0), 4) + 0
+             AS drift_score
+    FROM agg ORDER BY dim
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per-dimension mean shift between the
+    EARLIER and LATER corpus halves (split at the midpoint id), in pooled-
+    std units — the vector-modality twin of events_drift_report. A new
+    crawl slice, an embedder version bump, or a domain-mix change shows up
+    here as dimensions whose drift_score jumps, BEFORE it silently skews
+    ANN recall and centroid geometry downstream; this is the retrain/
+    reindex trigger a production embedding pipeline watches.
+
+    Shape: one conditional aggregation over the posexploded stream — DIM
+    groups with map-side combine, corpus-size-independent exchange (the
+    embedding_dim_stats geometry). The drift ratio divides the ROUNDED
+    aggregates, so both engines compute it from identical doubles; a
+    zero-variance dimension yields NULL (try_divide / NULLIF), which IS
+    the signal that the dim carries no information at all.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    thr = e.agg(
+        F.expr("(MIN(vec_id) + MAX(vec_id)) DIV 2").alias("thr")
+    )
+    v = (
+        e.crossJoin(F.broadcast(thr))
+        .select(
+            (F.col("vec_id") <= F.col("thr")).alias("early"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            "early",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    agg = v.groupBy("dim").agg(
+        (F.round(F.avg(F.when(F.col("early"), F.col("v"))), 4) + F.lit(0.0)).alias(
+            "mean_early"
+        ),
+        (F.round(F.avg(F.when(~F.col("early"), F.col("v"))), 4) + F.lit(0.0)).alias(
+            "mean_late"
+        ),
+        (F.round(F.stddev_pop("v"), 4) + F.lit(0.0)).alias("std_all"),
+    )
+    return agg.select(
+        "dim",
+        "mean_early",
+        "mean_late",
+        "std_all",
+        (
+            F.round(
+                F.try_divide(
+                    F.abs(F.col("mean_early") - F.col("mean_late")),
+                    F.nullif(F.col("std_all"), F.lit(0.0)),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("drift_score"),
+    ).orderBy("dim")
+
+
+@_register(
     "embedding_dim_stats",
     oracle=f"""
     SELECT g.i AS dim,

@@ -221,6 +221,7 @@ QUADRATIC_BY_DESIGN = {
     "retrieval_hybrid_rrf",       # composes text_bm25_retrieval's stats join
     "contrastive_training_pairs",  # broadcast queries x corpus (topk's shape),
     #                                + the anti-joined random-negative pool
+    "embedding_drift_report",  # cross join against the ONE-ROW midpoint scalar
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
