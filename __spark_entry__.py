@@ -49,12 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 4 lowest-risk single-aggregation rollups, never driver-evaluated:
 #     orders_monthly_growth, events_gap_distribution,
 #     events_new_vs_returning, events_dispersion_index;
-#   * the 8 round-4 additions: text_bm25_retrieval, retrieval_hybrid_rrf,
+#   * the 9 round-4 additions: text_bm25_retrieval, retrieval_hybrid_rrf,
 #     corpus_tokenizer_fertility, dedup_minhash_estimator_audit,
 #     contrastive_training_pairs, dedup_embedding_semdedup,
-#     dedup_graph_pagerank, dedup_pair_overlap_spans.
-# After this round the never-evaluated remainder is those 12 — one round-5
-# window closes the union with 38 slots to spare.
+#     dedup_graph_pagerank, dedup_pair_overlap_spans,
+#     embedding_drift_report.
+# After this round the never-evaluated remainder is those 13 — one round-5
+# window closes the union with 37 slots to spare.
 _PRIORITY = (
     # -- re-verify: r03 hash-mismatch rows, oracle widths fixed this round
     "doc_rolling_fingerprint",
