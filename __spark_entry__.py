@@ -37,84 +37,81 @@ def entry(spark: SparkSession) -> DataFrame:
 # compare, vanilla session, at sf0.01 AND sf0.1, plus the
 # SPARK_GRAFT_SHUFFLE=7 sweep and the tools/check_types.py width gate).
 #
-# The round-4 window holds:
-#   * the 3 CORRECTNESS_r03 hash-mismatch rows (oracle integer-width
-#     promotions, now BIGINT-cast on both sides): doc_rolling_fingerprint,
-#     corpus_quality_gate, embedding_quantize — must re-verify;
-#   * 47 of the 51 queries never yet inside a driver evaluation window
-#     (all round-3-late additions).
-# Overflow to round 5 (each local-green at sf0.01 AND sf0.1, on hostile
-# data, under SPARK_GRAFT_SHUFFLE=7, in the vanilla sweep, and through the
-# width gate):
-#   * 4 lowest-risk single-aggregation rollups, never driver-evaluated:
-#     orders_monthly_growth, events_gap_distribution,
-#     events_new_vs_returning, events_dispersion_index;
-#   * the 9 round-4 additions: text_bm25_retrieval, retrieval_hybrid_rrf,
-#     corpus_tokenizer_fertility, dedup_minhash_estimator_audit,
-#     contrastive_training_pairs, dedup_embedding_semdedup,
-#     dedup_graph_pagerank, dedup_pair_overlap_spans,
-#     embedding_drift_report.
-# After this round the never-evaluated remainder is those 13 — one round-5
-# window closes the union with 37 slots to spare.
+# The round-5 window closes the driver-verified union: after r01∪r02∪r03∪r04
+# (178 evaluated, 177 green, 0 red) exactly 13 registry queries had never
+# been inside a driver evaluation window — the 9 round-4 additions + 4
+# low-risk rollups.  They lead this window; every one is local-green at
+# sf0.01 AND sf0.1, on hostile data, under SPARK_GRAFT_SHUFFLE=7, in the
+# vanilla sweep, and through the tools/check_types.py width gate.
+# The 37 spare slots backfill with the highest-drift-risk re-verifies:
+#   * every query whose implementation is touched by this round's perf work
+#     (minhash bloom-filter prune, IVF/quantized/PQ collect fusion,
+#     completeness plan check);
+#   * the 3 round-3 width rows (re-green in r04, re-pinned here);
+#   * the float-adjacent ANN/retrieval family;
+#   * a sample of each tier (dedup, text, embedding, multimodal, TPC-H
+#     perf-weak set, events analytics).
 _PRIORITY = (
-    # -- re-verify: r03 hash-mismatch rows, oracle widths fixed this round
+    # -- never driver-verified: the 13-query remainder (round-4 additions)
+    "text_bm25_retrieval",
+    "retrieval_hybrid_rrf",
+    "corpus_tokenizer_fertility",
+    "dedup_minhash_estimator_audit",
+    "contrastive_training_pairs",
+    "dedup_embedding_semdedup",
+    "dedup_graph_pagerank",
+    "dedup_pair_overlap_spans",
+    "embedding_drift_report",
+    "orders_monthly_growth",
+    "events_gap_distribution",
+    "events_new_vs_returning",
+    "events_dispersion_index",
+    # -- touched by round-5 perf work: must re-verify
+    "dedup_minhash_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_quantized",
+    "similarity_ann_pq_adc",
+    "completeness_by_field",
+    # -- round-3 width rows (re-green in r04; pinned once more)
     "doc_rolling_fingerprint",
     "corpus_quality_gate",
     "embedding_quantize",
-    # -- rows-only by design (sketch estimates carry no SQL oracle)
-    "approx_sketch_estimates",
-    # -- never driver-verified: dedup tier
-    "dedup_containment_bottomk",
-    "dedup_clusters_star",
-    "dedup_incremental",
-    "dedup_embedding_clusters",
-    "dedup_threshold_curve",
-    "dedup_semantic_lexical_agreement",
-    "dedup_cluster_size_histogram",
-    "source_overlap_matrix",
-    "corpus_boilerplate_ngrams",
-    # -- never driver-verified: similarity / embedding tier
-    "similarity_ann_quantized",
-    "similarity_ann_pq_adc",
+    # -- float-adjacent ANN/retrieval family
+    "similarity_topk",
+    "similarity_ann_lsh",
     "similarity_ann_recall_report",
     "embedding_pq_codes",
-    "embedding_gram_matrix",
-    "embedding_label_centroids",
-    "embedding_label_dispersion",
-    "embedding_duplicate_vectors",
-    "similarity_knn_label_vote",
-    # -- never driver-verified: text / corpus tier
-    "corpus_mixture_plan",
-    "corpus_lang_confusion",
-    "corpus_perplexity_buckets",
-    "corpus_bpe_pair_counts",
-    "corpus_zipf_slope",
-    "corpus_token_budget_curve",
-    "corpus_vocab_growth_curve",
-    "documents_chunking",
-    # -- never driver-verified: multimodal
-    "multimodal_audio_chunks",
-    "multimodal_video_near_dup",
-    # -- never driver-verified: streaming
-    "streaming_dedup_exact",
-    "streaming_sliding_counts",
-    "events_sliding_distinct",
-    # -- never driver-verified: events / orders analytics
-    "events_drift_report",
-    "events_bot_detection",
-    "events_markov_transitions",
-    "events_sketch_rollup_merge",
-    "events_ab_test_summary",
-    "events_ab_significance",
-    "events_pareto_concentration",
-    "events_forecast_backtest",
-    "events_seasonality_strength",
-    "users_activity_reconciliation",
-    "orders_sla_latency_percentiles",
-    "orders_basket_lift",
-    "supplier_concentration_hhi",
-    "nation_trade_flow_matrix",
-    "data_quality_audit",
+    # -- tier sample: dedup
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "corpus_decontaminate",
+    # -- tier sample: text / corpus
+    "text_token_stats",
+    "text_quality",
+    "lang_id",
+    "text_tfidf_topk",
+    "text_lm_score",
+    "corpus_pack_sequences",
+    # -- tier sample: embedding
+    "embedding_kmeans",
+    "embedding_norm_stats",
+    "similarity_threshold",
+    # -- tier sample: multimodal
+    "multimodal_meta",
+    "multimodal_decode",
+    # -- TPC-H / corpus perf-weak set (plans touched if perf work lands)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    # -- tier sample: events / window analytics
+    "events_sessionize",
+    "window_latest_order",
+    "users_by_city",
+    "data_freshness",
 )
 
 
