@@ -80,3 +80,43 @@ def hash60_py(value: str, salt: str | None = None) -> int:
     driver-side derived constants, e.g. LSH plane seeds)."""
     s = f"{salt}:{value}" if salt is not None else value
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# --- persisted-index hash-mode pinning ----------------------------------------
+#
+# An index whose layout derives from hash60 (BM25's term-hash buckets, the
+# LSH band-key partitions) is only probeable under the SAME hash family it
+# was built with: a probe in the other mode computes different bucket/band
+# keys, prunes to the wrong partition directories, and silently returns
+# incomplete postings — no error, just missing rows. Builds therefore record
+# the active mode in a one-row ``_meta`` sidecar (underscore prefix: hidden
+# from partition readers, like ``_stats``/``_centroids``) and probes assert
+# it before planning the pruned scan.
+
+def write_hash_mode_meta(spark, index_dir: str) -> None:
+    """Record the hash family a persisted index was built under."""
+    spark.createDataFrame([(hash_mode(),)], "hash_mode string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/_meta")
+
+
+def assert_hash_mode_meta(spark, index_dir: str) -> None:
+    """Fail fast if the index was built under a different hash family.
+
+    An index with no ``_meta`` sidecar predates this guard and is accepted
+    as-is (every build in this repo now writes one, so the unguarded
+    surface only shrinks).
+    """
+    try:
+        rows = spark.read.parquet(f"{index_dir}/_meta").collect()
+    except Exception:  # noqa: BLE001 — pre-guard index: nothing recorded
+        return
+    built = rows[0].hash_mode if rows else None
+    active = hash_mode()
+    if built is not None and built != active:
+        raise ValueError(
+            f"index at {index_dir} was built with {HASH_MODE_ENV}={built!r} "
+            f"but is being probed with {active!r}; bucket/band-key pruning "
+            "would silently miss postings — rebuild the index or set "
+            f"{HASH_MODE_ENV}={built!r}"
+        )

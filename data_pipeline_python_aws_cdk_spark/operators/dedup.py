@@ -2089,9 +2089,15 @@ def lsh_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     corpus is the standing split dedup_incremental screens against
     (source != src0).
     """
+    from ..functions.hashing import write_hash_mode_meta
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
     bands = _band_table(d).withColumn("bucket", _lsh_bucket(F.col("bkey")))
     bands.write.mode("overwrite").partitionBy("band", "bucket").parquet(index_dir)
+    # Band keys derive from hash60(shingle): pin the build's hash family so
+    # a probe under the other family fails loudly instead of joining on
+    # mismatched keys and silently reporting zero collisions.
+    write_hash_mode_meta(spark, index_dir)
 
 
 def lsh_probe_indexed(
@@ -2120,6 +2126,9 @@ def screen_docs_against_index(
     persisted band-signature index (partition-pruned read, collision count
     per batch doc). lsh_probe_indexed is this over the sf_dir src0 split;
     streaming.run_stream_screen calls it per micro-batch."""
+    from ..functions.hashing import assert_hash_mode_meta
+
+    assert_hash_mode_meta(spark, index_dir)
     nb = _band_table(docs).withColumn("bucket", _lsh_bucket(F.col("bkey")))
     hit_parts = sorted(
         {(r.band, r.bucket) for r in nb.select("band", "bucket").distinct().collect()}

@@ -87,9 +87,22 @@ def _codebook_matrix(rows: list) -> tuple[list[int], "np.ndarray", "np.ndarray"]
 
 def _round6_half_up(v: float) -> float | None:
     """F.round(x, 6) replicated exactly: BigDecimal.valueOf(double) parses
-    Double.toString's shortest-roundtrip decimal — identical to Python's
-    repr — and setScale(6, HALF_UP) is Decimal.quantize(1e-6,
-    ROUND_HALF_UP). NaN (zero-norm cosine) maps to None like Arrow does."""
+    Double.toString's decimal rendering and setScale(6, HALF_UP) is
+    Decimal.quantize(1e-6, ROUND_HALF_UP).
+
+    Recorded assumption (like the ln() 1-ulp note on the BM25 idf):
+    Double.toString is shortest-roundtrip — equal to Python's repr — only
+    guaranteed by the Ryu rewrite in JDK 19+ (JDK-4511638). Pre-19 JVMs
+    (this container runs 17) use the legacy algorithm, which is documented
+    to sometimes emit MORE digits than the shortest form; a non-shortest
+    rendering that straddles a 6-dp HALF_UP boundary would diverge from
+    repr-based quantization. Exposure is bounded empirically, not just on
+    paper: tests/test_hashing_property.py::test_round6_half_up_matches_f_round
+    drives a boundary-adversarial battery (exact .xxxxxx5 halves, ±1-ulp
+    neighbors, hypothesis-random doubles) through BOTH paths on the live
+    JVM, so a legacy-toString divergence fails the suite instead of
+    surfacing as a probe-list oracle mismatch. NaN (zero-norm cosine) maps
+    to None like Arrow does."""
     import decimal
     import math
 

@@ -417,20 +417,30 @@ BM25_TOP_K = 10
 #   trials (tens) instead of |candidate-row| trials (hundreds of
 #   thousands), that exposure is ~1e-9 per corpus rather than near-certain
 #   (the unquantized spelling hash-mismatched at sf0.01 exactly this way).
-# - The BM25 tf saturation factor is exact integer arithmetic: with
-#   k1=6/5 and b=3/4, multiplying through by 10*total_tokens gives
-#   tffac = 22*tf*T / (10*tf*T + 3*T + 9*dl*N) — two exact int64s and ONE
-#   double division, identical in any engine.
-# - The final weight rounds a product of those exact values computed with
-#   an identical operator tree, then SUMs as int64 — order-independent, so
+# - The BM25 tf saturation factor: with k1=6/5 and b=3/4, multiplying
+#   through by 10*total_tokens gives
+#   tffac = 22*tf*T / (10*tf*T + 3*T + 9*dl*N). The products are computed
+#   in DOUBLE, not int64: at the 100 TB design point (T ~ 1e13-1e14, tf up
+#   to ~1e4) 22*tf*T overflows int64 — a crash under ANSI, silent garbage
+#   otherwise — while a double merely loses bits below 1e-16 relative (the
+#   ranking is unaffected and nothing can overflow short of 1e308). This
+#   costs NO determinism: IEEE-754 multiplication/addition/division are
+#   bit-exact functions of their operands, both engines evaluate this one
+#   shared expression string with the same left-associated operator tree,
+#   and below 2^53 (every test scale) the doubles are exact, so results are
+#   bit-identical to the old int64 spelling.
+# - The final weight rounds a product of those values computed with an
+#   identical operator tree, then SUMs as int64 — order-independent, so
 #   partition layout, shuffle count, and engine agree bit-for-bit (same
 #   discipline as nation_trade_flow_matrix's integer cents).
 _BM25_WMIC_SQL = (
     "CAST(ROUND("
     "CAST(CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1000000)"
     " AS BIGINT) AS DOUBLE)"
-    " * (22 * tf * total_tokens)"
-    " / (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs)"
+    " * (22 * CAST(tf AS DOUBLE) * total_tokens)"
+    " / (10 * CAST(tf AS DOUBLE) * total_tokens"
+    "    + 3 * CAST(total_tokens AS DOUBLE)"
+    "    + 9 * CAST(dl AS DOUBLE) * n_docs)"
     ") AS BIGINT)"
 )
 
@@ -736,12 +746,18 @@ def bm25_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     joins); the ONE-ROW corpus stats land in an underscore-prefixed
     sidecar the partition readers never see.
     """
+    from ..functions.hashing import write_hash_mode_meta
+
     postings, stats = _bm25_corpus_tables(spark, sf_dir)
     out = postings.withColumn(
         "bucket", F.pmod(hash60(F.col("term")), F.lit(BM25_INDEX_BUCKETS))
     )
     out.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
     stats.write.mode("overwrite").parquet(f"{index_dir}/_stats")
+    # Bucket layout derives from hash60(term): pin the build's hash family
+    # so a probe under the other family fails loudly instead of pruning to
+    # the wrong directories and silently dropping postings.
+    write_hash_mode_meta(spark, index_dir)
 
 
 def bm25_probe_indexed(
@@ -756,6 +772,9 @@ def bm25_probe_indexed(
     integer-micro-unit weight expression, so index and inline rankings are
     bit-identical.
     """
+    from ..functions.hashing import assert_hash_mode_meta
+
+    assert_hash_mode_meta(spark, index_dir)
     d = load_table(spark, sf_dir, "documents")
     toks = d.filter(F.col("doc_id") < BM25_QUERY_DOCS).select(
         F.col("doc_id").alias("query_id"),

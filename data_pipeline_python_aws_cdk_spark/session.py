@@ -57,8 +57,15 @@ _DEFAULT_CONFS: dict[str, str] = {
     # (enabled below, and it rewrites shuffled-hash joins too since Spark
     # 3.2) divides exactly that partition before the build, and the
     # salting pattern (segment_revenue_salted) remains the manual
-    # fallback for non-splittable cases.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # fallback for non-splittable cases. Hash builds do NOT spill, so a
+    # build side that passes the size gate on bad stats (not skew — bad
+    # cardinality/size estimates AQE cannot split) OOMs instead of
+    # degrading: SPARK_GRAFT_PREFER_SMJ=true flips a deployment back to
+    # sort-merge without a code change (same escape-hatch pattern as
+    # SPARK_GRAFT_SHUFFLE).
+    "spark.sql.join.preferSortMergeJoin": os.environ.get(
+        "SPARK_GRAFT_PREFER_SMJ", "false"
+    ),
     # Pre-AQE shuffle parallelism ceiling; AQE coalesces down.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "64"),
     "spark.sql.session.timeZone": "UTC",

@@ -1389,3 +1389,32 @@ def test_cosine_arrow_null_safe(spark):
     rows = {r.id: r.c for r in df.select("id", cosine_arrow("a", "b").alias("c")).collect()}
     assert rows[1] == 1.0
     assert rows[2] is None and rows[3] is None and rows[4] is None
+
+
+def test_index_probe_rejects_hash_mode_mismatch(spark, tmp_path, monkeypatch):
+    """An index built under one hash family must refuse a probe under the
+    other: bucket/band-key layouts derive from hash60, so a cross-mode
+    probe would prune to the wrong partitions and silently drop postings.
+    The _meta sidecar turns that silent wrong answer into a loud error."""
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import HASH_MODE_ENV
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        bm25_build_index,
+        bm25_probe_indexed,
+    )
+
+    bm25_dir = str(tmp_path / "bm25_modecheck")
+    lsh_dir = str(tmp_path / "lsh_modecheck")
+    bm25_build_index(spark, SF_SMOKE, bm25_dir)  # built under default: oracle
+    lsh_build_index(spark, SF_SMOKE, lsh_dir)
+    monkeypatch.setenv(HASH_MODE_ENV, "production")
+    with pytest.raises(ValueError, match="hash"):
+        bm25_probe_indexed(spark, bm25_dir, SF_SMOKE)
+    with pytest.raises(ValueError, match="hash"):
+        lsh_probe_indexed(spark, lsh_dir, SF_SMOKE)
+    # matching mode still probes fine
+    monkeypatch.setenv(HASH_MODE_ENV, "oracle")
+    assert bm25_probe_indexed(spark, bm25_dir, SF_SMOKE).count() > 0

@@ -169,3 +169,56 @@ def test_chunking_layout_invariants(spark, tmp_path_factory, sizes):
             assert chunks == [(0, 1, n)]
         # every non-tail chunk is full-size
         assert all(ln == CHUNK_TOKENS for _, _, ln in chunks[:-1])
+
+
+# Boundary-adversarial doubles for the F.round parity battery: exact 6-dp
+# halves (the HALF_UP decision points), their ±1-ulp neighbors (where a
+# non-shortest Double.toString rendering could flip the parsed decimal
+# across the boundary), and values whose repr carries 17 significant
+# digits. math.nextafter generates the ulp neighbors exactly.
+def _round6_battery() -> list[float]:
+    import math
+
+    vals: list[float] = []
+    for mant in (5, 15, 25, 1234565, 9999995):
+        for exp in (7, 8, 9):
+            for sign in (1.0, -1.0):
+                v = sign * (mant / 10.0**exp)
+                vals.extend(
+                    [v, math.nextafter(v, math.inf), math.nextafter(v, -math.inf)]
+                )
+    vals.extend([0.1 + 0.2, 1 / 3, 2 / 3, 1e-7, -1e-7, 0.0, 123456.789012345])
+    return vals
+
+
+@given(
+    extra=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=0,
+        max_size=32,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_round6_half_up_matches_f_round(spark, extra):
+    """_round6_half_up (driver-side Decimal(repr) quantization) must equal
+    F.round(x, 6) (JVM BigDecimal.valueOf + setScale HALF_UP) bit-for-bit.
+
+    This empirically pins the recorded JDK assumption in the
+    _round6_half_up docstring: pre-Ryu (JDK < 19) Double.toString may emit
+    non-shortest decimal renderings, and a rendering that straddles a 6-dp
+    half boundary would make the two paths disagree. The battery feeds the
+    exact half points, their ±1-ulp neighbors, and hypothesis-random
+    doubles through BOTH paths on the live JVM."""
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    vals = _round6_battery() + extra
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    jvm = [r.r for r in df.select(F.round("v", 6).alias("r")).collect()]
+    py = [_round6_half_up(v) for v in vals]
+    assert jvm == py, [
+        (v, j, p) for v, j, p in zip(vals, jvm, py) if j != p
+    ]
