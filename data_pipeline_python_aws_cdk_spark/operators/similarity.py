@@ -149,6 +149,32 @@ def _probe_lists(
     return out
 
 
+def _seed_codebook_and_queries(e: DataFrame) -> tuple[list, list]:
+    """ONE bounded collect feeding both driver-side prologue consumers:
+    the seed codebook (vec_id < IVF_NLIST, re-keyed to centroid_id/ce for
+    _codebook_matrix) and the query vectors (vec_id < N_QUERIES).
+
+    The two sets are head slices of the same table (N_QUERIES <=
+    IVF_NLIST), so collecting them separately pays two serial local jobs —
+    each a scheduling quantum — before the main query even plans. Fusing
+    them into one filter+collect halves the prologue; at cluster scale the
+    single scan also means one round of task launches against the head
+    file instead of two."""
+    head = sorted(
+        e.filter(F.col("vec_id") < max(IVF_NLIST, N_QUERIES))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent_rows = [
+        {"centroid_id": r["vec_id"], "ce": r["embedding"]}
+        for r in head
+        if r["vec_id"] < IVF_NLIST
+    ]
+    query_rows = [r for r in head if r["vec_id"] < N_QUERIES]
+    return cent_rows, query_rows
+
+
 def _assign_nearest_centroid(
     e: DataFrame, cent: DataFrame, cent_rows: list | None = None
 ) -> DataFrame:
@@ -591,18 +617,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    cent_rows = cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
-    assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
-        "vec_id", "centroid_id"
-    )
     # Probe selection is METADATA-scale (N_QUERIES x NLIST cosines) and
     # runs driver-side — bit-identical math + F.round-faithful HALF_UP
     # rounding (_probe_lists), replacing a whole Spark stage that windowed
-    # 128 rows. The persisted-index probe does the same.
-    query_rows = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    # 128 rows. Codebook + query vectors arrive in ONE fused collect
+    # (_seed_codebook_and_queries) instead of two serial pre-jobs.
+    cent_rows, query_rows = _seed_codebook_and_queries(e)
+    assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
+        "vec_id", "centroid_id"
     )
     probes = spark.createDataFrame(
         _probe_lists(cent_rows, query_rows, IVF_NPROBE) or [],
@@ -1409,13 +1431,10 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Map-only argmax assignment (similarity_ann_ivf's discipline): the
     # corpus learns its list inside one Arrow stage, no exchange at all;
-    # probe lists resolve driver-side from the same collected codebook.
-    cent_rows = cent.select("centroid_id", "ce").orderBy("centroid_id").collect()
+    # probe lists resolve driver-side from the same fused head collect.
+    cent_rows, query_rows = _seed_codebook_and_queries(e)
     assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
         "vec_id", "centroid_id"
-    )
-    query_rows = (
-        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     )
     probes = spark.createDataFrame(
         _probe_lists(cent_rows, query_rows, IVF_NPROBE) or [],
