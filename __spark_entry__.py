@@ -88,30 +88,31 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "corpus_decontaminate",
+    # -- NEW this round: must be driver-evaluated in their debut window
+    "text_char_trigram_nll",
+    "corpus_filter_funnel",
+    "text_intra_doc_repetition",
+    "corpus_ngram_novelty",
+    "embedding_matryoshka_recall",
+    "embedding_bitext_mining",
     # -- tier sample: text / corpus
-    "text_token_stats",
     "text_quality",
-    "lang_id",
     "text_tfidf_topk",
     "text_lm_score",
     "corpus_pack_sequences",
     # -- tier sample: embedding
     "embedding_kmeans",
-    "embedding_norm_stats",
     "similarity_threshold",
     # -- tier sample: multimodal
     "multimodal_meta",
     "multimodal_decode",
     # -- TPC-H / corpus perf-weak set (plans touched if perf work lands)
-    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
     # -- tier sample: events / window analytics
     "events_sessionize",
     "window_latest_order",
-    "users_by_city",
-    "data_freshness",
 )
 
 

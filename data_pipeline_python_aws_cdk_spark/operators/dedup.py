@@ -2338,3 +2338,59 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_log2_bucket")
     )
+
+
+# --- per-document n-gram novelty ----------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    df AS (
+      SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_shingles,
+           ROUND(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+    FROM sh JOIN df ON df.s = sh.s
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """
+
+
+@_register("corpus_ngram_novelty", oracle=_novelty_oracle())
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    shingles that occur in NO other document — the per-doc inverse of
+    corpus_boilerplate_ngrams (which ranks the corpus's most-duplicated
+    shingles). Low novelty = template/boilerplate assembly; high novelty =
+    original text. Curation uses it to pick which side of a near-dup
+    cluster to keep and to down-weight mashup sources.
+
+    Shape: ONE distinct-(doc_id, shingle-hash) stream feeds both sides —
+    the shingle document-frequency aggregate (map-side combined, carries
+    8-byte hashes) and the per-doc rollup after an equi-join on the hash.
+    Document bodies never shuffle; the join carries (doc_id, hash, df)
+    triples. At 100 TB this is the same exchange discipline as the
+    decontamination/boilerplate family; a frequency-sketch variant (CMS
+    over shingles, map-side novelty test) is the drop-in if even the
+    df join is unwanted.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, distinct=True).select("doc_id", hash60(F.col("s")).alias("h"))
+    df = sh.groupBy("h").agg(F.count("*").alias("n_docs"))
+    novel = (F.col("n_docs") == 1).cast("long")
+    return (
+        sh.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("novel_shingles"),
+            F.round(F.sum(novel) / F.count("*").cast("double"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

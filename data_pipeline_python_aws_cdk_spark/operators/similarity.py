@@ -2382,3 +2382,312 @@ def pq_probe_indexed(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# --- matryoshka (truncated-dimension) recall report ----------------------------
+
+MRL_BUDGETS = (8, 16, 32, 64)  # prefix-dimension budgets; last = full DIM
+
+
+def _matryoshka_oracle() -> str:
+    per_budget = []
+    for b in MRL_BUDGETS:
+        per_budget.append(f"""
+      SELECT {b} AS dim_budget, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             (SELECT SUM(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                     / (sqrt(SUM(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+                        * sqrt(SUM(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
+              FROM generate_series(1, {b}) g(i)) AS c
+      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < {N_QUERIES}""")
+    scored = "\nUNION ALL\n".join(per_budget)
+    return f"""
+    WITH scored AS ({scored}),
+    ranked AS (
+      SELECT dim_budget, query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY dim_budget, query_id
+                                ORDER BY c DESC NULLS LAST, neighbor_id) AS rank
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, neighbor_id FROM top WHERE dim_budget = {DIM}),
+    hits AS (
+      SELECT t.dim_budget,
+             COUNT(b.neighbor_id) AS n_hits,
+             COUNT(DISTINCT t.query_id) AS n_queries
+      FROM top t LEFT JOIN base b
+        ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+      GROUP BY t.dim_budget
+    ),
+    basek AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_base FROM base)
+    SELECT CAST(h.dim_budget AS BIGINT) AS dim_budget,
+           CAST(h.n_queries AS BIGINT) AS n_queries,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           CASE WHEN bk.total_base = 0 THEN NULL
+                ELSE ROUND(h.n_hits / CAST(bk.total_base AS DOUBLE), 6)
+           END AS recall_at_k
+    FROM hits h CROSS JOIN basek bk
+    ORDER BY dim_budget
+    """
+
+
+@_register("embedding_matryoshka_recall", oracle=_matryoshka_oracle())
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation report: top-{TOP_K} retrieval recall when the
+    index keeps only the first d dimensions (d in {MRL_BUDGETS}) against
+    the full-dimension ranking — the measurement behind
+    Matryoshka-representation (MRL, arXiv:2205.13147) dimension-budget
+    choices: how many prefix dims buy how much recall, i.e. how small the
+    serving index can be before quality falls off.
+
+    Recall is MICRO-averaged (total hits / total baseline rows) so the
+    statistic is a ratio of two exact integers — no float accumulation
+    order anywhere; set membership comes from the same
+    (cosine DESC, neighbor_id) ranking similarity_topk uses. Shape: ONE
+    broadcast-queries x corpus pass per budget (the budgets are a fixed
+    4-entry grid, so the union is 4 scans of the same head — at scale
+    each is similarity_topk's linear streaming plan on a sliced vector);
+    everything after the per-query windows is |budgets| x {TOP_K} x
+    {N_QUERIES} rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    parts = []
+    for b in MRL_BUDGETS:
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(F.col("embedding"), 1, b).alias("qe"),
+        )
+        n = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.slice(F.col("embedding"), 1, b).alias("ne"),
+        )
+        parts.append(
+            F.broadcast(q)
+            .join(n, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                F.lit(b).alias("dim_budget"),
+                "query_id",
+                "neighbor_id",
+                cosine_arrow(F.col("qe"), F.col("ne")).alias("c"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    w = Window.partitionBy("dim_budget", "query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("dim_budget", "query_id", "neighbor_id")
+    )
+    base = top.filter(F.col("dim_budget") == DIM).select(
+        F.col("query_id").alias("b_query_id"),
+        F.col("neighbor_id").alias("b_neighbor_id"),
+    )
+    hits = (
+        top.join(
+            base,
+            (F.col("query_id") == F.col("b_query_id"))
+            & (F.col("neighbor_id") == F.col("b_neighbor_id")),
+            "left",
+        )
+        .groupBy("dim_budget")
+        .agg(
+            F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+            F.count("b_neighbor_id").cast("bigint").alias("n_hits"),
+        )
+    )
+    basek = base.agg(F.count("*").cast("bigint").alias("total_base"))
+    return (
+        hits.join(F.broadcast(basek))
+        .select(
+            F.col("dim_budget").cast("bigint").alias("dim_budget"),
+            "n_queries",
+            "n_hits",
+            F.when(F.col("total_base") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("n_hits") / F.col("total_base").cast("double"), 6
+                )
+            )
+            .alias("recall_at_k"),
+        )
+        .orderBy("dim_budget")
+    )
+
+
+# --- margin-based bitext / pair mining ------------------------------------------
+
+MINE_KNN = 4  # neighborhood size for the margin denominator
+MINE_MARGIN_NANO = 1_050_000_000  # keep pairs with margin >= 1.05
+
+
+def _bitext_oracle() -> str:
+    return f"""
+    WITH x AS (
+      SELECT vec_id AS src_id, embedding AS qe FROM embeddings
+      WHERE label % 2 = 0 AND embedding IS NOT NULL
+    ),
+    y AS (
+      SELECT vec_id AS tgt_id, embedding AS ne FROM embeddings
+      WHERE label % 2 = 1 AND embedding IS NOT NULL
+    ),
+    p AS (SELECT src_id, tgt_id, qe, ne FROM x JOIN y ON TRUE),
+    d AS (
+      SELECT src_id, tgt_id, {_COS_SQL} AS c
+      FROM p, generate_series(1, {DIM}) g(i)
+      GROUP BY src_id, tgt_id
+    ),
+    m AS (
+      SELECT src_id, tgt_id,
+             CAST(ROUND(c * 1000000) AS BIGINT) AS cmic
+      FROM d WHERE c IS NOT NULL AND NOT isnan(c)
+    ),
+    rx AS (
+      SELECT src_id, tgt_id, cmic,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cmic DESC, tgt_id) AS rn
+      FROM m
+    ),
+    nx AS (
+      SELECT src_id, CAST(SUM(cmic) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS ka
+      FROM rx WHERE rn <= {MINE_KNN} GROUP BY src_id
+    ),
+    ry AS (
+      SELECT src_id, tgt_id, cmic,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                ORDER BY cmic DESC, src_id) AS rn
+      FROM m
+    ),
+    ny AS (
+      SELECT tgt_id, CAST(SUM(cmic) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS kb
+      FROM ry WHERE rn <= {MINE_KNN} GROUP BY tgt_id
+    ),
+    g AS (
+      SELECT m.src_id, m.tgt_id, m.cmic,
+             CASE WHEN nx.sx * ny.kb + ny.sy * nx.ka <= 0 THEN NULL
+                  ELSE CAST(ROUND(
+                    CAST(2 * m.cmic * nx.ka * ny.kb AS DOUBLE) * 1000000000.0
+                    / (nx.sx * ny.kb + ny.sy * nx.ka)) AS BIGINT)
+             END AS margin_nano
+      FROM m JOIN nx ON nx.src_id = m.src_id
+             JOIN ny ON ny.tgt_id = m.tgt_id
+    ),
+    gg AS (SELECT * FROM g WHERE margin_nano IS NOT NULL),
+    bx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY margin_nano DESC, tgt_id) AS rsrc
+      FROM gg
+    ),
+    bxy AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                   ORDER BY margin_nano DESC, src_id) AS rtgt
+      FROM bx
+    )
+    SELECT src_id, tgt_id,
+           ROUND(cmic / 1000000.0, 6) AS cosine,
+           ROUND(margin_nano / 1000000000.0, 6) AS margin
+    FROM bxy
+    WHERE rsrc = 1 AND rtgt = 1 AND margin_nano >= {MINE_MARGIN_NANO}
+    ORDER BY src_id
+    """
+
+
+@_register("embedding_bitext_mining", oracle=_bitext_oracle())
+def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining between two embedding populations — the
+    Artetxe & Schwenk (arXiv:1811.01136) ratio-margin criterion behind
+    large-scale bitext mining (CCMatrix class): a candidate pair survives
+    only if its similarity stands OUT of both endpoints' k-NN
+    neighborhoods (raw cosine thresholds over-mine hubs; the margin
+    normalizes hubness away), and the match must be MUTUAL best.
+
+    Sides here are the even/odd label halves of the embeddings table (in
+    production: the two language shards). All margin arithmetic is
+    integer: cosines quantize to micro-units ONCE, neighborhood sums are
+    exact int64, and margin = 2*c*ka*kb / (sx*kb + sy*ka) evaluates as
+    integer products with ONE shared double division — so ranking,
+    mutual-best selection, and the threshold agree bit-for-bit across
+    engines and partitionings (ln()-class lessons applied).
+
+    Shape: this demo pairs the sides brute-force (quadratic BY DESIGN, the
+    verification tool); the 100 TB path feeds the SAME margin/mutual tail
+    from an ANN shortlist (similarity_ann_ivf/_lsh per side) instead of
+    the full cross product — the tail's cost is |candidates|, and the
+    per-side windows carry (id, cmic) longs only.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.filter((F.col("label") % 2 == 0) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("qe")
+    )
+    y = e.filter((F.col("label") % 2 == 1) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("ne")
+    )
+    m = (
+        F.broadcast(x)
+        .join(y)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(cosine_arrow(F.col("qe"), F.col("ne")) * 1000000)
+            .cast("bigint")
+            .alias("cmic"),
+        )
+        .filter(F.col("cmic").isNotNull())
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.col("cmic").desc(), "tgt_id")
+    nx = (
+        m.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= MINE_KNN)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cmic").cast("bigint").alias("sx"),
+            F.count("*").cast("bigint").alias("ka"),
+        )
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(F.col("cmic").desc(), "src_id")
+    ny = (
+        m.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= MINE_KNN)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cmic").cast("bigint").alias("sy"),
+            F.count("*").cast("bigint").alias("kb"),
+        )
+    )
+    denom = F.col("sx") * F.col("kb") + F.col("sy") * F.col("ka")
+    margin_nano = F.when(denom <= 0, F.lit(None).cast("bigint")).otherwise(
+        F.round(
+            (F.lit(2) * F.col("cmic") * F.col("ka") * F.col("kb")).cast("double")
+            * 1000000000.0
+            / denom
+        ).cast("bigint")
+    )
+    g = (
+        m.join(nx, "src_id")
+        .join(ny, "tgt_id")
+        .select("src_id", "tgt_id", "cmic", margin_nano.alias("margin_nano"))
+        .filter(F.col("margin_nano").isNotNull())
+    )
+    bx = Window.partitionBy("src_id").orderBy(F.col("margin_nano").desc(), "tgt_id")
+    by = Window.partitionBy("tgt_id").orderBy(F.col("margin_nano").desc(), "src_id")
+    return (
+        g.withColumn("rsrc", F.row_number().over(bx))
+        .withColumn("rtgt", F.row_number().over(by))
+        .filter(
+            (F.col("rsrc") == 1)
+            & (F.col("rtgt") == 1)
+            & (F.col("margin_nano") >= MINE_MARGIN_NANO)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("cmic") / 1000000.0, 6).alias("cosine"),
+            F.round(F.col("margin_nano") / 1000000000.0, 6).alias("margin"),
+        )
+        .orderBy("src_id")
+    )

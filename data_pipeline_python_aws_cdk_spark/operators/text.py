@@ -2381,3 +2381,373 @@ def corpus_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vocab_size", F.sum("new_words").over(wc).cast("bigint"))
         .orderBy("decile")
     )
+
+
+# --- char-trigram language-model scoring (CCNet-style char LM) ---------------
+
+TRI_VOCAB_SIZE = 512
+TRI_OOV_PENALTY = 100
+
+# Char trigrams over the lowercased trimmed text INCLUDING spaces — the
+# standard char-LM featurization (word boundaries carry signal). The Spark
+# expression guards length >= 3 the same way BIGRAM_EXPR guards size >= 2:
+# Spark's sequence(1, 0) counts DOWN (fabricated trigrams / ANSI crash)
+# where DuckDB's generate_series(1, 0) is empty.
+_TRIGRAM_EXPR = (
+    "CASE WHEN length(nt) >= 3 THEN"
+    " transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"
+    " ELSE array() END"
+)
+
+
+def _char_trigram_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lower(trim(text)) AS nt FROM documents
+      WHERE length(lower(trim(text))) >= 3
+    ),
+    g AS (
+      SELECT doc_id, substr(nt, CAST(i AS INT), 3) AS tri
+      FROM t, unnest(generate_series(1, length(nt) - 2)) u(i)
+    ),
+    vocab AS (
+      SELECT tri AS v_tri, COUNT(*) AS c FROM g GROUP BY tri
+      ORDER BY c DESC, tri LIMIT {TRI_VOCAB_SIZE}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+    sc AS (
+      SELECT g.doc_id,
+             CASE WHEN v.v_tri IS NULL THEN 1 ELSE 0 END AS oov,
+             CASE WHEN v.v_tri IS NULL THEN
+               CAST(ROUND(ln(CAST(tot.n AS DOUBLE) * {TRI_OOV_PENALTY})
+                          * 1000000) AS BIGINT)
+             ELSE
+               CAST(ROUND(ln(CAST(tot.n AS DOUBLE) / v.c) * 1000000) AS BIGINT)
+             END AS nll_mic
+      FROM g LEFT JOIN vocab v ON v.v_tri = g.tri CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(SUM(oov) * 1.0 / COUNT(*), 6) AS oov_rate,
+           ROUND(CAST(SUM(nll_mic) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+             AS avg_nll
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("text_char_trigram_nll", oracle=_char_trigram_oracle())
+def text_char_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality scoring — the character-level member of the
+    CCNet-style filter family (text_lm_score is its word-unigram sibling;
+    KenLM char models are the production analogue). Character LMs catch
+    what word models can't: encoding mojibake, ransom-note casing, and
+    non-linguistic character soup score high NLL even when every "word" is
+    in-vocabulary.
+
+    Two-pass broadcast-model shape (same as text_lm_score): pass 1 counts
+    trigrams (one map-side-combined shuffle over trigram keys) and keeps
+    the top-{TRI_VOCAB_SIZE} vocabulary with the deterministic
+    (count DESC, trigram) tie-break; the fitted model broadcasts onto the
+    trigram stream, so pass 2 is map-side scoring + one per-doc
+    aggregation. Corpus bodies never shuffle.
+
+    Float discipline: ln() is quantized to integer micro-units PER
+    VOCABULARY ENTRY (|vocab|+1 trials, not |corpus-row| trials) — the
+    same 1-ulp-exposure bound as the BM25 idf — and per-doc totals are
+    exact int64 sums, so partition layout and engine agree bit-for-bit;
+    the only float ops are the shared ln/round and two final divisions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.lower(F.trim(F.col("text")))
+    tri = (
+        d.select("doc_id", nt.alias("nt"))
+        .filter(F.length("nt") >= 3)
+        .select("doc_id", F.explode(F.expr(_TRIGRAM_EXPR)).alias("tri"))
+    )
+    vocab = (
+        tri.groupBy("tri")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tri")
+        .limit(TRI_VOCAB_SIZE)
+        .withColumnRenamed("tri", "v_tri")
+    )
+    total = tri.agg(F.count("*").cast("bigint").alias("n"))
+    oov = F.col("v_tri").isNull()
+    nll_mic = (
+        F.when(
+            oov,
+            F.round(
+                F.log(F.col("n").cast("double") * TRI_OOV_PENALTY) * 1000000
+            ),
+        )
+        .otherwise(
+            F.round(F.log(F.col("n").cast("double") / F.col("c")) * 1000000)
+        )
+        .cast("bigint")
+    )
+    scored = (
+        tri.join(F.broadcast(vocab), F.col("tri") == F.col("v_tri"), "left")
+        .join(F.broadcast(total))
+        .select("doc_id", oov.cast("int").alias("oov"), nll_mic.alias("nll_mic"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.round(F.sum("oov") * F.lit(1.0) / F.count("*"), 6).alias("oov_rate"),
+            F.round(
+                F.sum("nll_mic").cast("double") / (F.count("*") * 1000000.0), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- cumulative quality-filter funnel -----------------------------------------
+
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 80
+FUNNEL_MIN_AVG_TOKEN_LEN = 2.0
+FUNNEL_MAX_AVG_TOKEN_LEN = 12.0
+FUNNEL_STOPWORD_RE = "(^|\\s)(the|a|and|of|in|to)(\\s|$)"
+FUNNEL_DUP_WINDOW = 3  # duplicated-trigram-window rule (see intra_doc op)
+
+_FUNNEL_RULES = (
+    "min_tokens",
+    "max_tokens",
+    "avg_token_len",
+    "has_stopword",
+    "no_dup_trigram_window",
+)
+
+
+def _funnel_oracle() -> str:
+    w = FUNNEL_DUP_WINDOW
+    steps = []
+    for k, rule in enumerate(_FUNNEL_RULES, start=1):
+        prev = "total" if k == 1 else f"r{k - 1}"
+        steps.append(
+            f"SELECT {k} AS step, '{rule}' AS rule, {prev} AS docs_in,"
+            f" r{k} AS docs_remaining, {prev} - r{k} AS dropped,"
+            f" CASE WHEN {prev} = 0 THEN NULL"
+            f" ELSE ROUND(({prev} - r{k}) * 1.0 / {prev}, 6) END AS drop_rate"
+            " FROM agg"
+        )
+        k += 1
+    union = "\nUNION ALL\n".join(steps)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS chars,
+             len(regexp_extract_all(lower(text), '{FUNNEL_STOPWORD_RE}'))
+               AS n_stop,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, array_to_string(toks[i:i+{w - 1}], ' ') AS win
+      FROM t, unnest(generate_series(1, len(toks) - {w - 1})) u(i)
+      WHERE len(toks) >= {w}
+    ),
+    dup AS (
+      SELECT doc_id,
+             COUNT(*) - COUNT(DISTINCT win) AS dup_windows
+      FROM win GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT t.doc_id,
+             CASE WHEN t.n_tokens >= {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS f1,
+             CASE WHEN t.n_tokens <= {FUNNEL_MAX_TOKENS} THEN 1 ELSE 0 END AS f2,
+             CASE WHEN t.chars * 1.0 / t.n_tokens
+                       BETWEEN {FUNNEL_MIN_AVG_TOKEN_LEN}
+                       AND {FUNNEL_MAX_AVG_TOKEN_LEN} THEN 1 ELSE 0 END AS f3,
+             CASE WHEN t.n_stop >= 1 THEN 1 ELSE 0 END AS f4,
+             CASE WHEN COALESCE(dup.dup_windows, 0) = 0 THEN 1 ELSE 0 END AS f5
+      FROM t LEFT JOIN dup ON dup.doc_id = t.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(f1) AS BIGINT) AS r1,
+             CAST(SUM(f1 * f2) AS BIGINT) AS r2,
+             CAST(SUM(f1 * f2 * f3) AS BIGINT) AS r3,
+             CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT) AS r4,
+             CAST(SUM(f1 * f2 * f3 * f4 * f5) AS BIGINT) AS r5
+      FROM flags
+    )
+    SELECT CAST(step AS BIGINT) AS step, rule,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_remaining AS BIGINT) AS docs_remaining,
+           CAST(dropped AS BIGINT) AS dropped, drop_rate
+    FROM ({union}) ORDER BY step
+    """
+
+
+@_register("corpus_filter_funnel", oracle=_funnel_oracle())
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-filter funnel: documents surviving each successive
+    Gopher/C4-style rule (min/max length, mean word length, stopword
+    presence, no duplicated trigram window), applied IN ORDER.
+
+    corpus_quality_gate reports per-source pass rates for independent
+    thresholds; the funnel is the other operational view — rule ORDER
+    matters when each stage's cost is paid only by survivors, and the
+    per-step drop rate is what you tune when a filter chain eats 40% of a
+    crawl. Shape: one map pass computes the cheap flags; the duplicated-
+    window flag joins a per-doc aggregate of the trigram-window stream
+    (the ONE shuffle, map-side combined); the funnel itself is a single
+    5-product aggregation folded to one row, exploded to 5 presentation
+    rows via stack. At 100 TB: corpus-linear, bodies never shuffle,
+    output is |rules| rows.
+    """
+    w = FUNNEL_DUP_WINDOW
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select(
+        "doc_id",
+        ws_token_count("text").alias("n_tokens"),
+        F.length("text").alias("chars"),
+        # F.lit(pattern), not an F.expr SQL literal: the SQL parser would
+        # eat the \s escape and silently match nothing (0 stopwords).
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(FUNNEL_STOPWORD_RE), F.lit(0)
+            )
+        ).alias("n_stop"),
+        toks.alias("toks"),
+    )
+    win_expr = (
+        f"CASE WHEN size(toks) >= {w} THEN"
+        f" transform(sequence(1, size(toks) - {w - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {w})))"
+        " ELSE array() END"
+    )
+    dup = (
+        t.select("doc_id", F.explode(F.expr(win_expr)).alias("win"))
+        .groupBy("doc_id", "win")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.sum("c") - F.count("*")).alias("dup_windows"))
+    )
+    flags = t.join(dup, "doc_id", "left").select(
+        (F.col("n_tokens") >= FUNNEL_MIN_TOKENS).cast("long").alias("f1"),
+        (F.col("n_tokens") <= FUNNEL_MAX_TOKENS).cast("long").alias("f2"),
+        (
+            (F.col("chars") * 1.0 / F.col("n_tokens"))
+            .between(FUNNEL_MIN_AVG_TOKEN_LEN, FUNNEL_MAX_AVG_TOKEN_LEN)
+        )
+        .cast("long")
+        .alias("f3"),
+        (F.col("n_stop") >= 1).cast("long").alias("f4"),
+        (F.coalesce(F.col("dup_windows"), F.lit(0)) == 0).cast("long").alias("f5"),
+    )
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("total"),
+        F.sum("f1").cast("bigint").alias("r1"),
+        F.sum(F.col("f1") * F.col("f2")).cast("bigint").alias("r2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).cast("bigint").alias("r3"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4"))
+        .cast("bigint")
+        .alias("r4"),
+        F.sum(
+            F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4") * F.col("f5")
+        )
+        .cast("bigint")
+        .alias("r5"),
+    )
+    stack_args = []
+    for k, rule in enumerate(_FUNNEL_RULES, start=1):
+        prev = "total" if k == 1 else f"r{k - 1}"
+        # CAST(... AS DOUBLE), not * 1.0: a 1.0 literal inside F.expr SQL
+        # parses as DECIMAL(2,1) and the ratio comes out DECIMAL — a width
+        # mismatch against the oracle's DOUBLE even when values agree.
+        stack_args.append(
+            f"CAST({k} AS BIGINT), '{rule}', {prev}, r{k}, {prev} - r{k},"
+            f" CASE WHEN {prev} = 0 THEN NULL"
+            f" ELSE ROUND(({prev} - r{k}) / CAST({prev} AS DOUBLE), 6) END"
+        )
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(_FUNNEL_RULES)}, "
+                + ", ".join(stack_args)
+                + ") AS (step, rule, docs_in, docs_remaining, dropped, drop_rate)"
+            )
+        )
+        .orderBy("step")
+    )
+
+
+# --- intra-document duplicated-window detection --------------------------------
+
+REP_WINDOW = 3  # token-window width for the generation-loop detector
+
+
+def _intra_doc_oracle() -> str:
+    w = REP_WINDOW
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, array_to_string(toks[i:i+{w - 1}], ' ') AS win
+      FROM t, unnest(generate_series(1, len(toks) - {w - 1})) u(i)
+      WHERE len(toks) >= {w}
+    ),
+    per AS (
+      SELECT doc_id, win, COUNT(*) AS c FROM win GROUP BY doc_id, win
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS distinct_windows,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_window_frac,
+           CAST(MAX(c) AS BIGINT) AS max_repeat
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("text_intra_doc_repetition", oracle=_intra_doc_oracle())
+def text_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicated-window detection: per document, how much of
+    its own {REP_WINDOW}-token window stream repeats — the generation-loop
+    / template-spam detector (a looping generator re-emits the same short
+    window; a scraped template repeats its chrome inside one page).
+    text_repetition_stats reports the TOP word/bigram share; this reports
+    the full duplication mass (dup fraction + worst repeat count) over
+    overlapping windows, which catches loops whose period is longer than a
+    bigram.
+
+    Shape: window explode is map-side; the (doc_id, window) count shuffle
+    partially aggregates each document's repeats map-side (docs live in
+    one input split, so the exchange carries ~distinct-windows-per-doc
+    rows); the per-doc fold-up is doc-scale. Documents shorter than
+    {REP_WINDOW} tokens have no window stream and are absent — the same
+    convention as the shingle operators.
+    """
+    w = REP_WINDOW
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", lower_ws_tokens("text").alias("toks")).filter(
+        F.size("toks") >= w
+    )
+    win_expr = (
+        f"transform(sequence(1, size(toks) - {w - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {w})))"
+    )
+    per = (
+        t.select("doc_id", F.explode(F.expr(win_expr)).alias("win"))
+        .groupBy("doc_id", "win")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_windows"),
+            F.count("*").cast("bigint").alias("distinct_windows"),
+            F.round(1.0 - F.count("*") * F.lit(1.0) / F.sum("c"), 6).alias(
+                "dup_window_frac"
+            ),
+            F.max("c").cast("bigint").alias("max_repeat"),
+        )
+        .orderBy("doc_id")
+    )

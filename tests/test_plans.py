@@ -222,6 +222,13 @@ QUADRATIC_BY_DESIGN = {
     "contrastive_training_pairs",  # broadcast queries x corpus (topk's shape),
     #                                + the anti-joined random-negative pool
     "embedding_drift_report",  # cross join against the ONE-ROW midpoint scalar
+    "text_char_trigram_nll",   # cross join against the ONE-ROW trigram total
+                               # (text_lm_score's class)
+    "embedding_matryoshka_recall",  # composes similarity_topk's broadcast
+                                    # queries per dim budget + ONE-ROW base count
+    "embedding_bitext_mining",  # brute-force side x side demo of the margin
+                                # tail (quadratic BY DESIGN — the ANN shortlist
+                                # is the production feed, see docstring)
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
