@@ -138,6 +138,21 @@ def main(argv: list[str] | None = None) -> int:
         "--mode", default="hybrid", choices=["bm25", "semantic", "hybrid"]
     )
 
+    p_mine = sub.add_parser(
+        "mine",
+        help="margin-based pair mining over the embedding sides (bitext class)",
+    )
+    p_mine.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_mine.add_argument("--output", required=True, help="mined-pairs destination")
+
+    p_fun = sub.add_parser(
+        "funnel", help="cumulative quality-filter funnel report over documents"
+    )
+    p_fun.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_fun.add_argument(
+        "--output", default=None, help="optional parquet destination for the report"
+    )
+
     p_ins = sub.add_parser(
         "inspect", help="storage-health report (files/bytes/row-groups) for a dataset"
     )
@@ -288,6 +303,45 @@ def main(argv: list[str] | None = None) -> int:
                     "statusCode": 200,
                     "mode": args.mode,
                     "rows": n,
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "mine":
+        from .operators.similarity import embedding_bitext_mining
+
+        pairs = embedding_bitext_mining(spark, args.sf_dir)
+        pairs.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            json.dumps(
+                {"statusCode": 200, "mined_pairs": n, "output": args.output}
+            )
+        )
+        return 0
+
+    if args.cmd == "funnel":
+        from .operators.text import corpus_filter_funnel
+
+        report = corpus_filter_funnel(spark, args.sf_dir)
+        rows = report.collect()
+        if args.output:
+            report.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "steps": [
+                        {
+                            "step": r.step,
+                            "rule": r.rule,
+                            "docs_in": r.docs_in,
+                            "docs_remaining": r.docs_remaining,
+                        }
+                        for r in rows
+                    ],
                     "output": args.output,
                 }
             )

@@ -646,3 +646,35 @@ def test_cli_retrieve_all_modes(spark, tmp_path, capsys):
         assert st["statusCode"] == 200 and st["mode"] == mode and st["rows"] > 0
     hybrid = spark.read.parquet(str(tmp_path / "ret_hybrid"))
     assert {"in_lexical", "in_semantic", "rrf", "rank"} <= set(hybrid.columns)
+
+
+def test_cli_mine_and_funnel(spark, tmp_path, capsys):
+    """`jobs mine` persists the margin-mined pair table; `jobs funnel`
+    prints the ordered rule ledger (and optionally persists it)."""
+    import json
+
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "mined")
+    rc = jobs.main(["mine", "--sf-dir", SF_SMOKE, "--output", out])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200 and st["mined_pairs"] > 0
+    mined = spark.read.parquet(out)
+    assert {"src_id", "tgt_id", "cosine", "margin"} <= set(mined.columns)
+    # mutual-best: each src and each tgt appears at most once
+    assert mined.count() == mined.select("src_id").distinct().count()
+    assert mined.count() == mined.select("tgt_id").distinct().count()
+
+    fout = str(tmp_path / "funnel")
+    rc = jobs.main(["funnel", "--sf-dir", SF_SMOKE, "--output", fout])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    steps = st["steps"]
+    assert [s["step"] for s in steps] == [1, 2, 3, 4, 5]
+    # the funnel is monotone: docs_remaining never increases, and each
+    # step's docs_in equals the previous step's docs_remaining
+    for a, b in zip(steps, steps[1:]):
+        assert b["docs_in"] == a["docs_remaining"]
+        assert b["docs_remaining"] <= a["docs_remaining"]
+    assert spark.read.parquet(fout).count() == 5
