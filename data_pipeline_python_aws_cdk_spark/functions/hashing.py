@@ -107,10 +107,14 @@ def assert_hash_mode_meta(spark, index_dir: str) -> None:
     as-is (every build in this repo now writes one, so the unguarded
     surface only shrinks).
     """
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(f"{index_dir}/_meta").collect()
-    except Exception:  # noqa: BLE001 — pre-guard index: nothing recorded
+    except AnalysisException:  # pre-guard index: no _meta path recorded
         return
+    # Any other failure (corrupt sidecar, transient FS error) must surface —
+    # swallowing it would silently disable the very guard this implements.
     built = rows[0].hash_mode if rows else None
     active = hash_mode()
     if built is not None and built != active:

@@ -326,9 +326,14 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.text import corpus_filter_funnel
 
         report = corpus_filter_funnel(spark, args.sf_dir)
-        rows = report.collect()
         if args.output:
+            # Write once, read the persisted parquet back for the ledger —
+            # collect() + write() would run the funnel (window explode +
+            # shuffle) twice.
             report.write.mode("overwrite").parquet(args.output)
+            rows = spark.read.parquet(args.output).orderBy("step").collect()
+        else:
+            rows = report.collect()
         print(
             json.dumps(
                 {

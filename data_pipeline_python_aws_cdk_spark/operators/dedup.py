@@ -2377,6 +2377,14 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination/boilerplate family; a frequency-sketch variant (CMS
     over shingles, map-side novelty test) is the drop-in if even the
     df join is unwanted.
+
+    Collision exposure: document frequency is computed over hash60(shingle),
+    so two distinct shingles colliding (~2^-60 per pair) would mark a novel
+    shingle as duplicated with no rerank step to catch it (unlike the LSH
+    candidate → verify pattern). Accepted: at 100 TB the hash stream is the
+    whole point (8-byte keys instead of shingle strings in the shuffle), and
+    the expected collision count stays ≪ 1 until ~10^8 distinct shingles
+    per-pair-tested against each other.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, distinct=True).select("doc_id", hash60(F.col("s")).alias("h"))

@@ -2387,6 +2387,10 @@ def pq_probe_indexed(
 # --- matryoshka (truncated-dimension) recall report ----------------------------
 
 MRL_BUDGETS = (8, 16, 32, 64)  # prefix-dimension budgets; last = full DIM
+# The recall baseline is the dim_budget == DIM slice; if either constant
+# drifts, `base` is empty and every recall_at_k silently becomes NULL in
+# BOTH engines — enforce the invariant loudly at import time.
+assert MRL_BUDGETS[-1] == DIM, "MRL_BUDGETS must end at the full dimension"
 
 
 def _matryoshka_oracle() -> str:

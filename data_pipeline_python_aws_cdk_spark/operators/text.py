@@ -2533,7 +2533,6 @@ def _funnel_oracle() -> str:
             f" ELSE ROUND(({prev} - r{k}) * 1.0 / {prev}, 6) END AS drop_rate"
             " FROM agg"
         )
-        k += 1
     union = "\nUNION ALL\n".join(steps)
     return f"""
     WITH t AS (

@@ -35,6 +35,11 @@ BASE = "/root/testdata/sf0.001"
 
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hostile_sf"
+    if out.startswith("-"):
+        # `python tools/hostile_dataset.py --help` must print usage, not
+        # create a directory literally named "--help" full of parquet.
+        print(__doc__)
+        return 2 if out not in ("-h", "--help") else 0
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(
