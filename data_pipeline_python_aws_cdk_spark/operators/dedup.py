@@ -113,6 +113,68 @@ def _shingles(d: DataFrame, distinct: bool = True) -> DataFrame:
     return shm.distinct() if distinct else shm
 
 
+def _doc_shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, sset: array<bigint>, n) — each doc's distinct hashed-bigram
+    set assembled IN-ROW, with no shuffle at all.
+
+    A document's shingles all live in its own row, so the explode →
+    groupBy(collect_set) round-trip is pure waste: ``array_distinct`` over
+    the bigram array builds the identical set map-side. Per-row state is
+    bounded by the document's own length — the same bound collect_set's
+    aggregation state had — but the plan loses one corpus-scale exchange
+    and one serial AQE stage. Values match the exploded path bit-for-bit:
+    same tokenizer contract, same hash60 family, same sort order.
+    """
+    t = d.select(
+        "doc_id", lower_ws_tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    hashed = F.transform(F.expr(BIGRAM_EXPR), lambda s: hash60(s))
+    # The coalesce is a NULLABILITY ANNOTATION, not a value change: the
+    # size(toks) >= 2 filter already drops NULL-token rows, so the empty-array
+    # branch never fires. Without it, a downstream join condition touching
+    # sset makes InferFiltersFromConstraints add isnotnull(sset) and push it
+    # THROUGH this projection — re-inlining the whole nested
+    # transform/sequence tree (split() re-evaluated per element) as an
+    # interpreted filter, a measured 6x slowdown of the broadcast-build
+    # stage. A non-nullable sset infers no constraint.
+    sset = F.coalesce(
+        F.sort_array(F.array_distinct(hashed)),
+        F.array().cast("array<bigint>"),
+    )
+    return t.select("doc_id", sset.alias("sset")).withColumn(
+        "n", F.size("sset")
+    )
+
+
+def _pair_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate ``pairs`` given per-doc shingle sets.
+
+    ONE broadcast of the set table serves both pair-side joins — the two
+    join sides are alias references to the identical broadcast child, so
+    their BroadcastExchanges canonicalize equal and Spark reuses the first
+    build (ReusedExchange). ``array_intersect`` then computes overlap in a
+    single map stage. Candidate docs are the near-dup fraction, so the
+    broadcast is candidate-bounded, never corpus-scale.
+    """
+    sa = F.broadcast(sets).alias("sa")
+    sb = F.broadcast(sets).alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "common",
+            F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset"))),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            * F.lit(1.0)
+            / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
+        )
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over distinct-shingle sets.
 
@@ -123,40 +185,18 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
     - all-pairs: inverted-index self-join on the shingle — the only way to
       avoid enumerating the quadratic pair space.
-    - candidates: one groupBy packs each candidate doc's shingle set into a
-      sorted array (candidate docs are the near-dup fraction, so the arrays
-      are few), then ONE broadcast of that set table serves both pair-side
-      joins — the two join sides are alias references to the identical
-      broadcast child, so their BroadcastExchanges canonicalize equal and
-      Spark reuses the first build (ReusedExchange). ``array_intersect``
-      then computes overlap in a single map stage. No cut point and no
-      corpus-scale state: the set-building lineage executes exactly once,
-      inside the one broadcast build.
+    - candidates: per-doc sets (built by the caller, map-only via
+      _doc_shingle_sets) broadcast once into both pair-side joins —
+      see _pair_jaccard_sets.
     """
     if pairs is not None:
-        # n derives from the set, not count(*): the candidate path may feed
-        # RAW (non-distinct) shingles so that collect_set does the dedup
-        # inside the aggregation instead of a separate distinct() shuffle.
+        # Legacy shape for exploded-stream callers: collect_set rebuilds the
+        # per-doc set (dedup inside the aggregation, no separate distinct()
+        # shuffle). The minhash path bypasses this via _doc_shingle_sets.
         sets = sh.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("s")).alias("sset"),
         ).withColumn("n", F.size("sset"))
-        sa = F.broadcast(sets).alias("sa")
-        sb = F.broadcast(sets).alias("sb")
-        return (
-            pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-            .withColumn(
-                "common",
-                F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset"))),
-            )
-            .withColumn(
-                "jaccard",
-                F.col("common")
-                * F.lit(1.0)
-                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
-            )
-            .select("doc_a", "doc_b", "common", "jaccard")
-        )
+        return _pair_jaccard_sets(sets, pairs)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -280,7 +320,19 @@ def _minhash_oracle() -> str:
 
 def _minhash_signature_table(d: DataFrame) -> DataFrame:
     """(doc_id, m0..m{K-1}) — all K min-hashes in ONE groupBy pass over one
-    base hash per shingle (see _minhash_candidates for the cost analysis)."""
+    base hash per shingle (see _minhash_candidates for the cost analysis).
+
+    The explode + groupBy shape is deliberate, re-validated after an
+    in-row rewrite attempt: computing the K minima as array_min folds over
+    an in-row base array avoids this shuffle but pays 1.5x scan-stage CPU
+    (higher-order functions evaluate interpreted, outside whole-stage
+    codegen) and drives Catalyst optimization time super-linear on the
+    16-transform expression tree (~5 s of planning per query at ANY data
+    size). The exploded stream keeps every hot expression inside codegen;
+    the shuffle it pays carries |docs| x K integers after map-side partial
+    mins — docs' shingles are scan-local, so the partial aggregation
+    already reduces to one row per doc before the exchange.
+    """
     base = hash60(F.col("s")) % MINHASH_PRIME
     hb = _shingles(d, distinct=False).select("doc_id", base.alias("base"))
     return hb.groupBy("doc_id").agg(
@@ -341,9 +393,19 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
         a.join(b, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        # The repartition is load-bearing, not cosmetic: it pins an EXPLICIT
+        # shuffle exchange on the pair stream, giving the candidate subtree a
+        # planner-independent AQE materialization point. Without it, whenever
+        # the planner broadcasts the band join (runtime stats at small SF),
+        # the join output's stream-side partitioning satisfies the distinct
+        # and NO exchange survives between the candidate pipeline and its
+        # three consumers in dedup_minhash_lsh — each then re-executes the
+        # corpus-scale signature pipeline from the scan (observed: 14 scans,
+        # 3x wall time). The pair stream is candidate-scale, so the exchange
+        # itself is cheap at any SF; distinct then runs exchange-free on top.
+        .repartition("doc_a", "doc_b")
         .distinct()
     )
-
 
 @_register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,11 +425,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       so the corpus-wide ``distinct()`` shuffle is skipped entirely — the
       only corpus-scale shuffle is the map-side-combined groupBy(doc_id).
     - Verification re-derives shingles from the candidate docs only
-      (a broadcast semi-join on the candidate id set), so the distinct()
-      that Jaccard counting genuinely needs runs on the near-dup subset,
-      not the corpus. At 100 TB the candidate set is the interesting
-      fraction of the data; the corpus-sized shingle index is never
-      shuffled or pinned.
+      (a broadcast semi-join on the candidate id set), and builds each
+      doc's shingle set IN-ROW (_doc_shingle_sets: array_distinct over the
+      bigram array — a doc's shingles never leave its row), so verification
+      adds NO shuffle at all: the pruned scan feeds the set broadcast
+      directly. At 100 TB the candidate set is the interesting fraction of
+      the data; the corpus-sized shingle index is never shuffled or pinned.
     - Verification intersects 60-bit shingle HASHES, not strings: the
       collect_set aggregation state, the broadcast set table, and every
       array_intersect comparison carry 8-byte longs instead of ~15-byte
@@ -389,11 +452,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # put into every downstream stage (the r02 bench's "broadcasting large
     # task binary" warnings).
     cand = _minhash_candidates(d)
-    # Exact-Jaccard verification over candidate docs only: shingle the
-    # candidate subset (broadcast semi-join prunes the corpus scan), then
-    # run the set intersection on that small set. Raw (non-distinct)
-    # shingles feed collect_set directly — the dedup happens inside the
-    # aggregation, skipping a separate distinct() shuffle.
+    # Exact-Jaccard verification over candidate docs only: the broadcast
+    # semi-join prunes the corpus scan, and the per-doc shingle sets are
+    # assembled in-row (map-only — no explode, no collect_set shuffle), so
+    # the verification half of the plan contributes zero exchanges beyond
+    # its two broadcasts.
     #
     # The id list is NOT de-duplicated: a LEFT SEMI join keys the probe on
     # set membership, so the broadcast hash build absorbs duplicate ids and
@@ -404,11 +467,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
-    sh_cand = _shingles(
-        d.join(F.broadcast(cand_ids), "doc_id", "left_semi"), distinct=False
+    sets = _doc_shingle_sets(
+        d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     )
-    hashed = sh_cand.select("doc_id", hash60(F.col("s")).alias("s"))
-    verified = _pair_jaccard(hashed, pairs=cand)
+    verified = _pair_jaccard_sets(sets, pairs=cand)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )

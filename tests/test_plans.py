@@ -155,6 +155,14 @@ def test_minhash_full_query_reuses_candidate_exchange(spark):
     plan = _plan(out)
     assert "ReusedExchange" in plan
     assert "Checkpoint" not in plan
+    # The FINAL adaptive plan must read the corpus exactly twice: once for
+    # the signature pipeline, once for the candidate-pruned verification
+    # scan. When the candidate subtree loses its materialization point (the
+    # explicit pair repartition in _minhash_candidates), each of its three
+    # consumers re-executes the pipeline from the scan — observed as 14
+    # scans / 3x wall time before the anchor was pinned.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, final.count("Scan parquet")
 
 
 def test_pack_sequences_single_bucket_shuffle_no_global_window(spark):
