@@ -2464,3 +2464,69 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _dedup_impact_oracle() -> str:
+    chain, final_select = _clusters_oracle_parts()
+    return f"""
+    WITH RECURSIVE {chain},
+    clusters AS ({final_select}),
+    surv AS (
+      SELECT d.doc_id, d.source,
+             len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS n_tokens,
+             (c.doc_id IS NULL OR c.cluster_id = d.doc_id) AS is_survivor
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL AND trim(d.text) <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(CASE WHEN is_survivor THEN 0 ELSE 1 END) AS BIGINT)
+             AS docs_dropped,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN is_survivor THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS tokens_dropped,
+           ROUND(SUM(CASE WHEN is_survivor THEN 0 ELSE n_tokens END) * 1.0
+                 / SUM(n_tokens), 6) AS token_drop_rate
+    FROM surv GROUP BY source ORDER BY source
+    """
+
+
+@_register("corpus_dedup_impact_report", oracle=_dedup_impact_oracle())
+def corpus_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What deduplication actually costs, per source: documents and tokens
+    that the survivor policy (dedup_survivors: min-id representative per
+    near-dup cluster) would drop, with the per-source token drop rate.
+    This is the accounting surface a curation review reads before
+    committing a dedup pass — a source with an outlier drop rate is
+    either a mirror/scrape (working as intended) or a false-positive
+    cluster problem (threshold too loose for that domain), and this
+    report is what routes the investigation.
+
+    Shape: survivor assignment is subgraph-scale (dedup_clusters on the
+    near-dup pair graph); the corpus side contributes one scan projecting
+    (doc_id, source, token count) and a left join keyed on doc_id — text
+    never shuffles — collapsing into a |sources|-bounded rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    surv = dedup_survivors(spark, sf_dir).select("doc_id", "is_survivor")
+    t = (
+        d.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", "source", lower_ws_tokens("text").alias("toks"))
+        .select("doc_id", "source", F.size("toks").alias("n_tokens"))
+    )
+    j = t.join(surv, "doc_id", "left")
+    dropped_docs = F.when(F.col("is_survivor"), 0).otherwise(1)
+    dropped_toks = F.when(F.col("is_survivor"), 0).otherwise(F.col("n_tokens"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_total"),
+            F.sum(dropped_docs).cast("bigint").alias("docs_dropped"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(dropped_toks).cast("bigint").alias("tokens_dropped"),
+            F.round(
+                F.sum(dropped_toks) * F.lit(1.0) / F.sum("n_tokens"), 6
+            ).alias("token_drop_rate"),
+        )
+        .orderBy("source")
+    )

@@ -2695,3 +2695,263 @@ def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_id")
     )
+
+
+# --- Mahalanobis (diagonal) outlier scoring ------------------------------------
+
+MDIST_OUTLIER_THRESHOLD = 1.5  # RMS z-score units
+
+
+@_register(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH stats AS (
+      SELECT g.i AS dim,
+             ROUND(AVG(embedding[g.i]::DOUBLE), 4) + 0 AS mean,
+             ROUND(STDDEV_POP(embedding[g.i]::DOUBLE), 4) + 0 AS std
+      FROM embeddings, generate_series(1, {DIM}) g(i)
+      GROUP BY g.i
+    ),
+    per AS (
+      SELECT e.vec_id,
+             SUM(CAST(ROUND(CASE WHEN s.std > 0
+                       THEN POWER((e.embedding[s.dim]::DOUBLE - s.mean) / s.std, 2)
+                       ELSE 0 END, 6) * 1000000 AS BIGINT)) AS m2_micro
+      FROM embeddings e CROSS JOIN stats s
+      WHERE e.embedding IS NOT NULL
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id,
+           ROUND(sqrt(m2_micro / 1000000.0 / {DIM}), 4) + 0 AS m_dist,
+           (ROUND(sqrt(m2_micro / 1000000.0 / {DIM}), 4)
+            >= {MDIST_OUTLIER_THRESHOLD}) AS is_outlier
+    FROM per ORDER BY vec_id
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Mahalanobis outlier score per vector — the
+    embedding-space data-cleaning gate: encoder glitches, wrong-modality
+    rows and corrupted inputs land far from the per-dimension distribution
+    and surface here before they poison centroids, ANN probes or training
+    batches. Reported as the RMS z-score sqrt(sum((x-mu)/sigma)^2 / DIM),
+    so the threshold reads in "average sigmas per dimension".
+
+    Shape: per-dim stats are one DIM-bounded conditional aggregation (the
+    embedding_dim_stats geometry); the one-row (means, stds) array pair
+    broadcasts back and scoring is an IN-ROW zip_with fold — the corpus
+    crosses no exchange to be scored. Per-dimension terms are rounded to
+    6dp and summed in integer micro-units, so the cross-vector sum is
+    associative and engine-order-independent; zero-variance dimensions
+    contribute 0 (they carry no information to be an outlier in).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = (
+        e.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("x").cast("double").alias("x"),
+        )
+    )
+    stats = v.groupBy("dim").agg(
+        (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("mean"),
+        (F.round(F.stddev_pop("x"), 4) + F.lit(0.0)).alias("std"),
+    )
+    one = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "std"))),
+            lambda s: s["std"],
+        ).alias("stds"),
+    )
+    diffs = F.zip_with(
+        F.col("embedding"), F.col("means"), lambda x, m: x.cast("double") - m
+    )
+    terms = F.zip_with(
+        diffs,
+        F.col("stds"),
+        lambda d, s: F.when(s > 0, F.pow(d / s, F.lit(2.0))).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    m2_micro = F.aggregate(
+        terms,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + (F.round(t, 6) * 1000000).cast("bigint"),
+    )
+    m_dist = F.round(
+        F.sqrt(m2_micro / F.lit(1000000.0) / F.lit(float(DIM))), 4
+    ) + F.lit(0.0)
+    return (
+        e.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(one))
+        .select(
+            "vec_id",
+            m_dist.alias("m_dist"),
+            (m_dist >= F.lit(MDIST_OUTLIER_THRESHOLD)).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- nearest-centroid classification + confusion matrix ------------------------
+
+_CENT_COS_SQL = (
+    "SUM(ve[i]::DOUBLE * ce[i]::DOUBLE)"
+    " / (sqrt(SUM(ve[i]::DOUBLE * ve[i]::DOUBLE))"
+    " * sqrt(SUM(ce[i]::DOUBLE * ce[i]::DOUBLE)))"
+)
+
+
+@_register(
+    "similarity_centroid_classify",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, g.i AS dim,
+             ROUND(AVG(embedding[g.i]::DOUBLE), 4) + 0 AS mean
+      FROM embeddings, generate_series(1, {DIM}) g(i)
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+      GROUP BY label, g.i
+    ),
+    ca AS (
+      SELECT label AS c_label, list(mean ORDER BY dim) AS ce
+      FROM cent GROUP BY label
+    ),
+    v AS (
+      SELECT vec_id, label AS true_label, embedding AS ve
+      FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+        AND list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0
+    ),
+    scored AS (
+      SELECT v.vec_id, v.true_label, ca.c_label,
+             ROUND((SELECT {_CENT_COS_SQL}
+                    FROM generate_series(1, {DIM}) g(i)), 6) AS c
+      FROM v CROSS JOIN ca
+    ),
+    pred AS (
+      SELECT vec_id, true_label, c_label AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY c DESC, c_label ASC) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT true_label, pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY true_label), 6)
+             AS frac_of_true
+    FROM pred GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def similarity_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-label-centroid classification with its confusion matrix —
+    the label-quality audit: how separable the label space is in
+    embedding geometry, which labels bleed into which, and (diagonal
+    fraction) how much a trivial centroid classifier already recovers.
+    The complement of similarity_knn_label_vote: prototype-based instead
+    of instance-based, so disagreement between the two surfaces
+    border-region structure.
+
+    Shape: centroids are a |labels| x DIM conditional aggregation; the
+    label-bounded centroid-array table broadcasts into a corpus cross
+    join (|labels| skinny rows per vector), and the per-vector argmax is
+    one max(struct) aggregation keyed by vec_id — the only corpus-scale
+    exchange carries (vec_id, rounded cosine, label) triples, never
+    vectors. The confusion rollup is |labels|^2-bounded. Ties break to
+    the smallest label on the ROUNDED cosine in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    lab = e.filter(F.col("label").isNotNull() & F.col("embedding").isNotNull())
+    cent = (
+        lab.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg((F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias("mean"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s["mean"],
+            ).alias("ce")
+        )
+        .select(F.col("label").alias("c_label"), "ce")
+    )
+    v = lab.filter(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        > 0
+    ).select("vec_id", F.col("label").alias("true_label"), F.col("embedding").alias("ve"))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "true_label",
+        "c_label",
+        F.round(cosine_arrow(F.col("ve"), F.col("ce")), 6).alias("c"),
+    )
+    pred = (
+        scored.groupBy("vec_id", "true_label")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("c_label")).alias("nl"))).alias("m"))
+        .select("true_label", (-F.col("m.nl")).alias("pred_label"))
+    )
+    w = Window.partitionBy("true_label")
+    agg = pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return agg.select(
+        "true_label",
+        "pred_label",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w), 6).alias(
+            "frac_of_true"
+        ),
+    ).orderBy("true_label", "pred_label")
+
+
+# --- hubness diagnostic over the exact top-k lists -----------------------------
+
+
+def _hubness_oracle() -> str:
+    topk = ORACLES["similarity_topk"]
+    return f"""
+    WITH topk AS ({topk}),
+    occ AS (SELECT neighbor_id, COUNT(*) AS n_lists
+            FROM topk GROUP BY neighbor_id)
+    SELECT n_lists,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY n_lists DESC) AS BIGINT)
+             AS neighbors_at_least
+    FROM occ GROUP BY n_lists ORDER BY n_lists
+    """
+
+
+@_register("embedding_hubness_report", oracle=_hubness_oracle())
+def embedding_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence (hubness) distribution over the exact top-k lists: for
+    each neighbor that appears in ANY query's top-k, how many lists it
+    appears in, rolled up into a histogram. Hubness is the
+    high-dimensional failure mode where a few points become everyone's
+    neighbor (Radovanovic et al., JMLR 2010) — a right-heavy tail here
+    means ANN recall targets and contrastive negative sampling are being
+    skewed by hub points, and is the trigger to re-normalize or whiten
+    (pca_fit/project) before indexing.
+
+    Shape: rides similarity_topk's linear scan (broadcast queries, Arrow
+    scoring); the rollups are query-set-bounded — the histogram is at
+    most |queries| x k rows collapsing to at most k distinct counts.
+    """
+    topk = similarity_topk(spark, sf_dir).select("neighbor_id")
+    occ = topk.groupBy("neighbor_id").agg(F.count("*").alias("n_lists"))
+    hist = occ.groupBy("n_lists").agg(
+        F.count("*").cast("bigint").alias("n_neighbors")
+    )
+    w = Window.orderBy(F.col("n_lists").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "n_lists",
+        "n_neighbors",
+        F.sum("n_neighbors").over(w).cast("bigint").alias("neighbors_at_least"),
+    ).orderBy("n_lists")

@@ -2750,3 +2750,219 @@ def text_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- readability scoring -------------------------------------------------------
+
+
+@_register(
+    "text_readability",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(0.39 * (n_words * 1.0 / NULLIF(n_sentences, 0))
+                 + 11.8 * (n_syllables * 1.0 / NULLIF(n_words, 0))
+                 - 15.59, 4) + 0 AS fk_grade
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability grade per document — the curation
+    signal for audience-level filtering and curriculum ordering (simple
+    text first, dense text later). Syllables use the standard cheap
+    approximation (runs of vowels incl. y), sentences are terminal-
+    punctuation runs; both are regexp counts, so the whole operator is a
+    map-only projection that scans at parquet speed at any corpus size.
+
+    A document with no sentence terminator (or no words) yields NULL
+    grade rather than a fabricated score — NULLIF in both engines. The
+    grade arithmetic runs on exact-integer-valued doubles, so the 4dp
+    round agrees cross-engine bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(
+        "doc_id",
+        ws_token_count("text").cast("bigint").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint").alias(
+            "n_sentences"
+        ),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    grade = (
+        F.lit(0.39)
+        * (F.col("n_words") * F.lit(1.0) / F.nullif("n_sentences", F.lit(0)))
+        + F.lit(11.8)
+        * (F.col("n_syllables") * F.lit(1.0) / F.nullif("n_words", F.lit(0)))
+        - F.lit(15.59)
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.round(grade, 4) + F.lit(0.0)).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+# --- code-vs-prose heuristic classifier ----------------------------------------
+
+CODE_SYMBOL_CLASS = r"[{}()\[\];=<>|&+*/%#@\\]"
+CODE_SCORE_THRESHOLD = 0.05
+
+
+@_register(
+    "text_code_prose_classify",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             len(regexp_extract_all(text, '{CODE_SYMBOL_CLASS.replace("'", "''")}')) AS n_symbols,
+             len(regexp_extract_all(text, ';')) AS n_semicolons,
+             len(regexp_extract_all(text, '\\n[ \\t]')) AS n_indent_breaks
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           ROUND(n_symbols * 1.0 / n_chars, 6) AS symbol_ratio,
+           ROUND(n_semicolons * 1.0 / n_chars, 6) AS semicolon_ratio,
+           CAST(n_indent_breaks AS BIGINT) AS n_indent_breaks,
+           ROUND(n_symbols * 1.0 / n_chars
+                 + 2.0 * (n_semicolons * 1.0 / n_chars), 6) AS code_score,
+           (ROUND(n_symbols * 1.0 / n_chars
+                  + 2.0 * (n_semicolons * 1.0 / n_chars), 6)
+            >= {CODE_SCORE_THRESHOLD}) AS is_code
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_code_prose_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic code-vs-prose detector: symbol density, semicolon density
+    and indented-line breaks — the cheap first-pass router that decides
+    whether a document flows to the code pipeline (different tokenizer,
+    different quality rules, no stopword filtering) or the prose one.
+    Real pipelines put a learned classifier here; the feature extraction —
+    the part that has to stream 100 TB — is exactly this map-only
+    projection, and the linear score over the features is where a trained
+    weight vector would drop in.
+
+    The classification decides on the ROUNDED score so the boolean agrees
+    cross-engine even when a raw ratio lands on a rounding boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(CODE_SYMBOL_CLASS)).alias("n_symbols"),
+        F.regexp_count(F.col("text"), F.lit(";")).alias("n_semicolons"),
+        F.regexp_count(F.col("text"), F.lit("\n[ \t]"))
+        .cast("bigint")
+        .alias("n_indent_breaks"),
+    )
+    score = F.round(
+        F.col("n_symbols") * F.lit(1.0) / F.col("n_chars")
+        + F.lit(2.0) * (F.col("n_semicolons") * F.lit(1.0) / F.col("n_chars")),
+        6,
+    )
+    return t.select(
+        "doc_id",
+        F.round(F.col("n_symbols") * F.lit(1.0) / F.col("n_chars"), 6).alias(
+            "symbol_ratio"
+        ),
+        F.round(F.col("n_semicolons") * F.lit(1.0) / F.col("n_chars"), 6).alias(
+            "semicolon_ratio"
+        ),
+        "n_indent_breaks",
+        score.alias("code_score"),
+        (score >= F.lit(CODE_SCORE_THRESHOLD)).alias("is_code"),
+    ).orderBy("doc_id")
+
+
+# --- deterministic train/valid/test split --------------------------------------
+
+SPLIT_SALT = "split"
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # test gets the remainder
+
+
+@_register(
+    "corpus_train_eval_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+             {hash60_sql("CAST(doc_id AS VARCHAR)", salt=SPLIT_SALT)} % 100 AS bucket
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    s AS (
+      SELECT source,
+             CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM t
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS frac_of_source
+    FROM s GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def corpus_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: a salted 60-bit hash of the
+    document id buckets every doc into 100 cells, 80/10/10. Hash-based
+    splitting is THE correct primitive at scale — it is stable under
+    re-partitioning, re-ingestion and incremental appends (a doc's split
+    never changes when the corpus around it does), needs no global sort or
+    random state, and is replayable by any engine that shares the hash.
+    The report is the per-source audit: split sizes in docs and tokens and
+    each split's realized fraction (hash splits are only asymptotically
+    80/10/10 — per-source skew on small sources is exactly what this
+    surface makes visible).
+
+    Map-only assignment + one |sources|x3-group aggregation: nothing
+    corpus-scale ever shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(
+        "source",
+        ws_token_count("text").alias("n_tokens"),
+        (
+            hash60(F.col("doc_id").cast("string"), salt=SPLIT_SALT) % 100
+        ).alias("bucket"),
+    )
+    s = t.select(
+        "source",
+        "n_tokens",
+        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    w = Window.partitionBy("source")
+    agg = s.groupBy("source", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+        ).alias("frac_of_source"),
+    ).orderBy("source", "split")
