@@ -37,81 +37,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # compare, vanilla session, at sf0.01 AND sf0.1, plus the
 # SPARK_GRAFT_SHUFFLE=7 sweep and the tools/check_types.py width gate).
 #
-# The round-5 window closes the driver-verified union: after r01∪r02∪r03∪r04
-# (178 evaluated, 177 green, 0 red) exactly 13 registry queries had never
-# been inside a driver evaluation window — the 9 round-4 additions + 4
-# low-risk rollups.  They lead this window; every one is local-green at
-# sf0.01 AND sf0.1, on hostile data, under SPARK_GRAFT_SHUFFLE=7, in the
-# vanilla sweep, and through the tools/check_types.py width gate.
-# The 37 spare slots backfill with the highest-drift-risk re-verifies:
-#   * every query whose implementation is touched by this round's perf work
-#     (minhash bloom-filter prune, IVF/quantized/PQ collect fusion,
-#     completeness plan check);
-#   * the 3 round-3 width rows (re-green in r04, re-pinned here);
-#   * the float-adjacent ANN/retrieval family;
-#   * a sample of each tier (dedup, text, embedding, multimodal, TPC-H
-#     perf-weak set, events analytics).
+# Round-5 closed the driver-verified union (CORRECTNESS_r05: 50/50 green,
+# including all 13 never-evaluated queries and the 6 round-5 debuts), so
+# every registry query now holds a driver-green row.  The round-6 window:
+#   * the 7 round-6 debuts (curation/audit tier) lead — every one is
+#     local-green at sf0.01, on hostile data, under SPARK_GRAFT_SHUFFLE=7,
+#     and through the tools/check_types.py width gate;
+#   * the 12 queries transitively touched by this round's minhash rewrite
+#     (in-row verification sets, explicit candidate materialization point)
+#     re-verify next;
+#   * the remaining 31 slots re-verify the float-adjacent ANN/retrieval
+#     family and a sample of every tier (dedup, text/corpus, embedding,
+#     multimodal, TPC-H perf-weak set, events analytics).
 _PRIORITY = (
-    # -- never driver-verified: the 13-query remainder (round-4 additions)
-    "text_bm25_retrieval",
-    "retrieval_hybrid_rrf",
-    "corpus_tokenizer_fertility",
-    "dedup_minhash_estimator_audit",
-    "contrastive_training_pairs",
-    "dedup_embedding_semdedup",
-    "dedup_graph_pagerank",
-    "dedup_pair_overlap_spans",
-    "embedding_drift_report",
-    "orders_monthly_growth",
-    "events_gap_distribution",
-    "events_new_vs_returning",
-    "events_dispersion_index",
-    # -- touched by round-5 perf work: must re-verify
+    # -- NEW this round: must be driver-evaluated in their debut window
+    "corpus_dedup_impact_report",
+    "text_readability",
+    "text_code_prose_classify",
+    "corpus_train_eval_split",
+    "embedding_outlier_mahalanobis",
+    "similarity_centroid_classify",
+    "embedding_hubness_report",
+    # -- touched by the round-6 minhash rewrite: must re-verify
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_survivors",
+    "dedup_threshold_curve",
+    "dedup_family_compare",
+    "dedup_cluster_size_histogram",
+    "dedup_semantic_lexical_agreement",
+    "dedup_minhash_estimator_audit",
+    "dedup_pair_overlap_spans",
+    "dedup_graph_pagerank",
+    "dedup_incremental",
+    # -- tier sample: dedup (untouched paths)
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "corpus_decontaminate",
+    # -- float-adjacent ANN / retrieval family
+    "similarity_topk",
+    "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_ann_quantized",
     "similarity_ann_pq_adc",
-    "completeness_by_field",
-    # -- round-3 width rows (re-green in r04; pinned once more)
-    "doc_rolling_fingerprint",
-    "corpus_quality_gate",
-    "embedding_quantize",
-    # -- float-adjacent ANN/retrieval family
-    "similarity_topk",
-    "similarity_ann_lsh",
     "similarity_ann_recall_report",
     "embedding_pq_codes",
-    # -- tier sample: dedup
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "corpus_decontaminate",
-    # -- NEW this round: must be driver-evaluated in their debut window
-    "text_char_trigram_nll",
-    "corpus_filter_funnel",
-    "text_intra_doc_repetition",
-    "corpus_ngram_novelty",
-    "embedding_matryoshka_recall",
-    "embedding_bitext_mining",
+    "embedding_quantize",
     # -- tier sample: text / corpus
     "text_quality",
     "text_tfidf_topk",
     "text_lm_score",
+    "text_char_trigram_nll",
     "corpus_pack_sequences",
+    "corpus_filter_funnel",
+    "corpus_ngram_novelty",
+    "text_bm25_retrieval",
     # -- tier sample: embedding
     "embedding_kmeans",
-    "similarity_threshold",
+    "embedding_matryoshka_recall",
+    "embedding_bitext_mining",
+    "embedding_drift_report",
     # -- tier sample: multimodal
-    "multimodal_meta",
     "multimodal_decode",
-    # -- TPC-H / corpus perf-weak set (plans touched if perf work lands)
+    # -- TPC-H perf-weak set + window analytics
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    # -- tier sample: events / window analytics
-    "events_sessionize",
     "window_latest_order",
 )
 
