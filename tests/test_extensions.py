@@ -1418,3 +1418,143 @@ def test_index_probe_rejects_hash_mode_mismatch(spark, tmp_path, monkeypatch):
     # matching mode still probes fine
     monkeypatch.setenv(HASH_MODE_ENV, "oracle")
     assert bm25_probe_indexed(spark, bm25_dir, SF_SMOKE).count() > 0
+
+
+# --- round-6 curation/audit tier ----------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows, name="r6docs"):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / name
+    df.write.parquet(f"{out}/documents.parquet")
+    return str(out)
+
+
+def test_readability_exact_counts_and_null_grade(spark, tmp_path):
+    # "go go go. stop now." -> 5 words, 2 sentence runs, 5 vowel runs
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "go go go. stop now.", "en", "s", 19),
+         (2, "no terminator here", "en", "s", 18)],
+    )
+    rows = {r.doc_id: r for r in text.text_readability(spark, sf).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (5, 2, 5)
+    expected = round(0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59, 4)
+    assert abs(r1.fk_grade - expected) < 1e-9
+    assert rows[2].fk_grade is None  # no sentence terminator -> NULL, not 0
+
+
+def test_code_prose_classifier_routes_planted_code(spark, tmp_path):
+    code = "def f(x):\n    return g(x) + h[0];\n    y = {a: b};\n" * 5
+    prose = "the quiet morning light settled gently over the harbor town " * 5
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, code, "en", "s", len(code)), (2, prose, "en", "s", len(prose))],
+    )
+    rows = {r.doc_id: r for r in text.text_code_prose_classify(spark, sf).collect()}
+    assert rows[1].is_code and rows[1].code_score > rows[2].code_score
+    assert not rows[2].is_code
+    assert rows[1].n_indent_breaks > 0
+
+
+def test_train_eval_split_is_hash_stable_and_partition_independent(spark, tmp_path):
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import hash60_py
+
+    rows = [(i, f"doc body number {i} with several tokens", "en",
+             "src_a" if i % 2 else "src_b", 30) for i in range(200)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = text.corpus_train_eval_split(spark, sf).collect()
+    # fractions within each source sum to 1
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert abs(sum(x.frac_of_source for x in rs) - 1.0) < 1e-6, src
+        assert sum(x.n_docs for x in rs) == 100
+    # the realized split matches the salted-hash contract exactly
+    expected = {"train": 0, "valid": 0, "test": 0}
+    for i in range(200):
+        b = hash60_py(str(i), salt=text.SPLIT_SALT) % 100
+        expected[
+            "train" if b < text.SPLIT_TRAIN_PCT
+            else "valid" if b < text.SPLIT_TRAIN_PCT + text.SPLIT_VALID_PCT
+            else "test"
+        ] += 1
+    got = {}
+    for r in out:
+        got[r.split] = got.get(r.split, 0) + r.n_docs
+    assert got == {k: v for k, v in expected.items() if v}
+
+
+def test_mahalanobis_flags_planted_outlier(spark, tmp_path):
+    import random
+
+    rnd = random.Random(11)
+    dim = similarity.DIM
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)], 0) for i in range(100)]
+    rows.append((100, [8.0] * dim, 0))  # ~8 sigma in every dimension
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "emb_outlier"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    res = {r.vec_id: r for r in
+           similarity.embedding_outlier_mahalanobis(spark, str(out)).collect()}
+    assert res[100].is_outlier
+    assert res[100].m_dist > max(res[i].m_dist for i in range(100))
+    assert sum(1 for i in range(100) if res[i].is_outlier) == 0
+
+
+def test_centroid_classify_separable_labels_give_diagonal_confusion(spark, tmp_path):
+    import random
+
+    rnd = random.Random(13)
+    dim = similarity.DIM
+    rows = []
+    vid = 0
+    for label in (0, 1):
+        base = [(+3.0 if label == 0 else -3.0)] * (dim // 2) + [
+            (-3.0 if label == 0 else +3.0)
+        ] * (dim - dim // 2)
+        for _ in range(40):
+            rows.append(
+                (vid, [b + rnd.gauss(0, 0.3) for b in base], label)
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "emb_classes"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    conf = similarity.similarity_centroid_classify(spark, str(out)).collect()
+    assert {(r.true_label, r.pred_label) for r in conf} == {(0, 0), (1, 1)}
+    assert all(r.frac_of_true == 1.0 for r in conf)
+
+
+def test_hubness_histogram_accounts_for_every_topk_row(spark):
+    topk_rows = similarity.similarity_topk(spark, SF_SMOKE).count()
+    hist = similarity.embedding_hubness_report(spark, SF_SMOKE).collect()
+    assert sum(r.n_lists * r.n_neighbors for r in hist) == topk_rows
+    # neighbors_at_least is a reverse-cumulative count: its max equals the
+    # distinct-neighbor total, reached at the smallest occurrence bucket
+    assert hist[0].neighbors_at_least == sum(r.n_neighbors for r in hist)
+
+
+def test_dedup_impact_charges_drop_to_the_right_source(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2", 1)
+    far = "one two three four five six seven eight nine ten " * 10
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, base, "en", "dup_src", len(base)),
+         (2, near, "en", "dup_src", len(near)),
+         (3, far, "en", "clean_src", len(far))],
+    )
+    rep = {r.source: r for r in
+           dedup.corpus_dedup_impact_report(spark, sf).collect()}
+    assert rep["dup_src"].docs_total == 2 and rep["dup_src"].docs_dropped == 1
+    assert rep["clean_src"].docs_dropped == 0
+    assert rep["dup_src"].tokens_dropped > 0
+    assert rep["clean_src"].token_drop_rate == 0.0
