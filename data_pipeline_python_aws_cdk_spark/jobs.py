@@ -153,6 +153,22 @@ def main(argv: list[str] | None = None) -> int:
         "--output", default=None, help="optional parquet destination for the report"
     )
 
+    p_split = sub.add_parser(
+        "split", help="leakage-safe train/valid/test hash split audit"
+    )
+    p_split.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_split.add_argument(
+        "--output", default=None, help="optional parquet destination for the audit"
+    )
+
+    p_imp = sub.add_parser(
+        "impact", help="per-source docs/tokens the dedup survivor policy drops"
+    )
+    p_imp.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_imp.add_argument(
+        "--output", default=None, help="optional parquet destination for the report"
+    )
+
     p_ins = sub.add_parser(
         "inspect", help="storage-health report (files/bytes/row-groups) for a dataset"
     )
@@ -344,6 +360,63 @@ def main(argv: list[str] | None = None) -> int:
                             "rule": r.rule,
                             "docs_in": r.docs_in,
                             "docs_remaining": r.docs_remaining,
+                        }
+                        for r in rows
+                    ],
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "split":
+        from .operators.text import corpus_train_eval_split
+
+        report = corpus_train_eval_split(spark, args.sf_dir)
+        if args.output:
+            report.write.mode("overwrite").parquet(args.output)
+            rows = spark.read.parquet(args.output).orderBy("source", "split").collect()
+        else:
+            rows = report.collect()
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "splits": [
+                        {
+                            "source": r.source,
+                            "split": r.split,
+                            "n_docs": r.n_docs,
+                            "n_tokens": r.n_tokens,
+                        }
+                        for r in rows
+                    ],
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "impact":
+        from .operators.dedup import corpus_dedup_impact_report
+
+        report = corpus_dedup_impact_report(spark, args.sf_dir)
+        if args.output:
+            report.write.mode("overwrite").parquet(args.output)
+            rows = spark.read.parquet(args.output).orderBy("source").collect()
+        else:
+            rows = report.collect()
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "sources": [
+                        {
+                            "source": r.source,
+                            "docs_total": r.docs_total,
+                            "docs_dropped": r.docs_dropped,
+                            "tokens_dropped": r.tokens_dropped,
+                            "token_drop_rate": r.token_drop_rate,
                         }
                         for r in rows
                     ],

@@ -678,3 +678,27 @@ def test_cli_mine_and_funnel(spark, tmp_path, capsys):
         assert b["docs_in"] == a["docs_remaining"]
         assert b["docs_remaining"] <= a["docs_remaining"]
     assert spark.read.parquet(fout).count() == 5
+
+
+def test_cli_split_and_impact(spark, tmp_path, capsys):
+    """`jobs split` prints the per-source split audit; `jobs impact`
+    prints the per-source dedup cost ledger. Both optionally persist."""
+    import json
+
+    from tests.conftest import SF_SMOKE
+
+    sout = str(tmp_path / "split_audit")
+    rc = jobs.main(["split", "--sf-dir", SF_SMOKE, "--output", sout])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200
+    splits = st["splits"]
+    assert {s["split"] for s in splits} <= {"train", "valid", "test"}
+    assert sum(s["n_docs"] for s in splits) > 0
+    assert spark.read.parquet(sout).count() == len(splits)
+
+    rc = jobs.main(["impact", "--sf-dir", SF_SMOKE])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200
+    assert all(s["docs_dropped"] <= s["docs_total"] for s in st["sources"])
