@@ -51,6 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     multimodal, TPC-H perf-weak set, events analytics).
 _PRIORITY = (
     # -- NEW this round: must be driver-evaluated in their debut window
+    "corpus_span_decontaminate",
+    "text_encoding_artifacts",
     "corpus_dedup_impact_report",
     "text_readability",
     "text_code_prose_classify",
@@ -90,8 +92,6 @@ _PRIORITY = (
     # -- tier sample: text / corpus
     "text_quality",
     "text_tfidf_topk",
-    "text_lm_score",
-    "text_char_trigram_nll",
     "corpus_pack_sequences",
     "corpus_filter_funnel",
     "corpus_ngram_novelty",

@@ -32,7 +32,7 @@ exact here so the oracle comparison stays lossless.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import hash60, hash60_sql
 from ..functions.textfns import BIGRAM_EXPR, lower_ws_tokens
@@ -2529,4 +2529,146 @@ def corpus_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_drop_rate"),
         )
         .orderBy("source")
+    )
+
+
+def _span_decon_oracle() -> str:
+    split = hash60_sql("CAST(doc_id AS VARCHAR)", salt="split")
+    gram = hash60_sql("array_to_string(toks[i:i+{m}], ' ')".format(m=DECON_NGRAM - 1))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             {split} % 100 < {DECON_TRAIN_PCT} AS is_train,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, is_train, toks,
+             unnest(generate_series(1, len(toks) - {DECON_NGRAM - 1})) AS i
+      FROM t WHERE len(toks) >= {DECON_NGRAM}
+    ),
+    g AS (SELECT doc_id, is_train, i, {gram} AS sh60 FROM idx),
+    train_sh AS (SELECT DISTINCT sh60 FROM g WHERE is_train),
+    hits AS (SELECT g.doc_id, g.i
+             FROM g JOIN train_sh tr ON g.sh60 = tr.sh60
+             WHERE NOT g.is_train),
+    runs AS (
+      SELECT doc_id, i,
+             LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_positions,
+             CAST(SUM(CASE WHEN prev IS NULL OR i - prev > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_spans,
+             CAST(MIN(i) AS BIGINT) AS first_hit_pos,
+             CAST(MAX(i) AS BIGINT) AS last_hit_pos
+      FROM runs GROUP BY doc_id
+    ),
+    covp AS (
+      SELECT doc_id, unnest(generate_series(i, i + {DECON_NGRAM - 1})) AS p
+      FROM hits
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT p) AS covered
+      FROM covp GROUP BY doc_id
+    ),
+    nt AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+    SELECT s.doc_id, s.n_hit_positions, s.n_spans,
+           s.first_hit_pos, s.last_hit_pos,
+           CAST(c.covered AS BIGINT) AS contaminated_tokens,
+           ROUND(c.covered * 1.0 / n.n_tokens, 6) AS contaminated_frac
+    FROM spans s JOIN cov c ON c.doc_id = s.doc_id
+                 JOIN nt n ON n.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@_register("corpus_span_decontaminate", oracle=_span_decon_oracle())
+def corpus_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: WHERE inside each contaminated held-out
+    document the training overlap lives. corpus_decontaminate answers
+    "how much of this doc leaked"; this answers "which token ranges" —
+    the difference between dropping a whole document and surgically
+    cutting the quoted benchmark passage while keeping the rest (the
+    policy Lee et al.'s exact-substring dedup applies at corpus scale).
+    Per contaminated doc: hit-position count, number of MAXIMAL
+    contiguous spans, first/last hit position, and the token mass the
+    8-gram hits actually cover (union of overlapping windows, as a count
+    and as a fraction of the doc).
+
+    Scale shape: identical exchange discipline to corpus_decontaminate —
+    texts drop to (doc_id, position, 8-gram hash) streams at the scan,
+    the one wide shuffle is the hash equi-join against the distinct
+    train-side set, and everything after (LAG run detection, coverage
+    count-distinct) rides doc_id at CONTAMINATED-doc cardinality, the
+    smallest set in the whole pipeline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        hash60(F.col("doc_id").cast("string"), salt="split") % 100 < DECON_TRAIN_PCT
+    )
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", is_train.alias("is_train"), toks.alias("toks")).filter(
+        F.size("toks") >= DECON_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {DECON_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {DECON_NGRAM}), ' '))"
+    )
+    g = t.select(
+        "doc_id", "is_train", F.posexplode(grams).alias("pos", "gram")
+    ).select(
+        "doc_id",
+        "is_train",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("sh60"),
+    )
+    train_sh = g.filter(F.col("is_train")).select("sh60").distinct()
+    hits = (
+        g.filter(~F.col("is_train"))
+        .join(train_sh, "sh60", "left_semi")
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = hits.withColumn("prev", F.lag("i").over(w))
+    spans = runs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_positions"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("i") - F.col("prev") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+        F.min("i").cast("bigint").alias("first_hit_pos"),
+        F.max("i").cast("bigint").alias("last_hit_pos"),
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(DECON_NGRAM - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").cast("bigint").alias("contaminated_tokens"))
+    )
+    nt = t.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        spans.join(cov, "doc_id")
+        .join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n_hit_positions",
+            "n_spans",
+            "first_hit_pos",
+            "last_hit_pos",
+            "contaminated_tokens",
+            F.round(
+                F.col("contaminated_tokens") * F.lit(1.0) / F.col("n_tokens"), 6
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("doc_id")
     )

@@ -2966,3 +2966,83 @@ def corpus_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
         ).alias("frac_of_source"),
     ).orderBy("source", "split")
+
+
+# --- encoding-artifact (mojibake) detection ------------------------------------
+
+ENC_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+ENC_MOJIBAKE_RE = "(Ã.|â€.|Â.)"
+ENC_ARTIFACT_THRESHOLD = 0.001
+
+
+@_register(
+    "text_encoding_artifacts",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             len(regexp_extract_all(text, '�')) AS n_replacement,
+             len(regexp_extract_all(text, '{ENC_CONTROL_RE}')) AS n_control,
+             len(regexp_extract_all(text, '{ENC_MOJIBAKE_RE}')) AS n_mojibake
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n_replacement AS BIGINT) AS n_replacement,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_mojibake AS BIGINT) AS n_mojibake,
+           ROUND((3 * n_replacement + 2 * n_control + 2 * n_mojibake) * 1.0
+                 / n_chars, 6) AS artifact_score,
+           (n_replacement > 0 OR
+            ROUND((3 * n_replacement + 2 * n_control + 2 * n_mojibake) * 1.0
+                  / n_chars, 6) >= {ENC_ARTIFACT_THRESHOLD}) AS is_suspect
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level corruption detector: U+FFFD replacement characters
+    (decoder already gave up), C0 control characters (binary bleed,
+    terminal escapes), and the classic UTF-8-decoded-as-Latin-1 mojibake
+    digraphs (Ã., â€., Â.). The complement of text_char_trigram_nll: the
+    trigram model scores STATISTICAL weirdness, this catches the
+    MECHANICAL corruption classes that are individually rare enough to
+    slip a smoothed LM but are hard evidence of a broken ingest path —
+    one replacement char alone marks the doc suspect regardless of score.
+
+    Map-only regexp-count projection; the weighted score is a ratio of
+    exact integers rounded at 6dp, and the suspect flag decides on the
+    ROUNDED score, so both engines agree at the boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("�"))
+        .cast("bigint")
+        .alias("n_replacement"),
+        F.regexp_count(F.col("text"), F.lit(ENC_CONTROL_RE))
+        .cast("bigint")
+        .alias("n_control"),
+        F.regexp_count(F.col("text"), F.lit(ENC_MOJIBAKE_RE))
+        .cast("bigint")
+        .alias("n_mojibake"),
+    )
+    score = F.round(
+        (
+            3 * F.col("n_replacement")
+            + 2 * F.col("n_control")
+            + 2 * F.col("n_mojibake")
+        )
+        * F.lit(1.0)
+        / F.col("n_chars"),
+        6,
+    )
+    return t.select(
+        "doc_id",
+        "n_replacement",
+        "n_control",
+        "n_mojibake",
+        score.alias("artifact_score"),
+        (
+            (F.col("n_replacement") > 0)
+            | (score >= F.lit(ENC_ARTIFACT_THRESHOLD))
+        ).alias("is_suspect"),
+    ).orderBy("doc_id")

@@ -1558,3 +1558,50 @@ def test_dedup_impact_charges_drop_to_the_right_source(spark, tmp_path):
     assert rep["clean_src"].docs_dropped == 0
     assert rep["dup_src"].tokens_dropped > 0
     assert rep["clean_src"].token_drop_rate == 0.0
+
+
+def test_span_decontaminate_locates_planted_leak(spark, tmp_path):
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import hash60_py
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import DECON_TRAIN_PCT
+
+    # find one train-split id and one test-split id under the salted hash
+    def split_of(i):
+        return "train" if hash60_py(str(i), salt="split") % 100 < DECON_TRAIN_PCT else "test"
+
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    test_id = next(i for i in range(1000) if split_of(i) == "test")
+    bench = "the secret benchmark passage that must never leak into training data"
+    filler = " ".join(f"tok{j}" for j in range(20))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(train_id, f"{filler} {bench} {filler}", "en", "s", 10),
+         (test_id, f"intro words here {bench} trailing words follow now", "en", "s", 10)],
+    )
+    rows = dedup.corpus_span_decontaminate(spark, sf).collect()
+    assert [r.doc_id for r in rows] == [test_id]
+    r = rows[0]
+    # the planted passage is one contiguous leak: a single maximal span
+    assert r.n_spans == 1
+    assert r.n_hit_positions >= 1
+    # covered tokens = hit positions + window tail (8-gram)
+    assert r.contaminated_tokens == r.n_hit_positions + 7
+    assert r.first_hit_pos == 4  # "intro words here" = 3 tokens, hit starts at 4
+    assert 0 < r.contaminated_frac < 1
+
+
+def test_encoding_artifacts_flags_planted_mojibake(spark, tmp_path):
+    clean = "a perfectly ordinary sentence with nothing wrong at all " * 3
+    moji = ("the caf\u00c3\u00a9 serves \u00e2\u20ac\u0153coffee\u00e2\u20ac\u009d"
+            " and cr\u00c3\u00a8me br\u00c3\u00bbl\u00c3\u00a9e ") * 3
+    broken = "data \ufffd with replacement \ufffd characters " * 2
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, clean, "en", "s", len(clean)), (2, moji, "en", "s", len(moji)),
+         (3, broken, "en", "s", len(broken))],
+    )
+    rows = {r.doc_id: r for r in text.text_encoding_artifacts(spark, sf).collect()}
+    assert not rows[1].is_suspect and rows[1].artifact_score == 0.0
+    assert rows[2].is_suspect and rows[2].n_mojibake > 0
+    assert rows[3].is_suspect and rows[3].n_replacement == 4
