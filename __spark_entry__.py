@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     # -- NEW this round: must be driver-evaluated in their debut window
     "corpus_span_decontaminate",
+    "corpus_pii_prevalence",
     "text_encoding_artifacts",
     "corpus_dedup_impact_report",
     "text_readability",
@@ -93,7 +94,6 @@ _PRIORITY = (
     "text_quality",
     "text_tfidf_topk",
     "corpus_pack_sequences",
-    "corpus_filter_funnel",
     "corpus_ngram_novelty",
     "text_bm25_retrieval",
     # -- tier sample: embedding

@@ -3046,3 +3046,66 @@ def text_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (score >= F.lit(ENC_ARTIFACT_THRESHOLD))
         ).alias("is_suspect"),
     ).orderBy("doc_id")
+
+
+# --- per-source PII prevalence -------------------------------------------------
+
+
+@_register(
+    "corpus_pii_prevalence",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(text, '{PII_URL}')) AS n_url
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(n_url) AS BIGINT) AS urls,
+           CAST(SUM(CASE WHEN n_email + n_phone + n_url > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           ROUND(SUM(CASE WHEN n_email + n_phone + n_url > 0 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS pii_doc_rate
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def corpus_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII prevalence: email / phone / URL hit counts and the
+    fraction of documents carrying at least one hit — the governance
+    surface that decides WHERE pii_redact must run and which sources need
+    a human look before release. pii_redact transforms documents; this
+    aggregates exposure, and running it BEFORE and AFTER a redaction pass
+    is the verification that the scrub actually converged to zero.
+
+    Same dual-engine-safe pattern set as pii_redact (syntax common to
+    Java regex and RE2). Map-only regexp counts folding into a
+    |sources|-bounded rollup — nothing corpus-scale shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(PII_URL)).alias("n_url"),
+    )
+    has_pii = F.when(
+        F.col("n_email") + F.col("n_phone") + F.col("n_url") > 0, 1
+    ).otherwise(0)
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("emails"),
+            F.sum("n_phone").cast("bigint").alias("phones"),
+            F.sum("n_url").cast("bigint").alias("urls"),
+            F.sum(has_pii).cast("bigint").alias("docs_with_pii"),
+            F.round(F.sum(has_pii) * F.lit(1.0) / F.count("*"), 6).alias(
+                "pii_doc_rate"
+            ),
+        )
+        .orderBy("source")
+    )
