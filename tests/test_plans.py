@@ -237,6 +237,12 @@ QUADRATIC_BY_DESIGN = {
     "embedding_bitext_mining",  # brute-force side x side demo of the margin
                                 # tail (quadratic BY DESIGN — the ANN shortlist
                                 # is the production feed, see docstring)
+    "embedding_outlier_mahalanobis",  # cross join against the ONE-ROW
+                                      # (means, stds) array pair
+    "similarity_centroid_classify",   # corpus x |labels|-row centroid
+                                      # broadcast (ann_ivf's bounded class)
+    "embedding_hubness_report",       # composes similarity_topk's broadcast
+                                      # query side
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
