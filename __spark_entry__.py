@@ -53,6 +53,7 @@ _PRIORITY = (
     # -- NEW this round: must be driver-evaluated in their debut window
     "corpus_span_decontaminate",
     "corpus_pii_prevalence",
+    "corpus_context_budget_report",
     "text_encoding_artifacts",
     "corpus_dedup_impact_report",
     "text_readability",
@@ -94,7 +95,6 @@ _PRIORITY = (
     "text_quality",
     "text_tfidf_topk",
     "corpus_pack_sequences",
-    "corpus_ngram_novelty",
     "text_bm25_retrieval",
     # -- tier sample: embedding
     "embedding_kmeans",

@@ -3109,3 +3109,82 @@ def corpus_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- context-window token-budget report ----------------------------------------
+
+CONTEXT_BUDGETS = (64, 128, 256, 512)
+
+
+def _context_budget_oracle() -> str:
+    rows = []
+    for c in CONTEXT_BUDGETS:
+        rows.append(f"""
+      SELECT {c} AS context_len,
+             CAST(SUM(CASE WHEN n_tokens > {c} THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_truncated,
+             CAST(SUM(LEAST(n_tokens, {c})) AS BIGINT) AS tokens_kept,
+             CAST(SUM(GREATEST(n_tokens - {c}, 0)) AS BIGINT) AS tokens_lost,
+             ROUND(SUM(GREATEST(n_tokens - {c}, 0)) * 1.0 / SUM(n_tokens), 6)
+               AS lost_frac
+      FROM t"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+    WITH t AS (
+      SELECT len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    {union}
+    ORDER BY context_len
+    """
+
+
+@_register("corpus_context_budget_report", oracle=_context_budget_oracle())
+def corpus_context_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus a context window actually captures: for each
+    candidate training context length, the documents that would truncate,
+    the token mass kept vs lost, and the lost fraction. This is the curve
+    a pretraining config review reads when choosing sequence length (and
+    whether documents_chunking must run first): context length trades
+    attention cost against exactly this truncation loss, per corpus.
+
+    Shape: ONE corpus pass computes every budget's sums as parallel
+    conditional aggregates folded into a single row (the
+    corpus_filter_funnel pattern); the |budgets| presentation rows explode
+    from that row — no per-budget scans, no cross join, nothing
+    corpus-scale after the aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(ws_token_count("text").alias("n_tokens"))
+    aggs = [F.sum("n_tokens").alias("total")]
+    for c in CONTEXT_BUDGETS:
+        aggs += [
+            F.sum(F.when(F.col("n_tokens") > c, 1).otherwise(0)).alias(f"d{c}"),
+            F.sum(F.least(F.col("n_tokens"), F.lit(c))).alias(f"k{c}"),
+            F.sum(F.greatest(F.col("n_tokens") - c, F.lit(0))).alias(f"l{c}"),
+        ]
+    one = t.groupBy().agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).cast("int").alias("context_len"),
+                    F.col(f"d{c}").cast("bigint").alias("docs_truncated"),
+                    F.col(f"k{c}").cast("bigint").alias("tokens_kept"),
+                    F.col(f"l{c}").cast("bigint").alias("tokens_lost"),
+                    F.round(F.col(f"l{c}") * F.lit(1.0) / F.col("total"), 6).alias(
+                        "lost_frac"
+                    ),
+                )
+                for c in CONTEXT_BUDGETS
+            ]
+        )
+    ).alias("r")
+    return (
+        one.select(rows)
+        .select("r.*")
+        .orderBy("context_len")
+    )
