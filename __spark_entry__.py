@@ -54,6 +54,7 @@ _PRIORITY = (
     "corpus_span_decontaminate",
     "corpus_pii_prevalence",
     "corpus_context_budget_report",
+    "corpus_oov_rate",
     "text_encoding_artifacts",
     "corpus_dedup_impact_report",
     "text_readability",
@@ -75,6 +76,7 @@ _PRIORITY = (
     "dedup_pair_overlap_spans",
     "dedup_graph_pagerank",
     "dedup_incremental",
+    "dedup_lsh_recall_report",
     # -- tier sample: dedup (untouched paths)
     "dedup_exact",
     "dedup_simhash",
@@ -92,8 +94,6 @@ _PRIORITY = (
     "embedding_pq_codes",
     "embedding_quantize",
     # -- tier sample: text / corpus
-    "text_quality",
-    "text_tfidf_topk",
     "corpus_pack_sequences",
     "text_bm25_retrieval",
     # -- tier sample: embedding

@@ -2672,3 +2672,85 @@ def corpus_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _lsh_recall_oracle() -> str:
+    ctes, final = _minhash_oracle_parts()
+    return f"""
+    WITH {ctes},
+    lsh AS ({final}),
+    tcnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    tcommon AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b
+              FROM tcommon JOIN tcnt ca ON ca.doc_id = doc_a
+                           JOIN tcnt cb ON cb.doc_id = doc_b
+              WHERE common * 1.0 / (ca.n + cb.n - common)
+                    >= {JACCARD_THRESHOLD}),
+    m AS (SELECT
+            (SELECT COUNT(*) FROM truth) AS n_truth,
+            (SELECT COUNT(*) FROM lsh) AS n_lsh_verified,
+            (SELECT COUNT(*) FROM cand) AS n_candidates,
+            (SELECT COUNT(*) FROM lsh l JOIN truth t
+              ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b) AS true_pos)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_lsh_verified AS BIGINT) AS n_lsh_verified,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(true_pos AS BIGINT) AS true_pos,
+           ROUND(true_pos * 1.0 / NULLIF(n_truth, 0), 6) AS recall,
+           ROUND(true_pos * 1.0 / NULLIF(n_candidates, 0), 6)
+             AS candidate_precision
+    FROM m
+    """
+
+
+@_register("dedup_lsh_recall_report", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding-quality scoreboard: LSH-discovered near-dup pairs vs the
+    EXACT all-pairs ground truth at the same Jaccard threshold. Recall
+    here is the number the (bands, rows-per-band) S-curve promises on
+    paper — this measures it on the actual corpus, per corpus, which is
+    what decides whether 4x4 banding is leaving duplicate families
+    undiscovered. candidate_precision (verified hits / band candidates)
+    is the verification-cost dial: low precision means buckets are too
+    coarse and the exact-Jaccard stage is paying for collisions.
+    The lexical twin of similarity_ann_recall_report; the estimator
+    audit (dedup_minhash_estimator_audit) checks the HASH FAMILY, this
+    checks the BANDING built on top of it.
+
+    Shape: truth rides the inverted-index self-join (quadratic-by-design
+    verification path, candidate-bounded at scale when fed from LSH);
+    the four counts are one-row aggregates cross-joined into the single
+    report row — the dedup_family_compare pattern.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cand = _minhash_candidates(d)
+    nt = truth.groupBy().agg(F.count("*").cast("bigint").alias("n_truth"))
+    nl = lsh.groupBy().agg(F.count("*").cast("bigint").alias("n_lsh_verified"))
+    nc = cand.groupBy().agg(F.count("*").cast("bigint").alias("n_candidates"))
+    tp = (
+        lsh.join(truth, ["doc_a", "doc_b"])
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("true_pos"))
+    )
+    return (
+        nt.crossJoin(nl)
+        .crossJoin(nc)
+        .crossJoin(tp)
+        .select(
+            "n_truth",
+            "n_lsh_verified",
+            "n_candidates",
+            "true_pos",
+            F.round(
+                F.col("true_pos") * F.lit(1.0) / F.nullif("n_truth", F.lit(0)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("true_pos") * F.lit(1.0) / F.nullif("n_candidates", F.lit(0)),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )

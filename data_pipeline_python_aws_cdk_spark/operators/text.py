@@ -3188,3 +3188,87 @@ def corpus_context_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("context_len")
     )
+
+
+# --- vocabulary coverage / OOV audit -------------------------------------------
+
+OOV_VOCAB_SIZE = 1000
+
+
+def _oov_oracle() -> str:
+    split = hash60_sql("CAST(doc_id AS VARCHAR)", salt=SPLIT_SALT)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {split} % 100 < {SPLIT_TRAIN_PCT} AS is_train,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM t WHERE is_train GROUP BY tok
+      ) ORDER BY c DESC, tok ASC LIMIT {OOV_VOCAB_SIZE}
+    ),
+    test AS (SELECT source, tok FROM t WHERE NOT is_train)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM test e LEFT JOIN vocab v ON e.tok = v.tok
+    GROUP BY source ORDER BY source
+    """
+
+
+@_register("corpus_oov_rate", oracle=_oov_oracle())
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: the token-level out-of-vocabulary rate of
+    each source's held-out split against a top-{OOV_VOCAB_SIZE} vocabulary
+    built from the TRAIN split (same salted hash split as the train/eval
+    assignment, so there is no leakage in the measurement itself). The
+    tokenizer-health twin of corpus_tokenizer_fertility: fertility says
+    how many pieces a tokenizer yields, this says how much of unseen data
+    a frequency-built vocabulary covers at all — a source with an
+    outlier OOV rate is in a domain/script the vocabulary build never
+    saw, and is the first place a byte-fallback or vocab-size bump shows
+    its value.
+
+    Shape: train token counts are a map-side-combined groupBy over the
+    token stream; the top-V cut is a distributed TakeOrdered (count DESC,
+    token ASC — deterministic at the boundary), broadcast back as a
+    V-row build side; the test stream then left-joins it map-only and
+    folds into a |sources|-bounded rollup. No global window anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        hash60(F.col("doc_id").cast("string"), salt=SPLIT_SALT) % 100
+        < SPLIT_TRAIN_PCT
+    )
+    t = d.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(
+        "source",
+        is_train.alias("is_train"),
+        F.explode(lower_ws_tokens("text")).alias("tok"),
+    )
+    vocab = (
+        t.filter(F.col("is_train"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    test = t.filter(~F.col("is_train")).select("source", "tok")
+    j = test.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("oov_tokens"),
+            F.round(F.sum(oov) * F.lit(1.0) / F.count("*"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1605,3 +1605,43 @@ def test_encoding_artifacts_flags_planted_mojibake(spark, tmp_path):
     assert not rows[1].is_suspect and rows[1].artifact_score == 0.0
     assert rows[2].is_suspect and rows[2].n_mojibake > 0
     assert rows[3].is_suspect and rows[3].n_replacement == 4
+
+
+def test_lsh_recall_report_accounts_on_planted_dups(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2", 1)
+    far = "one two three four five six seven eight nine ten " * 10
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, base, "en", "s", len(base)), (2, near, "en", "s", len(near)),
+         (3, far, "en", "s", len(far))],
+    )
+    r = dedup.dedup_lsh_recall_report(spark, sf).collect()[0]
+    # the one planted near-dup pair is both the truth and the LSH find
+    assert r.n_truth == 1 and r.true_pos == 1 and r.recall == 1.0
+    assert r.n_candidates >= r.n_lsh_verified
+    assert r.candidate_precision <= 1.0
+
+
+def test_oov_rate_spikes_on_unseen_domain(spark, tmp_path):
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import hash60_py
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        SPLIT_SALT, SPLIT_TRAIN_PCT,
+    )
+
+    train_ids = [i for i in range(400)
+                 if hash60_py(str(i), salt=SPLIT_SALT) % 100 < SPLIT_TRAIN_PCT]
+    test_ids = [i for i in range(400)
+                if hash60_py(str(i), salt=SPLIT_SALT) % 100 >= SPLIT_TRAIN_PCT]
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common, "en", "seen", len(common)) for i in train_ids[:50]]
+    # held-out docs in the seen domain reuse train vocabulary -> low OOV
+    rows += [(i, common, "en", "seen", len(common)) for i in test_ids[:3]]
+    # held-out docs in an unseen domain -> every token is OOV
+    alien = "zxqv wvzk qqjx mmzp glorp blargh"
+    rows += [(i, alien, "xx", "unseen", len(alien)) for i in test_ids[3:6]]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in text.corpus_oov_rate(spark, sf).collect()}
+    assert out["seen"].oov_rate == 0.0
+    assert out["unseen"].oov_rate == 1.0

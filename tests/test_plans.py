@@ -243,6 +243,9 @@ QUADRATIC_BY_DESIGN = {
                                       # broadcast (ann_ivf's bounded class)
     "embedding_hubness_report",       # composes similarity_topk's broadcast
                                       # query side
+    "dedup_lsh_recall_report",        # four ONE-ROW count aggregates joined
+                                      # (dedup_family_compare's class), over
+                                      # the quadratic-by-design truth path
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
