@@ -2715,8 +2715,9 @@ MDIST_OUTLIER_THRESHOLD = 1.5  # RMS z-score units
     per AS (
       SELECT e.vec_id,
              SUM(CAST(ROUND(CASE WHEN s.std > 0
-                       THEN POWER((e.embedding[s.dim]::DOUBLE - s.mean) / s.std, 2)
-                       ELSE 0 END, 6) * 1000000 AS BIGINT)) AS m2_micro
+                       THEN ((e.embedding[s.dim]::DOUBLE - s.mean) / s.std)
+                            * ((e.embedding[s.dim]::DOUBLE - s.mean) / s.std)
+                       ELSE 0 END * 1000000, 0) AS BIGINT)) AS m2_micro
       FROM embeddings e CROSS JOIN stats s
       WHERE e.embedding IS NOT NULL
       GROUP BY e.vec_id
@@ -2771,17 +2772,20 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
     diffs = F.zip_with(
         F.col("embedding"), F.col("means"), lambda x, m: x.cast("double") - m
     )
+    # (d/s)*(d/s), never pow(): multiply/divide are IEEE-identical across
+    # engines while java.lang.Math.pow vs libm pow can differ by an ulp.
+    # Each term is rounded AT integer micro-unit scale (round THEN cast —
+    # Spark's double->bigint cast truncates where DuckDB's rounds, which
+    # flipped single micro-units at sf0.1 until both sides rounded first).
     terms = F.zip_with(
         diffs,
         F.col("stds"),
-        lambda d, s: F.when(s > 0, F.pow(d / s, F.lit(2.0))).otherwise(
-            F.lit(0.0)
-        ),
+        lambda d, s: F.when(s > 0, (d / s) * (d / s)).otherwise(F.lit(0.0)),
     )
     m2_micro = F.aggregate(
         terms,
         F.lit(0).cast("bigint"),
-        lambda acc, t: acc + (F.round(t, 6) * 1000000).cast("bigint"),
+        lambda acc, t: acc + F.round(t * 1000000).cast("bigint"),
     )
     m_dist = F.round(
         F.sqrt(m2_micro / F.lit(1000000.0) / F.lit(float(DIM))), 4
