@@ -3272,3 +3272,58 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- batch quality-verdict core (shared with the streaming screen) -------------
+
+
+def quality_verdicts(d) -> "DataFrame":
+    """One map-only projection routing documents at ingest: the text_quality
+    bucket features and the text_encoding_artifacts corruption counts fused
+    into a single pass, collapsed to a verdict —
+
+    - ``drop``:   poor-quality bucket OR any U+FFFD replacement char
+    - ``review``: fair bucket, or artifact score at/over threshold
+    - ``keep``:   good bucket, artifact-clean
+
+    This is the standing decision the curation queue applies to every
+    arriving document; the streaming wrapper
+    (streaming.events.run_stream_quality_screen) runs exactly this frame
+    per micro-batch, so batch backfills and the live stream CANNOT
+    disagree on a verdict.
+    """
+    chars = F.length("text")
+    n_tokens = ws_token_count("text")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    )
+    bucket = (
+        F.when(
+            (n_tokens >= 50) & (F.try_divide(n_punct.cast("double"), chars) < 0.05),
+            "good",
+        )
+        .when(n_tokens >= 20, "fair")
+        .otherwise("poor")
+    )
+    n_repl = F.regexp_count(F.col("text"), F.lit("\ufffd"))
+    n_ctrl = F.regexp_count(F.col("text"), F.lit(ENC_CONTROL_RE))
+    n_moji = F.regexp_count(F.col("text"), F.lit(ENC_MOJIBAKE_RE))
+    art_score = F.round(
+        (3 * n_repl + 2 * n_ctrl + 2 * n_moji) * F.lit(1.0) / chars, 6
+    )
+    suspect = (n_repl > 0) | (art_score >= F.lit(ENC_ARTIFACT_THRESHOLD))
+    t = d.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        "doc_id",
+        "source",
+        bucket.alias("quality_bucket"),
+        suspect.alias("artifact_suspect"),
+        n_repl.cast("bigint").alias("n_replacement"),
+    )
+    route = (
+        F.when((F.col("quality_bucket") == "poor") | (F.col("n_replacement") > 0), "drop")
+        .when((F.col("quality_bucket") == "fair") | F.col("artifact_suspect"), "review")
+        .otherwise("keep")
+    )
+    return t.select(
+        "doc_id", "source", "quality_bucket", "artifact_suspect", route.alias("route")
+    )

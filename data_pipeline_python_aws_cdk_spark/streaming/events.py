@@ -816,3 +816,47 @@ def run_stream_screen(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_quality_screen(
+    spark: SparkSession,
+    docs_dir: str,
+    verdict_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous ingest quality triage: every micro-batch of arriving
+    documents gets the fused quality+artifact verdict
+    (operators.text.quality_verdicts — the SAME frame batch backfills
+    use, so the stream and a backfill cannot disagree) and lands in the
+    verdict table seconds after arrival. The keep/review/drop routes are
+    what the downstream pipeline reads to admit documents, queue human
+    review, or discard.
+
+    Same effectively-once discipline as run_stream_screen: each batch
+    OVERWRITES its own batch_id partition (dynamic partition overwrite),
+    so a batch replayed after a mid-write crash replaces its partial
+    output instead of appending a duplicate copy.
+    """
+    static_schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(static_schema).parquet(docs_dir)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        from ..operators.text import quality_verdicts
+
+        verdicts = quality_verdicts(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

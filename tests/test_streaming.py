@@ -377,3 +377,36 @@ def test_stream_screen_matches_batch_probe(spark, tmp_path):
     run_stream_screen(spark, docs_dir, index_dir, verdicts, ckpt)
     again = spark.read.parquet(verdicts).count()
     assert again == len(got)
+
+
+def test_stream_quality_screen_matches_batch_and_replays_clean(spark, tmp_path):
+    """The streaming quality screen must emit exactly the batch
+    quality_verdicts frame for the same documents, and a checkpointed
+    re-run must add nothing."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.operators.text import quality_verdicts
+    from data_pipeline_python_aws_cdk_spark.streaming.events import (
+        run_stream_quality_screen,
+    )
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+
+    docs_dir = str(tmp_path / "incoming_q")
+    load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("source") == "src0"
+    ).write.parquet(docs_dir)
+    verdicts = str(tmp_path / "qverdicts")
+    ckpt = str(tmp_path / "qckpt")
+    run_stream_quality_screen(spark, docs_dir, verdicts, ckpt)
+    got = {
+        (r.doc_id, r.quality_bucket, r.artifact_suspect, r.route)
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    want = {
+        (r.doc_id, r.quality_bucket, r.artifact_suspect, r.route)
+        for r in quality_verdicts(spark.read.parquet(docs_dir)).collect()
+    }
+    assert got == want and want
+    assert {r[3] for r in got} <= {"keep", "review", "drop"}
+    run_stream_quality_screen(spark, docs_dir, verdicts, ckpt)
+    assert spark.read.parquet(verdicts).count() == len(got)
