@@ -55,6 +55,7 @@ _PRIORITY = (
     "corpus_pii_prevalence",
     "corpus_context_budget_report",
     "corpus_oov_rate",
+    "corpus_token_coverage_curve",
     "text_encoding_artifacts",
     "corpus_dedup_impact_report",
     "text_readability",
@@ -94,7 +95,6 @@ _PRIORITY = (
     "embedding_pq_codes",
     "embedding_quantize",
     # -- tier sample: text / corpus
-    "corpus_pack_sequences",
     "text_bm25_retrieval",
     # -- tier sample: embedding
     "embedding_kmeans",

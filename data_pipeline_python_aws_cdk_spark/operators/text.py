@@ -3327,3 +3327,83 @@ def quality_verdicts(d) -> "DataFrame":
     return t.select(
         "doc_id", "source", "quality_bucket", "artifact_suspect", route.alias("route")
     )
+
+
+# --- token coverage curve ------------------------------------------------------
+
+COVERAGE_VOCAB_SIZES = (10, 100, 1000)
+
+
+def _coverage_oracle() -> str:
+    rows = []
+    for v in COVERAGE_VOCAB_SIZES:
+        rows.append(f"""
+      SELECT {v} AS vocab_size,
+             CAST(SUM(CASE WHEN rnk <= {v} THEN c ELSE 0 END) AS BIGINT)
+               AS tokens_covered,
+             CAST(SUM(c) AS BIGINT) AS tokens_total,
+             ROUND(SUM(CASE WHEN rnk <= {v} THEN c ELSE 0 END) * 1.0
+                   / SUM(c), 6) AS coverage
+      FROM ranked"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rnk
+               FROM cnt)
+    {union}
+    ORDER BY vocab_size
+    """
+
+
+@_register("corpus_token_coverage_curve", oracle=_coverage_oracle())
+def corpus_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of the corpus token MASS the top-V most frequent types
+    cover, for a ladder of vocabulary sizes — the coverage side of the
+    vocabulary-size decision (corpus_zipf_slope fits the law, corpus_oov_rate
+    measures held-out misses, this reads the realized cumulative curve:
+    coverage(1000) = 0.98 says a tiny vocab + byte fallback already covers
+    almost everything; a flat curve says the corpus is type-diverse and
+    needs the vocab budget).
+
+    Shape: token counting is the corpus-scale map-side-combined groupBy the
+    Zipf/Heaps family already pays; the ranking window runs over the TYPE
+    space (vocabulary-scale, orders of magnitude below corpus-scale — the
+    same single-partition exposure corpus_zipf_slope accepts and documents),
+    and the |ladder| presentation rows fold from one conditional aggregate.
+    The rank tie-break is (count DESC, token ASC) in both engines, so the
+    boundary type at each V is identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(F.explode(lower_ws_tokens("text")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = cnt.select("c", F.row_number().over(w).alias("rnk"))
+    aggs = [F.sum("c").alias("total")]
+    for v in COVERAGE_VOCAB_SIZES:
+        aggs.append(
+            F.sum(F.when(F.col("rnk") <= v, F.col("c")).otherwise(0)).alias(f"k{v}")
+        )
+    one = ranked.groupBy().agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).cast("int").alias("vocab_size"),
+                    F.col(f"k{v}").cast("bigint").alias("tokens_covered"),
+                    F.col("total").cast("bigint").alias("tokens_total"),
+                    F.round(F.col(f"k{v}") * F.lit(1.0) / F.col("total"), 6).alias(
+                        "coverage"
+                    ),
+                )
+                for v in COVERAGE_VOCAB_SIZES
+            ]
+        )
+    ).alias("r")
+    return one.select(rows).select("r.*").orderBy("vocab_size")
