@@ -184,6 +184,14 @@ def main(argv: list[str] | None = None) -> int:
     p_str.add_argument("--version-col", required=True)
     p_str.add_argument("--partition-cols", default="", help="comma-separated")
 
+    p_qscr = sub.add_parser(
+        "qscreen",
+        help="streaming quality triage: keep/review/drop verdicts per micro-batch",
+    )
+    p_qscr.add_argument("--source", required=True, help="parquet directory to stream")
+    p_qscr.add_argument("--output", required=True, help="verdict table path")
+    p_qscr.add_argument("--checkpoint", required=True)
+
     p_roll = sub.add_parser(
         "rollup", help="incrementally refresh a partitioned aggregate table"
     )
@@ -450,6 +458,27 @@ def main(argv: list[str] | None = None) -> int:
         from .maintenance import inspect as inspect_dataset
 
         print(json.dumps({"statusCode": 200, **inspect_dataset(args.path)}))
+        return 0
+
+    if args.cmd == "qscreen":
+        from .streaming.events import run_stream_quality_screen
+
+        run_stream_quality_screen(spark, args.source, args.output, args.checkpoint)
+        verdicts = spark.read.parquet(args.output)
+        routes = {
+            r["route"]: r["count"]
+            for r in verdicts.groupBy("route").count().collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "docs": sum(routes.values()),
+                    "routes": routes,
+                    "output": args.output,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "stream":

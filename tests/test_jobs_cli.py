@@ -702,3 +702,27 @@ def test_cli_split_and_impact(spark, tmp_path, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["statusCode"] == 200
     assert all(s["docs_dropped"] <= s["docs_total"] for s in st["sources"])
+
+
+def test_cli_qscreen(spark, tmp_path, capsys):
+    """`jobs qscreen` drains the document stream into a routed verdict
+    table and prints the per-route tally."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "qsrc")
+    load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("source") == "src0"
+    ).write.parquet(src)
+    out = str(tmp_path / "qout")
+    ckpt = str(tmp_path / "qckpt_cli")
+    rc = jobs.main(["qscreen", "--source", src, "--output", out, "--checkpoint", ckpt])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200 and st["docs"] > 0
+    assert set(st["routes"]) <= {"keep", "review", "drop"}
+    assert spark.read.parquet(out).count() == st["docs"]
