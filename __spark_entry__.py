@@ -56,6 +56,7 @@ _PRIORITY = (
     "corpus_context_budget_report",
     "corpus_oov_rate",
     "corpus_token_coverage_curve",
+    "corpus_curriculum_order",
     "text_encoding_artifacts",
     "corpus_dedup_impact_report",
     "text_readability",
@@ -100,7 +101,6 @@ _PRIORITY = (
     "embedding_kmeans",
     "embedding_matryoshka_recall",
     "embedding_bitext_mining",
-    "embedding_drift_report",
     # -- tier sample: multimodal
     "multimodal_decode",
     # -- TPC-H perf-weak set + window analytics

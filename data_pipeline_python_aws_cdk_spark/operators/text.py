@@ -3407,3 +3407,95 @@ def corpus_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("r")
     return one.select(rows).select("r.*").orderBy("vocab_size")
+
+
+# --- curriculum ordering -------------------------------------------------------
+
+CURRICULUM_SALT = "curriculum"
+CURRICULUM_STAGE_BOUNDS = (4.0, 7.0)  # difficulty < b0 -> 0, < b1 -> 1, else 2
+
+
+@_register(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    g AS (
+      SELECT doc_id, n_words,
+             ROUND(0.39 * (n_words * 1.0 / NULLIF(n_sentences, 0))
+                   + 11.8 * (n_syllables * 1.0 / NULLIF(n_words, 0))
+                   - 15.59, 4) AS fk
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             ROUND(0.6 * COALESCE(fk, 12.0) + 0.4 * (n_words / 10.0), 4) + 0
+               AS difficulty,
+             {hash60_sql("CAST(doc_id AS VARCHAR)", salt=CURRICULUM_SALT)}
+               AS order_key
+      FROM g
+    )
+    SELECT doc_id, difficulty,
+           CAST(CASE WHEN difficulty < {CURRICULUM_STAGE_BOUNDS[0]} THEN 0
+                     WHEN difficulty < {CURRICULUM_STAGE_BOUNDS[1]} THEN 1
+                     ELSE 2 END AS INT) AS stage,
+           order_key
+    FROM s
+    ORDER BY stage, order_key, doc_id
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: a difficulty score (readability grade blended
+    with length) buckets every document into FIXED-threshold stages, and a
+    salted hash gives each stage a deterministic internal shuffle — the
+    standard easy-first curriculum shape (stages advance, order within a
+    stage is randomized but replayable). Threshold stages rather than
+    quantile stages on purpose: quantiles need a global sort/percentile
+    pass and RE-ASSIGN stages whenever the corpus grows, while fixed
+    cut-points keep assignment map-only, append-stable, and identical
+    across engines; the stage histogram (reading this output grouped by
+    stage) is how the thresholds get re-tuned per corpus.
+
+    Wholly map-only per document; the trailing ORDER BY is presentational
+    (a distributed range sort) — a training loader consumes
+    (stage, order_key) as its sort key directly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(
+        "doc_id",
+        ws_token_count("text").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).alias("n_syllables"),
+    )
+    fk = F.round(
+        F.lit(0.39) * (F.col("n_words") * F.lit(1.0) / F.nullif("n_sentences", F.lit(0)))
+        + F.lit(11.8) * (F.col("n_syllables") * F.lit(1.0) / F.nullif("n_words", F.lit(0)))
+        - F.lit(15.59),
+        4,
+    )
+    difficulty = F.round(
+        F.lit(0.6) * F.coalesce(fk, F.lit(12.0))
+        + F.lit(0.4) * (F.col("n_words") / F.lit(10.0)),
+        4,
+    ) + F.lit(0.0)
+    stage = (
+        F.when(difficulty < CURRICULUM_STAGE_BOUNDS[0], 0)
+        .when(difficulty < CURRICULUM_STAGE_BOUNDS[1], 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    return t.select(
+        "doc_id",
+        difficulty.alias("difficulty"),
+        stage.alias("stage"),
+        hash60(F.col("doc_id").cast("string"), salt=CURRICULUM_SALT).alias(
+            "order_key"
+        ),
+    ).orderBy("stage", "order_key", "doc_id")
