@@ -3614,3 +3614,287 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("customer_nation", "supplier_nation")
     )
+
+
+@_register(
+    "customers_fuzzy_match",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             length(c_name) AS ln,
+             substr(c_name, 1, CAST(floor(length(c_name) / 2) AS INTEGER)) AS lh,
+             substr(c_name, CAST(floor(length(c_name) / 2) AS INTEGER) + 1) AS rh
+      FROM customer
+    ),
+    cand AS (
+      SELECT a.c_custkey AS ck_a, b.c_custkey AS ck_b,
+             a.c_name AS name_a, b.c_name AS name_b,
+             a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.ln = b.ln AND a.lh = b.lh
+       AND a.c_custkey < b.c_custkey
+      UNION
+      SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
+             a.c_mktsegment, b.c_mktsegment
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.ln = b.ln AND a.rh = b.rh
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT ck_a AS custkey_a, ck_b AS custkey_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance,
+           seg_a = seg_b AS same_segment
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY custkey_a, custkey_b
+    """,
+)
+def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: near-duplicate customer records by edit distance,
+    found through complete two-pass half-string blocking — never an all-pairs
+    compare.
+
+    Blocking correctness is a pigeonhole fact, not a heuristic: two
+    equal-length strings within Levenshtein distance 1 differ by at most one
+    substitution, so they agree exactly on the left half OR the right half.
+    Pass A blocks on (nation, length, left half), pass B on (nation, length,
+    right half); the union is therefore EXACTLY the lev<=1 pair set — recall
+    1.0 with near-linear candidate volume (each block is a handful of rows).
+    UNION (set) dedups pairs caught by both passes (identical names).
+
+    At 100 TB: both passes are equi-joins that shuffle on the block key, so
+    candidate enumeration is per-block quadratic but corpus-linear (block
+    sizes are bounded by key entropy; add a third mid-half pass for lev<=2).
+    The expensive verifier (levenshtein, JVM builtin) runs on candidates
+    only — the MinHash-ladder discipline applied to entity resolution.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    half = "CAST(floor(length(c_name) / 2) AS INT)"
+    base = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.length("c_name").alias("ln"),
+        F.expr(f"substring(c_name, 1, {half})").alias("lh"),
+        F.expr(f"substring(c_name, {half} + 1)").alias("rh"),
+    )
+
+    def _pass(key: str) -> DataFrame:
+        a = base.select(
+            F.col("c_custkey").alias("ck_a"),
+            F.col("c_name").alias("name_a"),
+            F.col("c_mktsegment").alias("seg_a"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("ln"),
+            F.col(key).alias("blk"),
+        )
+        b = base.select(
+            F.col("c_custkey").alias("ck_b"),
+            F.col("c_name").alias("name_b"),
+            F.col("c_mktsegment").alias("seg_b"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("ln"),
+            F.col(key).alias("blk"),
+        )
+        return a.join(b, ["nk", "ln", "blk"]).filter(F.col("ck_a") < F.col("ck_b"))
+
+    cand = (
+        _pass("lh")
+        .unionByName(_pass("rh"))
+        .select("ck_a", "ck_b", "name_a", "name_b", "seg_a", "seg_b")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            F.col("ck_a").alias("custkey_a"),
+            F.col("ck_b").alias("custkey_b"),
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_distance"),
+            (F.col("seg_a") == F.col("seg_b")).alias("same_segment"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+@_register(
+    "events_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS is_head
+      FROM ordered
+    ),
+    agg AS (
+      SELECT user_id, run_id, MIN(event_type) AS state,
+             MIN(ts) AS valid_from, COUNT(*) AS run_events
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(run_events AS BIGINT) AS run_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+             AS is_current
+    FROM agg
+    ORDER BY user_id, run_id
+    """,
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build from an event
+    stream: collapse each user's consecutive same-state runs into
+    [valid_from, valid_to) rows, open-ended for the current state — the CDC
+    history table every warehouse keeps for dimension attributes.
+
+    Single-shuffle shape: the lag/run-numbering window, the per-run
+    aggregation, and the lead(valid_to) stitch are ALL keyed by user_id (the
+    run aggregation on its superset (user_id, run_id), which hash(user_id)
+    partitioning already satisfies), so the plan holds one exchange on
+    user_id and re-sorts between steps. Per-user window state is O(1); runs
+    collapse map-side before the aggregate's exchange.
+
+    At 100 TB: state scales with active users per partition, not events;
+    appends re-derive only the open tail if the source is day-partitioned
+    (process days >= the previous watermark, carry the open runs forward).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    head = (prev.isNull() | (prev != F.col("event_type"))).cast("int")
+    runs = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "run_id",
+        F.sum(head).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    agg = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("run_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from").over(wl)
+    return (
+        agg.select(
+            "user_id",
+            F.col("run_id").cast("bigint").alias("run_id"),
+            "state",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            "run_events",
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+@_register(
+    "events_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                  AS BIGINT) AS campaign
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT p.event_id AS conv_id, c.campaign,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS r,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n
+      FROM clicks c JOIN purch p
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts > p.ts - INTERVAL 7 DAY
+      WHERE c.campaign IS NOT NULL
+    )
+    SELECT campaign,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS conversions_first,
+           CAST(SUM(CASE WHEN r = n THEN 1 ELSE 0 END) AS BIGINT)
+             AS conversions_last,
+           CAST(SUM(1000000 // n) AS BIGINT) AS linear_credit_micro
+    FROM touch
+    GROUP BY campaign
+    ORDER BY campaign
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every purchase distributes credit
+    over the same user's clicks in the preceding 7 days under three models at
+    once — first-touch, last-touch, and linear — rolled up per campaign (the
+    click's ``props.k``).
+
+    The linear share is computed as the integer floor 1000000 // n_touches
+    per touch, so the per-campaign totals are exact int64 sums both engines
+    agree on (a double 1/n summed in different orders would not be).
+
+    Shape: one equi-join on user_id carrying the range predicate (per-user
+    touch fan-out is bounded by a user's 7-day click volume), then two
+    windows keyed by the conversion id — a superset of nothing, but
+    conversion-sized state — and a |campaigns|-row rollup. At 100 TB the
+    range join gets a day-bucket pre-key ((user_id, day) with a 7-entry day
+    explode on the purchase side) to bound probe width; the credit math is
+    unchanged. Purchases with zero in-window clicks drop out (inner join) —
+    attribution reports credit for ATTRIBUTABLE conversions by design.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_eid"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+        F.expr(
+            "CAST(ROUND(TRY_CAST(get_json_object(props, '$.k') AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("campaign"),
+    ).filter(F.col("campaign").isNotNull())
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    touch = clicks.join(
+        purch,
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wr = Window.partitionBy("conv_id").orderBy("c_ts", "c_eid")
+    wn = Window.partitionBy("conv_id")
+    ranked = touch.select(
+        "conv_id",
+        "campaign",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("campaign")
+        .agg(
+            F.count("*").cast("bigint").alias("touches"),
+            F.sum((F.col("r") == 1).cast("int")).cast("bigint").alias(
+                "conversions_first"
+            ),
+            F.sum((F.col("r") == F.col("n")).cast("int")).cast("bigint").alias(
+                "conversions_last"
+            ),
+            F.sum(F.expr("1000000 DIV n")).cast("bigint").alias(
+                "linear_credit_micro"
+            ),
+        )
+        .orderBy("campaign")
+    )
