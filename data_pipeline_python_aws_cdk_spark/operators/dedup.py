@@ -2754,3 +2754,129 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_precision"),
         )
     )
+
+
+DUP_PASSAGE_TOPK = 20
+
+
+def _dup_passages_oracle() -> str:
+    from .text import ROLL_W, _rolling_oracle
+
+    return f"""
+    WITH roll AS ({_rolling_oracle()}),
+    byhash AS (
+      SELECT chunk_hash,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_occurrences,
+             MIN(doc_id) AS rep_doc
+      FROM roll GROUP BY chunk_hash
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    top AS (
+      SELECT * FROM byhash
+      ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+      LIMIT {DUP_PASSAGE_TOPK}
+    ),
+    rep AS (
+      SELECT t.chunk_hash, t.n_docs, t.n_occurrences, t.rep_doc,
+             MIN(r.pos) AS rep_pos
+      FROM top t JOIN roll r
+        ON r.chunk_hash = t.chunk_hash AND r.doc_id = t.rep_doc
+      GROUP BY t.chunk_hash, t.n_docs, t.n_occurrences, t.rep_doc
+    )
+    SELECT rep.chunk_hash,
+           CAST(rep.n_docs AS BIGINT) AS n_docs,
+           CAST(rep.n_occurrences AS BIGINT) AS n_occurrences,
+           rep.rep_doc, rep.rep_pos,
+           array_to_string(
+             list_slice(regexp_split_to_array(lower(trim(d.text)), '\\s+'),
+                        CAST(rep.rep_pos AS INTEGER),
+                        CAST(rep.rep_pos + {ROLL_W} - 1 AS INTEGER)),
+             ' ') AS passage
+    FROM rep JOIN documents d ON d.doc_id = rep.rep_doc
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+    """
+
+
+@_register("corpus_duplicate_passages", oracle=_dup_passages_oracle())
+def corpus_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-passage ranking: the most widely shared
+    content-defined chunks (doc_rolling_fingerprint's rsync/LBFS boundaries)
+    with the actual passage text sliced back out of a representative
+    document — the human-readable "what exactly is being copied" report that
+    sits above the pair-level span explainer (dedup_pair_overlap_spans needs
+    a verified pair table; this needs nothing but the corpus).
+
+    Distinct from corpus_boilerplate_ngrams on purpose: fixed shingles rank
+    every n-gram window, so a long duplicated passage smears across dozens
+    of overlapping shingles; content-defined boundaries collapse it to its
+    stable chunk fingerprints, which survive upstream edits (an insertion
+    shifts no boundary after the next zero residue).
+
+    Shape: the fingerprint stream is map-only per doc; a map-side-combined
+    groupBy on chunk_hash keeps only multi-doc hashes and
+    TakeOrderedAndProject cuts top-k. The rep-position re-probe recomputes
+    the stream with the tiny top-k table broadcast (two corpus passes in
+    this inline form — at 100 TB the stream is persisted once, it is ~1/64
+    of token volume, and both consumers read the parquet, the persisted-
+    index discipline of the BM25/LSH tier); the text slice touches exactly
+    top-k representative documents. Bodies never shuffle, the rollup output
+    is chunk-cardinality bounded.
+
+    Reference scope: extends the dedup ladder (SURVEY.md §2 extension
+    tier); no reference twin — the reference's corpus has no passage-level
+    dedup surface.
+    """
+    from .text import ROLL_W, doc_rolling_fingerprint
+
+    roll = doc_rolling_fingerprint(spark, sf_dir)
+    byhash = (
+        roll.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    top = byhash.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(), "chunk_hash"
+    ).limit(DUP_PASSAGE_TOPK)
+    # rep_pos: earliest boundary position of this chunk inside the
+    # representative doc — re-probe the fingerprint stream with the tiny
+    # top-k table broadcast, then slice the passage from the rep doc's
+    # token array (top-k-bounded text access).
+    rep = (
+        F.broadcast(top)
+        .join(
+            roll.select(
+                F.col("doc_id").alias("rep_doc"),
+                "chunk_hash",
+                "pos",
+            ),
+            ["chunk_hash", "rep_doc"],
+        )
+        .groupBy("chunk_hash", "n_docs", "n_occurrences", "rep_doc")
+        .agg(F.min("pos").alias("rep_pos"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        F.broadcast(rep)
+        .join(d.select("doc_id", "text"), rep.rep_doc == F.col("doc_id"))
+        .select(
+            "chunk_hash",
+            "n_docs",
+            "n_occurrences",
+            "rep_doc",
+            "rep_pos",
+            F.array_join(
+                F.slice(
+                    lower_ws_tokens("text"),
+                    F.col("rep_pos").cast("int"),
+                    ROLL_W,
+                ),
+                " ",
+            ).alias("passage"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "chunk_hash")
+    )

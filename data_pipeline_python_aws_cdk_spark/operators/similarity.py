@@ -2959,3 +2959,126 @@ def embedding_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neighbors",
         F.sum("n_neighbors").over(w).cast("bigint").alias("neighbors_at_least"),
     ).orderBy("n_lists")
+
+
+def _cluster_profiles_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    ac AS (
+      SELECT e.vec_id, e.label, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN cent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, e.label, c.centroid_id
+    ),
+    ranked AS (
+      SELECT vec_id, label, centroid_id, c6,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM ac
+    ),
+    assign AS (
+      SELECT vec_id, label, centroid_id AS cell, c6 FROM ranked WHERE rn = 1
+    ),
+    cellagg AS (
+      SELECT cell, COUNT(*) AS n_vectors,
+             COUNT(DISTINCT label) AS n_labels,
+             ROUND(CAST(SUM(CAST(ROUND(c6 * 1000000) AS BIGINT)) AS DOUBLE)
+                   / COUNT(c6) / 1000000.0, 6) AS avg_cos_centroid
+      FROM assign GROUP BY cell
+    ),
+    lab AS (
+      SELECT cell, label, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY COUNT(*) DESC, label) AS rn
+      FROM assign WHERE label IS NOT NULL GROUP BY cell, label
+    )
+    SELECT ca.cell AS cell, CAST(ca.n_vectors AS BIGINT) AS n_vectors,
+           CAST(ca.n_labels AS BIGINT) AS n_labels,
+           ca.avg_cos_centroid,
+           CAST(l.label AS BIGINT) AS top_label,
+           ROUND(CAST(l.cnt AS DOUBLE) / ca.n_vectors, 6) AS top_label_share
+    FROM cellagg ca LEFT JOIN lab l ON l.cell = ca.cell AND l.rn = 1
+    ORDER BY ca.cell
+    """
+
+
+@_register("embedding_cluster_profiles", oracle=_cluster_profiles_oracle())
+def embedding_cluster_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster composition audit: per codebook cell, its population, label
+    diversity, dominant label (with share), and mean cosine to its own
+    centroid — the review table behind every clustered surface in the
+    engine (SemDeDup cells, IVF inverted lists, curriculum-by-cluster
+    mixes). A cell with low cohesion and no dominant label is a junk
+    drawer: split it (more centroids) before trusting per-cell dedup or
+    ANN probes routed through it.
+
+    Cells are the deterministic seed codebook so the oracle replays the
+    assignment bit-for-bit; production swaps in kmeans_assign, identical
+    shape.
+
+    Shape: assignment is the map-only Arrow argmax (zero exchanges); the
+    assigned-centroid cosine is one broadcast join against the NLIST-row
+    codebook plus the shared Arrow cosine; both rollups exchange only
+    (cell)- and (cell, label)-keyed rows after map-side combine —
+    NLIST- and NLIST x |labels|-bounded outputs at any corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    assign = _assign_nearest_centroid(e, cent).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("centroid_id").alias("cell"),
+    )
+    scored = assign.join(
+        F.broadcast(cent.withColumnRenamed("centroid_id", "cell")), "cell"
+    ).select(
+        "vec_id",
+        "label",
+        "cell",
+        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("c6"),
+    )
+    # Exact int64 micro-unit sum before the one double division: an AVG of
+    # rounded doubles can land on a half-boundary whose direction depends
+    # on summation order; sum_micro / count is the same IEEE double in both
+    # engines, so the shared half-up ROUND agrees bit-for-bit.
+    c_micro = F.expr("CAST(ROUND(c6 * 1000000) AS BIGINT)")
+    cellagg = scored.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+        F.round(
+            F.sum(c_micro).cast("double") / F.count("c6") / F.lit(1000000.0), 6
+        ).alias("avg_cos_centroid"),
+    )
+    lw = Window.partitionBy("cell").orderBy(F.col("cnt").desc(), "label")
+    lab = (
+        scored.filter(F.col("label").isNotNull())
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").cast("bigint").alias("top_label"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    return (
+        cellagg.join(F.broadcast(lab), "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            "n_labels",
+            "avg_cos_centroid",
+            "top_label",
+            F.round(F.col("top_cnt").cast("double") / F.col("n_vectors"), 6).alias(
+                "top_label_share"
+            ),
+        )
+        .orderBy("cell")
+    )
