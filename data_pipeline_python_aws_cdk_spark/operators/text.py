@@ -3499,3 +3499,269 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_key"
         ),
     ).orderBy("stage", "order_key", "doc_id")
+
+
+# Hashed feature space for the bag-of-hashed-ngrams models (DSIR importance
+# weights, Naive-Bayes quality classifier). 512 buckets keeps the broadcast
+# model table trivially small; the paper-scale setting (10k) changes only
+# this constant — per-bucket statistics are B-bounded at any corpus size.
+FEAT_BUCKETS = 512
+
+
+def _dsir_oracle() -> str:
+    b = FEAT_BUCKETS
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             {hash60_sql('word')} % {b} AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+            FROM documents)
+    ),
+    bs AS (
+      SELECT bucket, COUNT(*) AS cnt_r, SUM(is_t) AS cnt_t
+      FROM w GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(cnt_r) AS t_r, SUM(cnt_t) AS t_t FROM bs
+    ),
+    lr AS (
+      SELECT bucket,
+             CAST(ROUND((ln(CAST(cnt_t + 1 AS DOUBLE) / (t_t + {b}))
+                         - ln(CAST(cnt_r + 1 AS DOUBLE) / (t_r + {b})))
+                        * 1000000) AS BIGINT) AS lr_micro
+      FROM bs CROSS JOIN tot
+    )
+    SELECT w.doc_id,
+           d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lr.lr_micro) AS BIGINT) AS dsir_weight_micro,
+           SUM(lr.lr_micro) > 0 AS target_like
+    FROM w JOIN lr ON lr.bucket = w.bucket
+           JOIN documents d ON d.doc_id = w.doc_id
+    GROUP BY w.doc_id, d.lang
+    ORDER BY w.doc_id
+    """
+
+
+@_register("corpus_dsir_weights", oracle=_dsir_oracle())
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169 — public method):
+    fit bag-of-hashed-ngrams unigram models over a TARGET domain sample and
+    the RAW corpus, weight every document by its target/raw log-likelihood
+    ratio. Resampling docs ∝ weight shifts the training mixture toward the
+    target domain without a trained classifier — the importance-sampling
+    counterpart to the Naive-Bayes filter below.
+
+    The target here is the lang='en' slice (a stand-in; production feeds a
+    curated target sample, e.g. held-out Wikipedia). Hashed buckets make
+    the feature space B-bounded regardless of vocabulary growth — the
+    paper's trick, and what keeps the model table broadcastable at 100 TB.
+
+    Float discipline: one ln() per bucket on identical double operands in
+    both engines, quantized to integer micro-units immediately (the char-
+    trigram/BM25 convention); per-doc weights are then exact int64 sums —
+    order- and partition-independent. Laplace (+1, +B) smoothing keeps
+    empty buckets and an empty target slice finite.
+
+    Shape: one exploded token pass feeds a B-bounded bucket aggregate
+    (map-side combined); the fitted 512-row ratio table broadcasts back
+    onto the token stream; per-doc scoring is one more map-side-combined
+    groupBy. Two corpus tokenizes in the inline form (fit + score), the
+    text_lm_score discipline; bodies never shuffle.
+    """
+    b = FEAT_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_t"),
+        F.explode(lower_ws_tokens("text")).alias("word"),
+    ).select("doc_id", "is_t", (hash60("word") % b).alias("bucket"))
+    bs = w.groupBy("bucket").agg(
+        F.count("*").alias("cnt_r"), F.sum("is_t").alias("cnt_t")
+    )
+    tot = bs.agg(
+        F.sum("cnt_r").alias("t_r"), F.sum("cnt_t").alias("t_t")
+    )
+    lr = bs.join(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(ROUND((ln(CAST(cnt_t + 1 AS DOUBLE) / (t_t + {b}))"
+            f" - ln(CAST(cnt_r + 1 AS DOUBLE) / (t_r + {b}))) * 1000000)"
+            " AS BIGINT)"
+        ).alias("lr_micro"),
+    )
+    scored = (
+        w.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr_micro").cast("bigint").alias("dsir_weight_micro"),
+        )
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "dsir_weight_micro",
+            (F.col("dsir_weight_micro") > 0).alias("target_like"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _nb_teacher_sql() -> str:
+    # The text_quality bucket, restated over raw columns — the shared
+    # teacher contract (regexes identical to text_quality's).
+    return """
+      CASE
+        WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 50
+             AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / length(text) < 0.05 THEN 'good'
+        WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 20 THEN 'fair'
+        ELSE 'poor'
+      END
+    """
+
+
+def _nb_oracle() -> str:
+    b = FEAT_BUCKETS
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, {_nb_teacher_sql()} AS teacher FROM documents
+    ),
+    w AS (
+      SELECT t.doc_id, lab.teacher,
+             {hash60_sql('t.word')} % {b} AS bucket
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+            FROM documents) t
+      JOIN lab ON lab.doc_id = t.doc_id
+    ),
+    bs AS (
+      SELECT bucket,
+             SUM(CASE WHEN teacher = 'good' THEN 1 ELSE 0 END) AS cnt_g,
+             SUM(CASE WHEN teacher = 'poor' THEN 1 ELSE 0 END) AS cnt_p
+      FROM w GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(cnt_g) AS t_g, SUM(cnt_p) AS t_p FROM bs),
+    prior AS (
+      SELECT CAST(ROUND(ln(CAST(SUM(CASE WHEN teacher = 'good' THEN 1 ELSE 0 END)
+                                 + 1 AS DOUBLE)
+                            / (SUM(CASE WHEN teacher = 'poor' THEN 1 ELSE 0 END)
+                               + 1)) * 1000000) AS BIGINT) AS prior_micro
+      FROM lab
+    ),
+    lo AS (
+      SELECT bucket,
+             CAST(ROUND((ln(CAST(cnt_g + 1 AS DOUBLE) / (t_g + {b}))
+                         - ln(CAST(cnt_p + 1 AS DOUBLE) / (t_p + {b})))
+                        * 1000000) AS BIGINT) AS lo_micro
+      FROM bs CROSS JOIN tot
+    )
+    SELECT w.doc_id, w.teacher,
+           CAST(prior.prior_micro + SUM(lo.lo_micro) AS BIGINT) AS nb_score_micro,
+           prior.prior_micro + SUM(lo.lo_micro) > 0 AS predicted_good,
+           CASE w.teacher
+             WHEN 'good' THEN prior.prior_micro + SUM(lo.lo_micro) > 0
+             WHEN 'poor' THEN NOT (prior.prior_micro + SUM(lo.lo_micro) > 0)
+             ELSE NULL
+           END AS teacher_agree
+    FROM w JOIN lo ON lo.bucket = w.bucket CROSS JOIN prior
+    GROUP BY w.doc_id, w.teacher, prior.prior_micro
+    ORDER BY w.doc_id
+    """
+
+
+@_register("text_nb_quality_classify", oracle=_nb_oracle())
+def text_nb_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a Naive-Bayes classifier over hashed
+    unigram buckets, trained on the corpus's own rule-based extremes
+    (text_quality 'good' vs 'poor') and scoring EVERY document — the
+    fastText-classifier stage of the GPT-3/CCNet pipeline in its simplest
+    deterministic form. The interesting rows are the disagreements: 'fair'
+    docs the model pulls toward either pole, and rule-good docs with
+    negative scores (rule-passing gibberish the token distribution
+    betrays). Production swaps the teacher for curated positives (e.g.
+    Wikipedia) — shape unchanged.
+
+    Same float discipline as corpus_dsir_weights: per-bucket log-odds and
+    the class prior each take one ln() on identical doubles, quantized to
+    integer micro-units; per-doc scores are exact int64 sums. Laplace
+    smoothing keeps a missing teacher class finite (tiny/hostile corpora).
+
+    Shape: token explode -> B-bounded conditional bucket aggregate ->
+    512-row log-odds table + one-row prior broadcast back onto the token
+    stream -> per-doc map-side-combined sum. Bodies never shuffle.
+    """
+    b = FEAT_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.length("text")
+    n_tokens = ws_token_count("text")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    )
+    teacher = (
+        F.when(
+            (n_tokens >= 50)
+            & (F.try_divide(n_punct.cast("double"), chars) < 0.05),
+            "good",
+        )
+        .when(n_tokens >= 20, "fair")
+        .otherwise("poor")
+    )
+    lab = d.select("doc_id", teacher.alias("teacher"))
+    w = (
+        d.select("doc_id", teacher.alias("teacher"),
+                 F.explode(lower_ws_tokens("text")).alias("word"))
+        .select("doc_id", "teacher", (hash60("word") % b).alias("bucket"))
+    )
+    bs = w.groupBy("bucket").agg(
+        F.sum(F.when(F.col("teacher") == "good", 1).otherwise(0)).alias("cnt_g"),
+        F.sum(F.when(F.col("teacher") == "poor", 1).otherwise(0)).alias("cnt_p"),
+    )
+    tot = bs.agg(F.sum("cnt_g").alias("t_g"), F.sum("cnt_p").alias("t_p"))
+    prior = lab.agg(
+        F.expr(
+            "CAST(ROUND(ln(CAST(SUM(CASE WHEN teacher = 'good' THEN 1 ELSE 0 END)"
+            " + 1 AS DOUBLE)"
+            " / (SUM(CASE WHEN teacher = 'poor' THEN 1 ELSE 0 END) + 1))"
+            " * 1000000) AS BIGINT)"
+        ).alias("prior_micro")
+    )
+    lo = bs.join(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(ROUND((ln(CAST(cnt_g + 1 AS DOUBLE) / (t_g + {b}))"
+            f" - ln(CAST(cnt_p + 1 AS DOUBLE) / (t_p + {b}))) * 1000000)"
+            " AS BIGINT)"
+        ).alias("lo_micro"),
+    )
+    score = (
+        w.join(F.broadcast(lo), "bucket")
+        .groupBy("doc_id", "teacher")
+        .agg(F.sum("lo_micro").alias("sum_lo"))
+        .join(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "teacher",
+            (F.col("prior_micro") + F.col("sum_lo")).cast("bigint").alias(
+                "nb_score_micro"
+            ),
+        )
+    )
+    pred = F.col("nb_score_micro") > 0
+    return score.select(
+        "doc_id",
+        "teacher",
+        "nb_score_micro",
+        pred.alias("predicted_good"),
+        F.when(F.col("teacher") == "good", pred)
+        .when(F.col("teacher") == "poor", ~pred)
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("teacher_agree"),
+    ).orderBy("doc_id")
