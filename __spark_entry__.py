@@ -37,55 +37,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # compare, vanilla session, at sf0.01 AND sf0.1, plus the
 # SPARK_GRAFT_SHUFFLE=7 sweep and the tools/check_types.py width gate).
 #
-# Round-5 closed the driver-verified union (CORRECTNESS_r05: 50/50 green,
-# including all 13 never-evaluated queries and the 6 round-5 debuts), so
-# every registry query now holds a driver-green row.  The round-6 window:
-#   * the 7 round-6 debuts (curation/audit tier) lead — every one is
-#     local-green at sf0.01, on hostile data, under SPARK_GRAFT_SHUFFLE=7,
-#     and through the tools/check_types.py width gate;
-#   * the 12 queries transitively touched by this round's minhash rewrite
-#     (in-row verification sets, explicit candidate materialization point)
-#     re-verify next;
-#   * the remaining 31 slots re-verify the float-adjacent ANN/retrieval
+# Round-5 closed the driver-verified union (CORRECTNESS_r05: 50/50 green),
+# and CORRECTNESS_r07 re-verified the round-6 debuts + the minhash-rewrite
+# set, so every registry query EXCEPT the round-7 debuts holds a
+# driver-green row.  The round-8 window:
+#   * the 7 round-7 debuts lead — they were never driver-evaluated (the
+#     round-7 process miss): each is local-green at sf0.01, on hostile
+#     data, under SPARK_GRAFT_SHUFFLE=7, through tools/check_types.py,
+#     and now carries a planted-case behavioral test;
+#   * the round-8 debuts follow (same debut-window rule);
+#   * the remaining slots re-verify the float-adjacent ANN/retrieval
 #     family and a sample of every tier (dedup, text/corpus, embedding,
 #     multimodal, TPC-H perf-weak set, events analytics).
 _PRIORITY = (
-    # -- NEW this round: must be driver-evaluated in their debut window
-    "corpus_span_decontaminate",
-    "corpus_pii_prevalence",
-    "corpus_context_budget_report",
-    "corpus_oov_rate",
-    "corpus_token_coverage_curve",
-    "corpus_curriculum_order",
-    "text_encoding_artifacts",
-    "corpus_dedup_impact_report",
-    "text_readability",
-    "text_code_prose_classify",
-    "corpus_train_eval_split",
-    "embedding_outlier_mahalanobis",
-    "similarity_centroid_classify",
-    "embedding_hubness_report",
-    # -- touched by the round-6 minhash rewrite: must re-verify
+    # -- round-7 debuts: never driver-evaluated, must lead this window
+    "customers_fuzzy_match",
+    "events_scd2_user_state",
+    "events_attribution",
+    "corpus_dsir_weights",
+    "text_nb_quality_classify",
+    "corpus_duplicate_passages",
+    "embedding_cluster_profiles",
+    # -- NEW round-8 debuts: must be driver-evaluated in their debut window
+    # (inserted as they land; keep this block directly below the r7 set)
+    # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_clusters_star",
     "dedup_survivors",
-    "dedup_threshold_curve",
-    "dedup_family_compare",
-    "dedup_cluster_size_histogram",
-    "dedup_semantic_lexical_agreement",
-    "dedup_minhash_estimator_audit",
-    "dedup_pair_overlap_spans",
-    "dedup_graph_pagerank",
-    "dedup_incremental",
-    "dedup_lsh_recall_report",
-    # -- tier sample: dedup (untouched paths)
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_containment",
     "corpus_decontaminate",
+    "dedup_incremental",
+    "dedup_graph_pagerank",
     # -- float-adjacent ANN / retrieval family
     "similarity_topk",
     "similarity_ann_lsh",
@@ -97,10 +83,15 @@ _PRIORITY = (
     "embedding_quantize",
     # -- tier sample: text / corpus
     "text_bm25_retrieval",
+    "retrieval_hybrid_rrf",
+    "text_lm_score",
+    "corpus_train_eval_split",
+    "text_quality",
     # -- tier sample: embedding
     "embedding_kmeans",
     "embedding_matryoshka_recall",
     "embedding_bitext_mining",
+    "embedding_outlier_mahalanobis",
     # -- tier sample: multimodal
     "multimodal_decode",
     # -- TPC-H perf-weak set + window analytics

@@ -3623,7 +3623,11 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
              length(c_name) AS ln,
              substr(c_name, 1, CAST(floor(length(c_name) / 2) AS INTEGER)) AS lh,
-             substr(c_name, CAST(floor(length(c_name) / 2) AS INTEGER) + 1) AS rh
+             substr(c_name, CAST(floor(length(c_name) / 2) AS INTEGER) + 1) AS rh,
+             substr(c_name, 1,
+                    CAST(floor((length(c_name) - 1) / 2) AS INTEGER)) AS plh,
+             substr(c_name,
+                    CAST(floor((length(c_name) - 1) / 2) AS INTEGER) + 2) AS prh
       FROM customer
     ),
     cand AS (
@@ -3639,6 +3643,28 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c a JOIN c b
         ON a.c_nationkey = b.c_nationkey AND a.ln = b.ln AND a.rh = b.rh
        AND a.c_custkey < b.c_custkey
+      UNION
+      SELECT LEAST(s.c_custkey, l.c_custkey),
+             GREATEST(s.c_custkey, l.c_custkey),
+             CASE WHEN s.c_custkey < l.c_custkey THEN s.c_name ELSE l.c_name END,
+             CASE WHEN s.c_custkey < l.c_custkey THEN l.c_name ELSE s.c_name END,
+             CASE WHEN s.c_custkey < l.c_custkey
+                  THEN s.c_mktsegment ELSE l.c_mktsegment END,
+             CASE WHEN s.c_custkey < l.c_custkey
+                  THEN l.c_mktsegment ELSE s.c_mktsegment END
+      FROM c s JOIN c l
+        ON s.c_nationkey = l.c_nationkey AND l.ln = s.ln + 1 AND s.lh = l.plh
+      UNION
+      SELECT LEAST(s.c_custkey, l.c_custkey),
+             GREATEST(s.c_custkey, l.c_custkey),
+             CASE WHEN s.c_custkey < l.c_custkey THEN s.c_name ELSE l.c_name END,
+             CASE WHEN s.c_custkey < l.c_custkey THEN l.c_name ELSE s.c_name END,
+             CASE WHEN s.c_custkey < l.c_custkey
+                  THEN s.c_mktsegment ELSE l.c_mktsegment END,
+             CASE WHEN s.c_custkey < l.c_custkey
+                  THEN l.c_mktsegment ELSE s.c_mktsegment END
+      FROM c s JOIN c l
+        ON s.c_nationkey = l.c_nationkey AND l.ln = s.ln + 1 AND s.rh = l.prh
     )
     SELECT ck_a AS custkey_a, ck_b AS custkey_b, name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance,
@@ -3650,25 +3676,34 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: near-duplicate customer records by edit distance,
-    found through complete two-pass half-string blocking — never an all-pairs
-    compare.
+    found through complete four-pass half-string blocking — never an
+    all-pairs compare.
 
-    Blocking correctness is a pigeonhole fact, not a heuristic: two
-    equal-length strings within Levenshtein distance 1 differ by at most one
-    substitution, so they agree exactly on the left half OR the right half.
-    Pass A blocks on (nation, length, left half), pass B on (nation, length,
-    right half); the union is therefore EXACTLY the lev<=1 pair set — recall
-    1.0 with near-linear candidate volume (each block is a handful of rows).
-    UNION (set) dedups pairs caught by both passes (identical names).
+    Blocking correctness is a pigeonhole fact, not a heuristic. Equal-length
+    pairs within Levenshtein distance 1 differ by at most one substitution,
+    so they agree exactly on the left half OR the right half: pass A blocks
+    on (nation, length, left half), pass B on (nation, length, right half).
+    Cross-length lev=1 pairs are one insertion/deletion apart: if the longer
+    string (length L+1) deletes position p to give the shorter (length L),
+    then with h = floor(L/2) either p >= h (both share the first h chars) or
+    p < h (both share the last L-h chars, shifted by one in the longer). So
+    pass C blocks short.prefix(h) = long.prefix(h) and pass D blocks
+    short.suffix(L-h) = long.suffix(L-h), with the long side's keys computed
+    from ln-1 so all four passes stay pure equi-joins. The union is EXACTLY
+    the lev<=1 pair set within a nation — recall 1.0 with near-linear
+    candidate volume (each block is a handful of rows). UNION (set) dedups
+    pairs caught by multiple passes.
 
-    At 100 TB: both passes are equi-joins that shuffle on the block key, so
-    candidate enumeration is per-block quadratic but corpus-linear (block
-    sizes are bounded by key entropy; add a third mid-half pass for lev<=2).
-    The expensive verifier (levenshtein, JVM builtin) runs on candidates
-    only — the MinHash-ladder discipline applied to entity resolution.
+    At 100 TB: all four passes are equi-joins that shuffle on the block key,
+    so candidate enumeration is per-block quadratic but corpus-linear (block
+    sizes are bounded by key entropy; extend to mid-third blocking for
+    lev<=2). The expensive verifier (levenshtein, JVM builtin) runs on
+    candidates only — the MinHash-ladder discipline applied to entity
+    resolution.
     """
     c = load_table(spark, sf_dir, "customer")
     half = "CAST(floor(length(c_name) / 2) AS INT)"
+    phalf = "CAST(floor((length(c_name) - 1) / 2) AS INT)"
     base = c.select(
         "c_custkey",
         "c_name",
@@ -3677,31 +3712,52 @@ def customers_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").alias("ln"),
         F.expr(f"substring(c_name, 1, {half})").alias("lh"),
         F.expr(f"substring(c_name, {half} + 1)").alias("rh"),
+        # keys for the "longer side" role of the cross-length passes: the
+        # halves a string of length ln exposes to a partner of length ln-1
+        F.expr(f"substring(c_name, 1, {phalf})").alias("plh"),
+        F.expr(f"substring(c_name, {phalf} + 2)").alias("prh"),
     )
 
+    def _side(prefix: str, ln_expr, key: str) -> DataFrame:
+        return base.select(
+            F.col("c_custkey").alias(f"ck_{prefix}"),
+            F.col("c_name").alias(f"name_{prefix}"),
+            F.col("c_mktsegment").alias(f"seg_{prefix}"),
+            F.col("c_nationkey").alias("nk"),
+            ln_expr.alias("lnj"),
+            F.col(key).alias("blk"),
+        )
+
     def _pass(key: str) -> DataFrame:
-        a = base.select(
-            F.col("c_custkey").alias("ck_a"),
-            F.col("c_name").alias("name_a"),
-            F.col("c_mktsegment").alias("seg_a"),
-            F.col("c_nationkey").alias("nk"),
-            F.col("ln"),
-            F.col(key).alias("blk"),
+        a = _side("a", F.col("ln"), key)
+        b = _side("b", F.col("ln"), key)
+        return (
+            a.join(b, ["nk", "lnj", "blk"])
+            .filter(F.col("ck_a") < F.col("ck_b"))
+            .select("ck_a", "ck_b", "name_a", "name_b", "seg_a", "seg_b")
         )
-        b = base.select(
-            F.col("c_custkey").alias("ck_b"),
-            F.col("c_name").alias("name_b"),
-            F.col("c_mktsegment").alias("seg_b"),
-            F.col("c_nationkey").alias("nk"),
-            F.col("ln"),
-            F.col(key).alias("blk"),
+
+    def _xpass(short_key: str, long_key: str) -> DataFrame:
+        # short role joins at lnj = ln + 1 against the long role's own ln,
+        # so l.ln == s.ln + 1 rides the equi-key (no inequality predicate).
+        s = _side("s", F.col("ln") + F.lit(1), short_key)
+        long_side = _side("l", F.col("ln"), long_key)
+        j = s.join(long_side, ["nk", "lnj", "blk"])
+        lt = F.col("ck_s") < F.col("ck_l")
+        return j.select(
+            F.least("ck_s", "ck_l").alias("ck_a"),
+            F.greatest("ck_s", "ck_l").alias("ck_b"),
+            F.when(lt, F.col("name_s")).otherwise(F.col("name_l")).alias("name_a"),
+            F.when(lt, F.col("name_l")).otherwise(F.col("name_s")).alias("name_b"),
+            F.when(lt, F.col("seg_s")).otherwise(F.col("seg_l")).alias("seg_a"),
+            F.when(lt, F.col("seg_l")).otherwise(F.col("seg_s")).alias("seg_b"),
         )
-        return a.join(b, ["nk", "ln", "blk"]).filter(F.col("ck_a") < F.col("ck_b"))
 
     cand = (
         _pass("lh")
         .unionByName(_pass("rh"))
-        .select("ck_a", "ck_b", "name_a", "name_b", "seg_a", "seg_b")
+        .unionByName(_xpass("lh", "plh"))
+        .unionByName(_xpass("rh", "prh"))
         .distinct()
     )
     return (

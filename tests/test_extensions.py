@@ -1645,3 +1645,215 @@ def test_oov_rate_spikes_on_unseen_domain(spark, tmp_path):
     out = {r.source: r for r in text.corpus_oov_rate(spark, sf).collect()}
     assert out["seen"].oov_rate == 0.0
     assert out["unseen"].oov_rate == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-7 debut operators: planted-case behavioral tests
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_match_covers_all_three_edit_kinds(spark, tmp_path):
+    """The four-pass blocking must reach every lev<=1 pair kind within a
+    nation: substitution (equal length), insertion/deletion at the tail
+    (prefix cross-length pass), and insertion/deletion at the head (suffix
+    cross-length pass) — and nothing at lev 2 or across nations."""
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    rows = [
+        (1, "alice smith", 0, 0.0, "SEG1"),
+        (2, "alice smiths", 0, 0.0, "SEG1"),   # insertion at end  -> lev 1
+        (3, "alice smyth", 0, 0.0, "SEG2"),    # substitution      -> lev 1
+        (4, "blice smith", 0, 0.0, "SEG1"),    # substitution head -> lev 1
+        (5, "xalice smith", 0, 0.0, "SEG1"),   # insertion at head -> lev 1
+        (6, "totally different name", 0, 0.0, "SEG1"),
+        (7, "alice smith", 1, 0.0, "SEG1"),    # right name, wrong nation
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out = tmp_path / "cust_fuzzy"
+    df.write.parquet(f"{out}/customer.parquet")
+    got = analytics.customers_fuzzy_match(spark, str(out)).collect()
+    pairs = {(r.custkey_a, r.custkey_b) for r in got}
+    assert pairs == {(1, 2), (1, 3), (1, 4), (1, 5)}
+    by = {(r.custkey_a, r.custkey_b): r for r in got}
+    assert all(r.edit_distance == 1 for r in got)
+    assert by[(1, 2)].same_segment is True
+    assert by[(1, 3)].same_segment is False
+
+
+def test_scd2_collapses_runs_and_opens_current(spark, tmp_path):
+    """view,view,click,view -> three intervals: the first closed at the
+    click, the click closed at the return to view, the last open-ended
+    (valid_to NULL, is_current)."""
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    t = [datetime(2026, 1, 1, 10, 0, i) for i in range(4)]
+    rows = [
+        (1, t[0], 7, "view", 0.0, "{}"),
+        (2, t[1], 7, "view", 0.0, "{}"),
+        (3, t[2], 7, "click", 0.0, "{}"),
+        (4, t[3], 7, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "ev_scd2"
+    df.write.parquet(f"{out}/events.parquet")
+    got = analytics.events_scd2_user_state(spark, str(out)).collect()
+    assert [(r.run_id, r.state, r.run_events, r.is_current) for r in got] == [
+        (1, "view", 2, False),
+        (2, "click", 1, False),
+        (3, "view", 1, True),
+    ]
+    assert got[0].valid_from == "2026-01-01 10:00:00"
+    assert got[0].valid_to == "2026-01-01 10:00:02"     # closed by the click
+    assert got[1].valid_to == "2026-01-01 10:00:03"
+    assert got[2].valid_to is None
+
+
+def test_attribution_window_edges_and_credit_split(spark, tmp_path):
+    """Two in-window clicks split linear credit 500000/500000 and take
+    first/last respectively; a click exactly 7 days before the purchase is
+    OUTSIDE the window (strict >), a click after the purchase never counts,
+    and a user with clicks but no purchase contributes nothing."""
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    p_ts = datetime(2026, 1, 10, 12, 0, 0)
+    rows = [
+        (1, datetime(2026, 1, 5, 12, 0, 0), 1, "click", 0.0, '{"k": 1}'),
+        (2, datetime(2026, 1, 8, 12, 0, 0), 1, "click", 0.0, '{"k": 2}'),
+        (3, datetime(2026, 1, 3, 12, 0, 0), 1, "click", 0.0, '{"k": 3}'),  # = p_ts - 7d
+        (4, datetime(2026, 1, 11, 12, 0, 0), 1, "click", 0.0, '{"k": 4}'),  # after
+        (100, p_ts, 1, "purchase", 9.0, "{}"),
+        (5, datetime(2026, 1, 5, 0, 0, 0), 2, "click", 0.0, '{"k": 1}'),   # no conv
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "ev_attr"
+    df.write.parquet(f"{out}/events.parquet")
+    got = {r.campaign: r for r in analytics.events_attribution(spark, str(out)).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].touches, got[1].conversions_first, got[1].conversions_last) == (1, 1, 0)
+    assert (got[2].touches, got[2].conversions_first, got[2].conversions_last) == (1, 0, 1)
+    assert got[1].linear_credit_micro == got[2].linear_credit_micro == 500000
+
+
+def test_dsir_weights_track_target_vocabulary(spark, tmp_path):
+    """Docs made of target-slice vocabulary score positive regardless of
+    their own lang tag; docs of never-in-target vocabulary score negative —
+    the importance weight follows the token distribution, not the label."""
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    cat = ("cat " * 1000).strip()
+    hund = ("hund " * 1000).strip()
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, cat, "en", "s", len(cat)),
+            (2, cat, "en", "s", len(cat)),
+            (3, hund, "de", "s", len(hund)),
+            (4, cat, "de", "s", len(cat)),  # target-like tokens, non-target lang
+        ],
+        name="dsir_docs",
+    )
+    got = {r.doc_id: r for r in text.corpus_dsir_weights(spark, sf).collect()}
+    assert all(got[i].n_tokens == 1000 for i in (1, 2, 3, 4))
+    assert got[1].dsir_weight_micro == got[2].dsir_weight_micro == got[4].dsir_weight_micro
+    assert got[4].dsir_weight_micro > 0 and got[4].target_like is True
+    assert got[3].dsir_weight_micro < 0 and got[3].target_like is False
+
+
+def test_nb_classifier_pulls_fair_docs_toward_their_vocabulary(spark, tmp_path):
+    """Teacher extremes train the hashed-unigram NB; 'fair' docs (never in
+    the training mass) must be routed by vocabulary: good-vocab fair doc
+    scores positive, poor-vocab fair doc negative, teacher_agree NULL."""
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    good = ("alpha beta gamma delta " * 15).strip()   # 60 tokens, no punct
+    poor = ("zork " * 10).strip()                      # 10 tokens -> 'poor'
+    fair_good = ("alpha beta gamma delta " * 7).strip()  # 28 tokens -> 'fair'
+    fair_poor = ("zork " * 25).strip()                   # 25 tokens -> 'fair'
+    rows = [(i, good, "en", "s", len(good)) for i in (1, 2, 3)]
+    rows += [(i, poor, "en", "s", len(poor)) for i in (4, 5, 6)]
+    rows += [(7, fair_good, "en", "s", len(fair_good)),
+             (8, fair_poor, "en", "s", len(fair_poor))]
+    sf = _write_docs(spark, tmp_path, rows, name="nb_docs")
+    got = {r.doc_id: r for r in text.text_nb_quality_classify(spark, sf).collect()}
+    assert [got[i].teacher for i in range(1, 9)] == [
+        "good", "good", "good", "poor", "poor", "poor", "fair", "fair"
+    ]
+    for i in (1, 2, 3):
+        assert got[i].predicted_good is True and got[i].teacher_agree is True
+    for i in (4, 5, 6):
+        assert got[i].predicted_good is False and got[i].teacher_agree is True
+    assert got[7].predicted_good is True and got[7].teacher_agree is None
+    assert got[8].predicted_good is False and got[8].teacher_agree is None
+
+
+def test_duplicate_passages_finds_planted_shared_passage(spark, tmp_path):
+    """A 600-token passage planted in three docs (behind distinct prefixes)
+    must surface with n_docs=3, the smallest doc as representative, and
+    every reported passage sliced from inside the shared region."""
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+
+    shared_toks = [f"p{i}" for i in range(600)]
+    shared = " ".join(shared_toks)
+    docs = []
+    for d, pre in ((1, "a"), (2, "b"), (3, "c")):
+        txt = " ".join(f"{pre}{j}" for j in range(10)) + " " + shared
+        docs.append((d, txt, "en", "s", len(txt)))
+    noise = " ".join(f"z{j}" for j in range(200))
+    docs.append((4, noise, "en", "s", len(noise)))
+    sf = _write_docs(spark, tmp_path, docs, name="dup_pass_docs")
+    got = dedup.corpus_duplicate_passages(spark, sf).collect()
+    assert len(got) >= 1
+    for r in got:
+        assert r.n_docs == 3
+        assert r.n_occurrences == 3
+        assert r.rep_doc == 1
+        assert set(r.passage.split()) <= set(shared_toks)
+
+
+def test_cluster_profiles_accounting_on_planted_cells(spark, tmp_path):
+    """Exact copies of centroid 0 (labels 5,5,7) land in cell 0 with
+    cohesion 1.0, dominant label 5 at share 0.5; unlabeled singleton cells
+    report n_labels=0 and a NULL top_label."""
+    from data_pipeline_python_aws_cdk_spark.operators import similarity
+
+    dim, nlist = similarity.DIM, similarity.IVF_NLIST
+
+    def onehot(i):
+        return [1.0 if j == i else 0.0 for j in range(dim)]
+
+    rows = [(i, onehot(i), None) for i in range(nlist)]          # centroids
+    rows += [(100, onehot(0), 5), (101, onehot(0), 5), (102, onehot(0), 7)]
+    rows += [(103, onehot(1), 3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "emb_cells"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    got = {r.cell: r for r in similarity.embedding_cluster_profiles(spark, str(out)).collect()}
+    assert len(got) == nlist
+    c0 = got[0]
+    assert (c0.n_vectors, c0.n_labels, c0.top_label) == (4, 2, 5)
+    assert c0.top_label_share == 0.5
+    assert c0.avg_cos_centroid == 1.0
+    c1 = got[1]
+    assert (c1.n_vectors, c1.n_labels, c1.top_label) == (2, 1, 3)
+    for cell in range(2, nlist):
+        r = got[cell]
+        assert (r.n_vectors, r.n_labels) == (1, 0)
+        assert r.top_label is None and r.top_label_share is None
+        assert r.avg_cos_centroid == 1.0

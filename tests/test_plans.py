@@ -246,6 +246,12 @@ QUADRATIC_BY_DESIGN = {
     "dedup_lsh_recall_report",        # four ONE-ROW count aggregates joined
                                       # (dedup_family_compare's class), over
                                       # the quadratic-by-design truth path
+    "corpus_dsir_weights",      # cross join against the ONE-ROW target/raw
+                                # hashed-bucket mass totals (text_lm_score's
+                                # class: scalar broadcast, constant build side)
+    "text_nb_quality_classify", # two ONE-ROW joins — class prior totals and
+                                # the per-class token grand totals (same
+                                # scalar-broadcast class as q11/text_lm_score)
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
