@@ -59,7 +59,14 @@ _PRIORITY = (
     "corpus_duplicate_passages",
     "embedding_cluster_profiles",
     # -- NEW round-8 debuts: must be driver-evaluated in their debut window
-    # (inserted as they land; keep this block directly below the r7 set)
+    "dedup_prefix_filter_join",
+    "embedding_silhouette",
+    "dedup_quality_survivors",
+    "corpus_heaps_law",
+    "corpus_topic_mix",
+    "events_benford_audit",
+    "corpus_cooccurrence_pmi",
+    "events_match_pattern",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",

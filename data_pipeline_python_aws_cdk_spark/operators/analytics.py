@@ -3954,3 +3954,168 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign")
     )
+
+
+# --- Benford first-digit data-quality audit (round 8) -----------------------
+
+_BENFORD_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(ROUND(abs(value) * 1000000) AS BIGINT) AS micro
+  FROM events WHERE value IS NOT NULL
+),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(micro AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM m WHERE micro > 0
+),
+cnt AS (SELECT event_type, digit, COUNT(*) AS n FROM d
+        GROUP BY event_type, digit),
+tot AS (SELECT event_type, COUNT(*) AS total FROM d GROUP BY event_type)
+SELECT c.event_type, CAST(c.digit AS BIGINT) AS digit,
+       CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+       ROUND(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS benford_share,
+       CAST(ROUND((CAST(c.n AS DOUBLE) / t.total
+                   - ln(1.0 + 1.0 / c.digit) / ln(10.0)) * 1000000) AS BIGINT)
+         AS dev_micro
+FROM cnt c JOIN tot t ON t.event_type = c.event_type
+ORDER BY c.event_type, c.digit
+"""
+
+
+@_register("events_benford_audit", oracle=_BENFORD_ORACLE)
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the event value column, per event
+    type: observed first-significant-digit shares against the Benford
+    expectation log10(1 + 1/d) — the classic fabricated/synthetic/defaulted
+    numeric-column detector (naturally occurring multiplicative quantities
+    follow Benford; uniform generators, hard-coded defaults, and truncated
+    feeds do not, and their deviation profile says which). Complements the
+    z-score anomaly op: that flags outlier VALUES, this flags distribution-
+    shape fraud that individual values never show.
+
+    First-digit extraction never touches float log10 (whose last-ulp
+    placement near powers of ten differs between engines): values quantize
+    to integer micro-units by the ONE shared ROUND, and the first digit of
+    that int64 falls out of exact integer-to-string conversion — identical
+    in every engine. Benford expectation and deviation take ln() on
+    identical doubles with one shared division/round — micro-unit int64
+    deviations, engine-order independent.
+
+    Shape: map-only projection to (event_type, digit), then two map-side-
+    combined rollups bounded by |event_types| x 9 rows. One corpus-shaped
+    exchange of narrow pairs; value range is unconstrained (any int64
+    micro magnitude).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.expr("CAST(ROUND(abs(value) * 1000000) AS BIGINT)")
+    d = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", micro.alias("micro"))
+        .filter(F.col("micro") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("micro").cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            ),
+        )
+    )
+    cnt = d.groupBy("event_type", "digit").agg(F.count("*").alias("n"))
+    tot = d.groupBy("event_type").agg(F.count("*").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    benford = F.expr("ln(1.0 + 1.0 / digit) / ln(10.0)")
+    return (
+        cnt.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("digit").cast("bigint").alias("digit"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(share, 6).alias("share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.expr(
+                "CAST(ROUND((CAST(n AS DOUBLE) / total"
+                " - ln(1.0 + 1.0 / digit) / ln(10.0)) * 1000000) AS BIGINT)"
+            ).alias("dev_micro"),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+# --- MATCH_RECOGNIZE-style sequence patterns (round 8) -----------------------
+
+_MATCH_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_converted,
+       CAST(COALESCE(list_max(list_transform(regexp_extract_all(seq, 'vc+p'),
+                                             m -> length(m))), 0) AS BIGINT)
+         AS longest_match,
+       CAST(len(regexp_extract_all(seq, 'vc+e')) AS BIGINT) AS n_abandoned
+FROM seqs
+ORDER BY user_id
+"""
+
+
+@_register("events_match_pattern", oracle=_MATCH_ORACLE)
+def events_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-sequence pattern detection (the SQL:2016
+    feature Trino/Flink expose; Spark has no native operator, so the engine
+    compiles the pattern onto a per-key ordered event string): per user,
+    non-overlapping greedy matches of view->click+->purchase (a converting
+    engagement run — contiguity means no error/signup interrupts it, the
+    NEXT-row semantics of MATCH_RECOGNIZE's PATTERN (V C+ P)), the longest
+    such run, and the abandonment twin view->click+->error. events_top_paths
+    ranks fixed 3-grams; this matches variable-length anchored patterns
+    with Kleene closure.
+
+    Shape: ONE exchange on user_id builds each user's time-ordered
+    type-letter sequence (sort_array over in-row structs — the aggregation
+    state is the user's own event count, the same bound sessionization
+    carries); pattern matching is a map-side regex over the compact
+    sequence (5 event types -> 1 char each, so a 10k-event user is a 10 kB
+    string). At 100 TB the sequence build keys on (user_id, day) with
+    cross-midnight stitching — the standard MATCH_RECOGNIZE partitioning —
+    and the regex pass is unchanged. Non-overlapping leftmost-greedy match
+    enumeration is identical in Java and DuckDB regex engines for
+    anchored-alternation-free patterns like these; all outputs are exact
+    integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ch")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda s: s.getField("ch")
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    conv = F.regexp_extract_all(F.col("seq"), F.lit("vc+p"), F.lit(0))
+    aband = F.regexp_extract_all(F.col("seq"), F.lit("vc+e"), F.lit(0))
+    return (
+        seqs.select(
+            "user_id",
+            "n_events",
+            F.size(conv).cast("bigint").alias("n_converted"),
+            F.coalesce(
+                F.array_max(F.transform(conv, F.length)), F.lit(0)
+            ).cast("bigint").alias("longest_match"),
+            F.size(aband).cast("bigint").alias("n_abandoned"),
+        )
+        .orderBy("user_id")
+    )

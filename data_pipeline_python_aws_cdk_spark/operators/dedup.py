@@ -2880,3 +2880,204 @@ def corpus_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "chunk_hash")
     )
+
+
+# --- AllPairs/PPJoin prefix-filter similarity join (round 8) ---------------
+
+_PREFIX_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + f""",
+    hsh AS (SELECT DISTINCT doc_id, {hash60_sql('s')} AS h FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+               FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common_shingles,
+           ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    FROM common JOIN cnt ca ON ca.doc_id = doc_a
+                JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+)
+
+
+@_register("dedup_prefix_filter_join", oracle=_PREFIX_ORACLE)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT thresholded Jaccard self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public methods):
+    the deterministic-recall alternative to MinHash-LSH. LSH trades recall
+    for candidate volume via the banding S-curve; prefix filtering is
+    LOSSLESS — its output is bit-identical to the all-pairs truth — while
+    still never enumerating the quadratic pair space.
+
+    The pruning lemma: order every doc's shingle set by one GLOBAL order
+    (document frequency ascending, hash ascending — rarest first). If
+    |a∩b| >= o, the smallest common element in that order sits within the
+    first n-o+1 elements of BOTH sets (all o-1 other common elements rank
+    after it). J(a,b) >= t forces o >= ceil(t*max(na,nb)), so probing only
+    each doc's prefix of length n - ceil(t*n) + 1 finds every qualifying
+    pair — candidates then length-filtered (t*max <= min, integer-exact at
+    t=0.5 as 2*min >= max) and exact-verified on in-row hashed sets
+    (_doc_shingle_sets + the LSH ladder's broadcast verifier).
+
+    At 100 TB: DF-ascending order puts each doc's RAREST shingles in its
+    prefix, so the prefix inverted index is maximally selective and
+    boilerplate/stop shingles (the skew killers of a naive token self-join)
+    are structurally excluded from candidate generation — they rank last.
+    The prefix stream is ~(1-t) of the shingle stream; the DF aggregate and
+    the prefix self-join shuffle on the shingle hash, the ranking window on
+    doc_id: three corpus-shaped exchanges total, no broadcast of anything
+    corpus-scale. The oracle is the brute-force all-pairs truth — what
+    makes this operator EXACT is precisely that the prefix filter is
+    provably lossless.
+    """
+    t = JACCARD_THRESHOLD
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).select("doc_id", hash60("s").alias("h"))
+    df_tbl = sh.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = sh.join(df_tbl, "h").select(
+        "doc_id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.expr(f"CAST(n - ceil({t} * n) + 1 AS INT)")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "h", F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: t*max(na,nb) <= min(na,nb); at t=1/2 the
+            # integer form below is exact (no float boundary to disagree on)
+            & (2 * F.least("na", "nb") >= F.greatest("na", "nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = _pair_jaccard_sets(_doc_shingle_sets(d), cand)
+    return (
+        verified.filter(F.col("jaccard") >= t)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common").cast("bigint").alias("common_shingles"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- quality-aware survivor selection (round 8) -----------------------------
+
+def _quality_survivors_oracle() -> str:
+    chain, final_select = _clusters_oracle_parts()
+    return f"""
+    WITH RECURSIVE {chain},
+    clusters AS ({final_select}),
+    feat AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CASE
+               WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 50
+                    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                             AS DOUBLE) / length(text) < 0.05 THEN 2
+               WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 20 THEN 1
+               ELSE 0
+             END AS q
+      FROM documents
+    ),
+    m AS (
+      SELECT f.doc_id, COALESCE(c.cluster_id, f.doc_id) AS cluster_id,
+             CAST(COALESCE(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+             f.n_tokens, f.q
+      FROM feat f LEFT JOIN clusters c ON c.doc_id = f.doc_id
+    ),
+    r AS (
+      SELECT m.*,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                       ORDER BY q DESC, n_tokens DESC, doc_id)
+               AS survivor_doc
+      FROM m
+    )
+    SELECT doc_id, cluster_id, cluster_size,
+           CAST(q AS BIGINT) AS quality_rank,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           survivor_doc, doc_id = survivor_doc AS is_survivor
+    FROM r ORDER BY doc_id
+    """
+
+
+@_register("dedup_quality_survivors", oracle=_quality_survivors_oracle())
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster keep
+    the BEST copy, not the lowest doc_id. dedup_survivors' min-id canon is
+    replay-stable but quality-blind — when a cluster mixes a clean original
+    with truncated/mojibake mirrors, the keeper should be chosen by signal.
+    Policy (ties broken deterministically): text_quality's rule bucket
+    (good=2 / fair=1 / poor=0) first, then token count (longest), then
+    min doc_id — the RefinedWeb/CCNet convention of keeping the longest
+    best-bucket copy so downstream token mass is preserved.
+
+    Shape: the quality features are a map-only projection (text never
+    shuffles — features reduce each doc to two ints before any exchange);
+    cluster membership is the subgraph-scale dedup_clusters table; the
+    argmax is ONE first_value window over (cluster_id) on narrow
+    (doc_id, q, n_tokens) rows. Singletons carry cluster_id = doc_id, so
+    their window partitions are width-1 — the exchange is corpus-shaped
+    but minimal-width, and the survivor flag needs no second join.
+
+    All-integer ranking (bucket, token count, id): no float enters the
+    ordering, so both engines agree on every tie exactly.
+    """
+    from ..functions.textfns import ws_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = ws_token_count("text")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    )
+    q = (
+        F.when(
+            (n_tokens >= 50)
+            & (F.try_divide(n_punct.cast("double"), F.length("text")) < 0.05),
+            2,
+        )
+        .when(n_tokens >= 20, 1)
+        .otherwise(0)
+    )
+    feat = d.select("doc_id", n_tokens.alias("n_tokens"), q.alias("q"))
+    members = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    m = (
+        feat.join(members, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias("cluster_size"),
+            "n_tokens",
+            "q",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        m.withColumn("survivor_doc", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.col("q").cast("bigint").alias("quality_rank"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "survivor_doc",
+            (F.col("doc_id") == F.col("survivor_doc")).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )

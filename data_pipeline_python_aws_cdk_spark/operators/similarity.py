@@ -175,6 +175,41 @@ def _seed_codebook_and_queries(e: DataFrame) -> tuple[list, list]:
     return cent_rows, query_rows
 
 
+def _cos_all_udf(C, cn):
+    """Arrow UDF factory: per input vector, the float64 cosine to EVERY
+    codebook row, as one array — the map-only kernel shared by nearest-
+    centroid assignment and the silhouette audit (one site for the float
+    discipline documented on _assign_nearest_centroid).
+
+    NULL embedding -> all-NaN cosines (NULL after Arrow), which the JVM
+    argmax resolves to the lowest centroid — identical to the oracle's
+    all-NULL ranking tiebreak. Zero rows stand in for the Nones so
+    np.stack cannot throw; 0/0 already yields NaN.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def cos_all(a: pd.Series) -> pd.Series:
+        vals = a.values
+        mask = a.isna().values
+        if mask.any():
+            dim = next((len(v) for v in vals if v is not None), 1)
+            vals = [np.zeros(dim) if v is None else v for v in vals]
+        x = np.stack(vals).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        out = np.empty((x.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(C.shape[0]):
+            num = (x * C[j]).sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[:, j] = num / (xn * cn[j])
+        out[mask, :] = np.nan
+        return pd.Series(list(out))
+
+    return cos_all
+
+
 def _assign_nearest_centroid(
     e: DataFrame, cent: DataFrame, cent_rows: list | None = None
 ) -> DataFrame:
@@ -214,10 +249,6 @@ def _assign_nearest_centroid(
     engines' tiebreak falls through to the lowest centroid_id, which the
     coalesce pins explicitly.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, DoubleType
-
     rows = (
         cent_rows
         if cent_rows is not None
@@ -233,28 +264,7 @@ def _assign_nearest_centroid(
         # emit NULL ids on whatever rows e has (typically none).
         return e.withColumn("centroid_id", F.lit(None).cast("bigint"))
 
-    @pandas_udf(ArrayType(DoubleType()))
-    def cos_all(a: pd.Series) -> pd.Series:
-        # NULL embedding -> all-NaN cosines (NULL after Arrow), which the
-        # JVM argmax resolves to the lowest centroid — identical to the
-        # oracle's all-NULL ranking tiebreak. Zero rows stand in for the
-        # Nones so np.stack cannot throw; 0/0 already yields NaN.
-        vals = a.values
-        mask = a.isna().values
-        if mask.any():
-            dim = next((len(v) for v in vals if v is not None), 1)
-            vals = [np.zeros(dim) if v is None else v for v in vals]
-        x = np.stack(vals).astype(np.float64)
-        xn = np.linalg.norm(x, axis=1)
-        out = np.empty((x.shape[0], C.shape[0]), dtype=np.float64)
-        for j in range(C.shape[0]):
-            num = (x * C[j]).sum(axis=1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                out[:, j] = num / (xn * cn[j])
-        out[mask, :] = np.nan
-        return pd.Series(list(out))
-
-    c6s = F.transform(cos_all(F.col("embedding")), lambda v: F.round(v, 6))
+    c6s = F.transform(_cos_all_udf(C, cn)(F.col("embedding")), lambda v: F.round(v, 6))
     id_arr = F.array(*[F.lit(i).cast("long") for i in ids])
     # The all-null fallback coalesces the INDEX, not the element: ANSI
     # element_at is (mis)declared non-nullable, so Catalyst folds a
@@ -3079,6 +3089,131 @@ def embedding_cluster_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top_cnt").cast("double") / F.col("n_vectors"), 6).alias(
                 "top_label_share"
             ),
+        )
+        .orderBy("cell")
+    )
+
+
+# --- simplified-silhouette clustering-quality audit (round 8) --------------
+
+def _silhouette_oracle() -> str:
+    cos = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    ac AS (
+      SELECT e.vec_id, c.cid, ROUND({cos}, 6) AS c6
+      FROM embeddings e JOIN cent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    r AS (
+      SELECT vec_id, cid, c6,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, cid) AS rk
+      FROM ac
+    ),
+    t AS (
+      SELECT a.vec_id, a.cid AS cell, a.c6 AS own, b.c6 AS second
+      FROM r a JOIN r b ON a.vec_id = b.vec_id AND b.rk = 2
+      WHERE a.rk = 1 AND a.c6 IS NOT NULL AND b.c6 IS NOT NULL
+    ),
+    s AS (
+      SELECT cell,
+             CASE WHEN own = second THEN 0
+                  ELSE CAST(ROUND((own - second) / (1 - second) * 1000000)
+                            AS BIGINT)
+             END AS sm
+      FROM t
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN sm < 250000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary,
+           ROUND(CAST(SUM(sm) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS avg_silhouette
+    FROM s GROUP BY cell ORDER BY cell
+    """
+
+
+@_register("embedding_silhouette", oracle=_silhouette_oracle())
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette clustering-quality audit (Rousseeuw 1987's
+    silhouette with centroid distances standing in for mean pairwise
+    distances — the linear-time form every large-scale clustering review
+    uses, since true silhouette is quadratic per cluster): per vector,
+    a = cosine distance to its OWN (nearest) centroid, b = distance to the
+    SECOND-nearest, s = (b-a)/max(a,b) = (own_cos - second_cos)/(1 -
+    second_cos). Under nearest-centroid assignment s is in [0, 1] by
+    construction (own >= second), so the audit reports the BOUNDARY count:
+    vectors with s < 0.25 sit nearly equidistant between two centroids —
+    the docs whose cell membership is routing noise, which SemDeDup
+    comparisons and single-probe IVF scans will mishandle first (they are
+    exactly the nprobe>1 motivation).
+    Complements embedding_cluster_profiles: that table audits WHAT is in
+    each cell, this one audits whether the BOUNDARIES are trustworthy.
+
+    Cells are the deterministic seed codebook (cluster_profiles'
+    convention) so the oracle replays the top-2 ranking bit-for-bit;
+    production swaps in trained centroids, identical shape.
+
+    Shape: ONE map-only Arrow pass computes all NLIST cosines per vector
+    (the shared _cos_all_udf kernel, zero exchanges); own/second/cell fall
+    out of JVM-side array ops over the rounded cosine array (argmax = the
+    assignment's first-occurrence-of-max convention, second = max of the
+    remainder); the only exchange carries (cell, s_micro) pairs into an
+    NLIST-bounded rollup. Float discipline: per-vector silhouette is ONE
+    division of identically-rounded doubles, quantized to integer
+    micro-units; cell means are exact int64 sums over one shared double
+    division. Ties (own == second) pin s = 0 explicitly — equidistant
+    vectors carry no boundary signal and no 0/0 risk when own = 1.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    rows = cent.orderBy("centroid_id").collect()
+    ids, C, cn = _codebook_matrix(rows)
+    empty = "cell bigint, n_vectors bigint, n_boundary bigint, avg_silhouette double"
+    if len(ids) < 2:
+        # Fewer than two valid centroids: no second-nearest exists for any
+        # vector, so the audit is empty — in both engines.
+        return spark.createDataFrame([], empty)
+    nlist = len(ids)
+    c6s = F.transform(_cos_all_udf(C, cn)(F.col("embedding")), lambda v: F.round(v, 6))
+    id_arr = F.array(*[F.lit(i).cast("long") for i in ids])
+    scored = e.select("vec_id", c6s.alias("c6s"))
+    pos = F.coalesce(
+        F.array_position(F.col("c6s"), F.array_max("c6s")), F.lit(1)
+    ).cast("int")
+    base = (
+        scored.select(
+            "vec_id",
+            F.element_at(id_arr, pos).alias("cell"),
+            F.array_max("c6s").alias("own"),
+            F.expr(
+                "array_max(concat("
+                " slice(c6s, 1, CAST(array_position(c6s, array_max(c6s)) AS INT) - 1),"
+                " slice(c6s, CAST(array_position(c6s, array_max(c6s)) AS INT) + 1,"
+                f" {nlist})))"
+            ).alias("second"),
+        )
+        .filter(F.col("own").isNotNull() & F.col("second").isNotNull())
+    )
+    sm = F.when(F.col("own") == F.col("second"), F.lit(0).cast("bigint")).otherwise(
+        F.expr("CAST(ROUND((own - second) / (1 - second) * 1000000) AS BIGINT)")
+    )
+    return (
+        base.select("cell", sm.alias("sm"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum((F.col("sm") < 250000).cast("int")).cast("bigint").alias(
+                "n_boundary"
+            ),
+            F.round(
+                F.sum("sm").cast("double") / F.count("*") / F.lit(1000000.0), 6
+            ).alias("avg_silhouette"),
         )
         .orderBy("cell")
     )

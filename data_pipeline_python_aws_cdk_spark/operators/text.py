@@ -3765,3 +3765,348 @@ def text_nb_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("boolean"))
         .alias("teacher_agree"),
     ).orderBy("doc_id")
+
+
+# --- Heaps'-law vocabulary growth (round 8) ---------------------------------
+
+_HEAPS_ORACLE = """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+thr AS (
+  SELECT s.step,
+         CASE s.step WHEN 1 THEN m // 8 WHEN 2 THEN m // 4
+                     WHEN 3 THEN m // 2 ELSE m END AS ceil_id
+  FROM (VALUES (1), (2), (3), (4)) s(step) CROSS JOIN mx
+),
+w AS (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents),
+ft AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+dt AS (SELECT doc_id,
+              len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS nt
+       FROM documents),
+v AS (SELECT t.step,
+             SUM(CASE WHEN f.first_doc <= t.ceil_id THEN 1 ELSE 0 END) AS vocab
+      FROM thr t CROSS JOIN ft f GROUP BY t.step),
+tk AS (SELECT t.step,
+              SUM(CASE WHEN d.doc_id <= t.ceil_id THEN 1 ELSE 0 END) AS cum_docs,
+              SUM(CASE WHEN d.doc_id <= t.ceil_id THEN d.nt ELSE 0 END)
+                AS cum_tokens
+       FROM thr t CROSS JOIN dt d GROUP BY t.step),
+j AS (SELECT t.step, t.ceil_id, tk.cum_docs, tk.cum_tokens, v.vocab,
+             LAG(v.vocab) OVER (ORDER BY t.step) AS pv,
+             LAG(tk.cum_tokens) OVER (ORDER BY t.step) AS pt
+      FROM thr t JOIN v ON v.step = t.step JOIN tk ON tk.step = t.step)
+SELECT CAST(step AS BIGINT) AS step, ceil_id AS doc_ceiling,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST(COALESCE(cum_tokens, 0) AS BIGINT) AS cum_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CASE WHEN pv > 0 AND pt > 0 AND cum_tokens > pt
+            THEN CAST(ROUND((ln(CAST(vocab AS DOUBLE)) - ln(CAST(pv AS DOUBLE)))
+                            / (ln(CAST(cum_tokens AS DOUBLE))
+                               - ln(CAST(pt AS DOUBLE))) * 1000000) AS BIGINT)
+            ELSE NULL END AS beta_micro
+FROM j ORDER BY step
+"""
+
+
+@_register("corpus_heaps_law", oracle=_HEAPS_ORACLE)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth audit: cumulative distinct-type count
+    V(T) against cumulative token mass T at doubling corpus-prefix
+    checkpoints (doc_id <= max/8, /4, /2, all), plus the realized local
+    Heaps exponent beta = dln V / dln T between consecutive checkpoints
+    (V ~ K*T^beta, Heaps 1978 — public result). Zipf's slope (zipf fit op)
+    describes the FREQUENCY distribution at one snapshot; this curve says
+    how the TYPE INVENTORY grows as the corpus does — the projection
+    behind vocabulary-size budgeting when scaling a corpus 100x, and a
+    drift alarm (a beta jump between prefixes = a new domain entered the
+    crawl mix).
+
+    Shape: one token explode feeds a vocabulary-bounded (word ->
+    min(doc_id)) aggregate; per-doc token counts are a map-only
+    projection. Both tables cross-join only the FOUR-ROW broadcast
+    checkpoint table (derived from the one-row MAX — the allowlisted
+    scalar-broadcast class) into conditional aggregates, so no prefix is
+    rescanned and no global rank/window over corpus rows exists — the
+    checkpoint ladder keys off doc_id VALUE, not row position, exactly so
+    the 100 TB form needs no global sort. Float discipline: ln() only on
+    exactly-equal integer counts, one shared division, micro-unit ROUND;
+    the beta guard (prev vocab/tokens > 0, token mass strictly grew)
+    avoids Spark's ln(0)=NULL vs DuckDB's -inf divergence.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    thr = mx.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('step', 1L, 'ceil_id', m DIV 8),"
+                " named_struct('step', 2L, 'ceil_id', m DIV 4),"
+                " named_struct('step', 3L, 'ceil_id', m DIV 2),"
+                " named_struct('step', 4L, 'ceil_id', m))"
+            )
+        ).alias("s")
+    ).select(F.col("s.step").alias("step"), F.col("s.ceil_id").alias("ceil_id"))
+    w = d.select("doc_id", F.explode(lower_ws_tokens("text")).alias("word"))
+    ft = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    dt = d.select("doc_id", ws_token_count("text").alias("nt"))
+    v = (
+        ft.crossJoin(F.broadcast(thr))
+        .groupBy("step")
+        .agg(
+            F.sum(F.when(F.col("first_doc") <= F.col("ceil_id"), 1).otherwise(0))
+            .alias("vocab")
+        )
+    )
+    tk = (
+        dt.crossJoin(F.broadcast(thr))
+        .groupBy("step")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("ceil_id"), 1).otherwise(0))
+            .alias("cum_docs"),
+            F.sum(
+                F.when(F.col("doc_id") <= F.col("ceil_id"), F.col("nt")).otherwise(0)
+            ).alias("cum_tokens"),
+        )
+    )
+    lw = Window.orderBy("step")
+    j = (
+        thr.join(v, "step")
+        .join(tk, "step")
+        .select(
+            "step",
+            "ceil_id",
+            "cum_docs",
+            "cum_tokens",
+            "vocab",
+            F.lag("vocab").over(lw).alias("pv"),
+            F.lag("cum_tokens").over(lw).alias("pt"),
+        )
+    )
+    beta = F.when(
+        (F.col("pv") > 0) & (F.col("pt") > 0) & (F.col("cum_tokens") > F.col("pt")),
+        F.expr(
+            "CAST(ROUND((ln(CAST(vocab AS DOUBLE)) - ln(CAST(pv AS DOUBLE)))"
+            " / (ln(CAST(cum_tokens AS DOUBLE)) - ln(CAST(pt AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ),
+    ).otherwise(F.lit(None).cast("bigint"))
+    return (
+        j.select(
+            F.col("step").cast("bigint").alias("step"),
+            F.col("ceil_id").alias("doc_ceiling"),
+            F.col("cum_docs").cast("bigint").alias("cum_docs"),
+            F.coalesce(F.col("cum_tokens"), F.lit(0)).cast("bigint").alias(
+                "cum_tokens"
+            ),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            beta.alias("beta_micro"),
+        )
+        .orderBy("step")
+    )
+
+
+# --- seeded-keyword topic routing (round 8) ---------------------------------
+
+# Seed lexicon for keyword-based domain routing. Production swaps in a
+# curated taxonomy (or a trained classifier's vocabulary); the engine-side
+# contract is only (word -> topic), broadcastable at any corpus size.
+TOPIC_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "execution": ("filter", "hash", "join", "merge", "scan", "sort"),
+    "planning": ("agg", "data", "order", "query", "spark"),
+    "storage": ("column", "key", "part", "row", "table", "value"),
+    "streaming": ("batch", "group", "stream", "window"),
+}
+
+
+def _topic_mix_oracle() -> str:
+    kw_rows = ",\n           ".join(
+        f"('{w}', '{t}')"
+        for t in sorted(TOPIC_KEYWORDS)
+        for w in TOPIC_KEYWORDS[t]
+    )
+    return f"""
+    WITH kw(word, topic) AS (
+      VALUES {kw_rows}
+    ),
+    w AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+          FROM documents),
+    hits AS (SELECT w.doc_id, kw.topic, COUNT(*) AS cnt
+             FROM w JOIN kw ON kw.word = w.word
+             GROUP BY w.doc_id, kw.topic),
+    best AS (SELECT doc_id, topic,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, topic) AS rn
+             FROM hits),
+    assigned AS (
+      SELECT d.doc_id, d.source, COALESCE(b.topic, 'other') AS topic
+      FROM documents d
+      LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    ),
+    mix AS (SELECT source, topic, COUNT(*) AS n_docs FROM assigned
+            GROUP BY source, topic),
+    tot AS (SELECT source, COUNT(*) AS n FROM assigned GROUP BY source)
+    SELECT m.source, m.topic, CAST(m.n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(m.n_docs AS DOUBLE) / t.n, 6) AS share
+    FROM mix m JOIN tot t ON t.source = m.source
+    ORDER BY m.source, m.topic
+    """
+
+
+@_register("corpus_topic_mix", oracle=_topic_mix_oracle())
+def corpus_topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-keyword topic routing + per-source mixture report: every doc
+    is assigned the topic whose seed keywords it hits most (tie -> the
+    lexicographically first topic; zero hits -> 'other'), then rolled up
+    to the (source, topic) composition table — the domain-mixture audit
+    behind training-mixture decisions (the keyword-seeded first pass of
+    taxonomy systems like WebOrganizer; the trained classifier drops into
+    the same shape later). corpus_mixture_plan decides how much of each
+    SOURCE to take; this says what each source actually CONTAINS.
+
+    Shape: the seed lexicon is a broadcast map-side equi-join on the token
+    stream (never a scan of anything corpus-scale); per-doc hit counts
+    combine map-side; the argmax is a doc-keyed window over |topics|-bounded
+    rows per doc; the final rollup is |sources| x |topics+1| rows. The one
+    corpus-shaped exchange carries (doc_id, topic, cnt) triples. Exact
+    integer counts everywhere; the share is one double division rounded 6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    kw = spark.createDataFrame(
+        [(w, t) for t in sorted(TOPIC_KEYWORDS) for w in TOPIC_KEYWORDS[t]],
+        "word string, topic string",
+    )
+    w = d.select("doc_id", F.explode(lower_ws_tokens("text")).alias("word"))
+    hits = (
+        w.join(F.broadcast(kw), "word")
+        .groupBy("doc_id", "topic")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "topic")
+    best = hits.withColumn("rn", F.row_number().over(rk)).filter(F.col("rn") == 1)
+    assigned = (
+        d.select("doc_id", "source")
+        .join(best.select("doc_id", "topic"), "doc_id", "left")
+        .select("source", F.coalesce("topic", F.lit("other")).alias("topic"))
+    )
+    mix = assigned.groupBy("source", "topic").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = assigned.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        mix.join(tot, "source")
+        .select(
+            "source",
+            "topic",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("source", "topic")
+    )
+
+
+# --- windowed co-occurrence PMI (round 8) -----------------------------------
+
+PMI_WINDOW = 2      # symmetric token window (word2vec's small-context regime)
+PMI_MIN_PAIRS = 5   # minimum co-occurrence count (kills one-off noise pairs)
+PMI_TOPK = 50
+
+# The log-space PMI expression, shared VERBATIM by both engines so the
+# double additions associate identically: pmi = ln P(a,b) - ln P(a) - ln P(b)
+# with each ln taken on an exact integer count.
+_PMI_EXPR = (
+    "CAST(ROUND(((ln(CAST(cab AS DOUBLE)) - ln(CAST(tp AS DOUBLE)))"
+    " - (ln(CAST(ca AS DOUBLE)) - ln(CAST(tt AS DOUBLE)))"
+    " - (ln(CAST(cb AS DOUBLE)) - ln(CAST(tt AS DOUBLE)))) * 1000000)"
+    " AS BIGINT)"
+)
+
+_PMI_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2),
+jdx AS (SELECT doc_id, toks, i,
+               unnest(generate_series(i + 1, least(i + {PMI_WINDOW}, len(toks))))
+                 AS j
+        FROM idx),
+pr AS (SELECT LEAST(toks[i], toks[j]) AS w1, GREATEST(toks[i], toks[j]) AS w2
+       FROM jdx WHERE toks[i] <> toks[j]),
+pc AS (SELECT w1, w2, COUNT(*) AS cab FROM pr GROUP BY w1, w2),
+uni AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+               1 AS one
+        FROM documents),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT (SELECT SUM(c) FROM uc) AS tt, (SELECT SUM(cab) FROM pc) AS tp),
+scored AS (
+  SELECT p.w1, p.w2, p.cab, {_PMI_EXPR} AS pmi_micro
+  FROM pc p JOIN uc a ON a.w = p.w1 JOIN uc b ON b.w = p.w2
+  CROSS JOIN tot,
+  LATERAL (SELECT a.c AS ca, b.c AS cb) x
+  WHERE p.cab >= {PMI_MIN_PAIRS}
+)
+SELECT w1, w2, CAST(cab AS BIGINT) AS pair_count, pmi_micro
+FROM scored
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
+@_register("corpus_cooccurrence_pmi", oracle=_PMI_ORACLE)
+def corpus_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI ranking: the top word pairs by pointwise
+    mutual information over a symmetric +/-2 token window — the
+    count-based association statistic under word2vec/GloVe (SGNS factorizes
+    the shifted-PMI matrix, Levy & Goldberg NeurIPS'14 — public result) and
+    the collocation detector behind phrase-vocabulary induction ("new york"
+    -> one token). corpus_bigram_stats ranks ADJACENT pairs by raw count;
+    PMI normalizes by unigram frequency, so stop-word pairs sink and true
+    collocations surface.
+
+    Shape: pair enumeration happens INSIDE one projection per doc (the
+    rolling-fingerprint discipline — windows never explode through a
+    shuffle wider than the token stream x window size); pair and unigram
+    counts combine map-side into vocabulary^2-bounded and vocab-bounded
+    tables; the two scalar totals broadcast (the allowlisted one-row
+    class); unigram counts join back vocab-keyed; TakeOrderedAndProject
+    cuts top-k. Float discipline: one ln() per exact integer count,
+    combined in a SHARED verbatim expression, micro-unit quantized — the
+    DSIR/BM25 convention. The min-count floor is applied before scoring,
+    so the expensive tail never materializes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(lower_ws_tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, size(toks) - 1), i ->
+                      transform(sequence(i + 1, least(i + {PMI_WINDOW}, size(toks))), j ->
+                        named_struct('w1', least(toks[i-1], toks[j-1]),
+                                     'w2', greatest(toks[i-1], toks[j-1]),
+                                     'same', toks[i-1] = toks[j-1]))))"""
+            )
+        ).alias("p")
+    ).filter(~F.col("p.same")).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cab")).filter(
+        F.col("cab") >= PMI_MIN_PAIRS
+    )
+    uni = d.select(F.explode(lower_ws_tokens("text")).alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    # totals: tt over ALL unigrams (pre-floor), tp over ALL pairs (pre-floor)
+    tp_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cab_all"))
+    tot = uc.agg(F.sum("c").alias("tt")).crossJoin(
+        tp_all.agg(F.sum("cab_all").alias("tp"))
+    )
+    scored = (
+        pc.join(uc.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cab", F.expr(_PMI_EXPR).alias("pmi_micro"))
+    )
+    return (
+        scored.select(
+            "w1", "w2", F.col("cab").cast("bigint").alias("pair_count"), "pmi_micro"
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )

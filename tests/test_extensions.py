@@ -1857,3 +1857,198 @@ def test_cluster_profiles_accounting_on_planted_cells(spark, tmp_path):
         assert (r.n_vectors, r.n_labels) == (1, 0)
         assert r.top_label is None and r.top_label_share is None
         assert r.avg_cos_centroid == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-8 debut operators: planted-case behavioral tests
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_join_equals_bruteforce_twin(spark, tmp_path):
+    """Prefix filtering is LOSSLESS: on a fixture with a planted near-dup,
+    the output must equal dedup_ngram_jaccard's all-pairs truth exactly
+    (same pairs, same jaccard values) — and the planted pair must be in it."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2", 1)
+    far = "one two three four five six seven eight nine ten " * 10
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, base, "en", "s", len(base)), (2, near, "en", "s", len(near)),
+         (3, far, "en", "s", len(far))],
+        name="ppjoin_docs",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_prefix_filter_join(spark, sf).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert got == brute
+    assert (1, 2) in got and got[(1, 2)] > 0.8
+
+
+def test_silhouette_separates_tight_and_boundary_vectors(spark, tmp_path):
+    """Exact centroid copies score silhouette 1; a vector equidistant
+    between two centroids scores 0 (tie pinned explicitly) and counts as
+    boundary in its lowest-id cell."""
+    dim, nlist = similarity.DIM, similarity.IVF_NLIST
+
+    def onehot(i, scale=1.0):
+        return [scale if j == i else 0.0 for j in range(dim)]
+
+    mid = [0.0] * dim
+    mid[0] = mid[1] = 1.0  # cos 0.707107 to BOTH e0 and e1 -> s = 0, cell 0
+    rows = [(i, onehot(i), None) for i in range(nlist)]
+    rows += [(100, onehot(0), 1), (101, onehot(0), 1)]  # s = 1 each
+    rows += [(102, mid, 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "emb_sil"
+    df.write.parquet(f"{out}/embeddings.parquet")
+    got = {r.cell: r for r in similarity.embedding_silhouette(spark, str(out)).collect()}
+    c0 = got[0]
+    # centroid 0 itself + two copies (s=1) + the midpoint (s=0)
+    assert c0.n_vectors == 4
+    assert c0.n_boundary == 1
+    assert c0.avg_silhouette == 0.75
+    assert got[1].n_vectors == 1 and got[1].avg_silhouette == 1.0
+
+
+def test_quality_survivors_prefers_bucket_then_length_then_id(spark, tmp_path):
+    """In a 3-doc near-dup cluster the keeper is the best-bucket copy, not
+    the lowest id: doc 1 (punctuation-degraded, 'fair') loses to doc 2
+    ('good'); doc 3 ties doc 2 on bucket and tokens and loses on id."""
+    base = " ".join(f"w{i}" for i in range(60))          # 60 clean tokens
+    noisy = base + " " + "!" * 30                          # punct ratio > 0.05
+    edited = base.replace("w30", "w30x", 1)
+    other = "completely different text " * 10
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, noisy, "en", "s", len(noisy)), (2, base, "en", "s", len(base)),
+         (3, edited, "en", "s", len(edited)), (4, other, "en", "s", len(other))],
+        name="qsurv_docs",
+    )
+    got = {r.doc_id: r for r in dedup.dedup_quality_survivors(spark, sf).collect()}
+    assert got[1].cluster_size == 3
+    assert all(got[i].survivor_doc == 2 for i in (1, 2, 3))
+    assert [got[i].is_survivor for i in (1, 2, 3, 4)] == [False, True, False, True]
+    assert got[1].quality_rank == 1 and got[2].quality_rank == 2
+
+
+def test_heaps_law_exact_on_unique_vocab(spark, tmp_path):
+    """Eight docs of ten unique tokens each: vocab == tokens at every
+    checkpoint, so the realized Heaps exponent is exactly 1.0 (beta_micro
+    1000000) and the first checkpoint's beta is NULL."""
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    rows = []
+    for i in range(1, 9):
+        t = " ".join(f"t{i}_{j}" for j in range(10))
+        rows.append((i, t, "en", "s", len(t)))
+    sf = _write_docs(spark, tmp_path, rows, name="heaps_docs")
+    got = text.corpus_heaps_law(spark, sf).collect()
+    assert [(r.step, r.doc_ceiling, r.cum_docs, r.cum_tokens, r.vocab)
+            for r in got] == [
+        (1, 1, 1, 10, 10), (2, 2, 2, 20, 20), (3, 4, 4, 40, 40), (4, 8, 8, 80, 80),
+    ]
+    assert got[0].beta_micro is None
+    assert all(r.beta_micro == 1000000 for r in got[1:])
+
+
+def test_topic_mix_routes_by_keyword_majority(spark, tmp_path):
+    """Docs route to their dominant seed topic; keyword ties go to the
+    lexicographically first topic; no hits -> 'other'; shares sum per
+    source."""
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    rows = [
+        (1, "scan filter sort noise", "en", "s", 22),        # execution x3
+        (2, "table table row stream", "en", "s", 22),        # storage 3 > streaming 1
+        (3, "stream batch window group", "en", "s", 25),     # streaming x4
+        (4, "xyzzy unknown words", "en", "s", 19),           # -> other
+        (5, "scan table", "en", "s", 10),                    # tie -> execution
+    ]
+    sf = _write_docs(spark, tmp_path, rows, name="topic_docs")
+    got = {(r.source, r.topic): r for r in text.corpus_topic_mix(spark, sf).collect()}
+    assert got[("s", "execution")].n_docs == 2
+    assert got[("s", "storage")].n_docs == 1
+    assert got[("s", "streaming")].n_docs == 1
+    assert got[("s", "other")].n_docs == 1
+    assert got[("s", "execution")].share == 0.4
+
+
+def test_benford_first_digit_extraction_and_expectation(spark, tmp_path):
+    """First significant digits come out of integer micro-units (0.5 -> 5,
+    19.0 -> 1); zero and NULL values are excluded; the digit-1 Benford
+    expectation is log10(2) ~ 0.30103."""
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    t0 = datetime(2026, 1, 1)
+    vals = [1.0, 1.5, 19.0, 2.0, 30.0, 0.5, 0.0, None]
+    rows = [(i, t0, 1, "view", v, "{}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "ev_benford"
+    df.write.parquet(f"{out}/events.parquet")
+    got = {r.digit: r for r in analytics.events_benford_audit(spark, str(out)).collect()}
+    assert {d: got[d].n for d in got} == {1: 3, 2: 1, 3: 1, 5: 1}
+    assert got[1].share == 0.5
+    assert got[1].benford_share == 0.30103
+    assert got[1].dev_micro == 198970  # 0.5 - log10(2), in micro-units
+
+
+def test_pmi_ranks_collocation_above_stopword_pairs(spark, tmp_path):
+    """'new york' co-occurs every time and both words are rare -> top PMI;
+    'the' co-occurs just as often but is twice as frequent, so its pairs
+    score exactly ln(2) micro-units lower; singleton pairs fall below the
+    min-count floor."""
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    rows = []
+    for i in range(12):
+        t = f"new york q{i} the r{i} the s{i}"
+        rows.append((i, t, "en", "s", len(t)))
+    sf = _write_docs(spark, tmp_path, rows, name="pmi_docs")
+    got = text.corpus_cooccurrence_pmi(spark, sf).collect()
+    assert (got[0].w1, got[0].w2, got[0].pair_count) == ("new", "york", 12)
+    assert got[0].pmi_micro > 0
+    by = {(r.w1, r.w2): r.pmi_micro for r in got}
+    # ln(2) = 0.693147: the exact unigram-frequency penalty for 'the'
+    assert by[("new", "york")] - by[("the", "york")] == 693147
+
+
+def test_match_pattern_counts_runs_and_abandonments(spark, tmp_path):
+    """v c c p -> one converting match of length 4; v c e -> one
+    abandonment; a user with no click between view and purchase matches
+    nothing; two runs count twice with the longest reported."""
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    def ev(eid, uid, sec, typ):
+        return (eid, datetime(2026, 1, 1, 0, 0, sec), uid, typ, 0.0, "{}")
+
+    rows = [ev(i, 1, i, t) for i, t in enumerate(
+        ["view", "click", "click", "purchase", "view", "click", "error", "signup"])]
+    rows += [ev(100 + i, 2, i, t) for i, t in enumerate(["view", "purchase"])]
+    rows += [ev(200 + i, 3, i, t) for i, t in enumerate(
+        ["view", "click", "purchase", "view", "click", "click", "click", "purchase"])]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "ev_match"
+    df.write.parquet(f"{out}/events.parquet")
+    got = {r.user_id: r for r in analytics.events_match_pattern(spark, str(out)).collect()}
+    assert (got[1].n_converted, got[1].longest_match, got[1].n_abandoned) == (1, 4, 1)
+    assert (got[2].n_converted, got[2].longest_match, got[2].n_abandoned) == (0, 0, 0)
+    assert (got[3].n_converted, got[3].longest_match, got[3].n_abandoned) == (2, 5, 0)

@@ -252,6 +252,11 @@ QUADRATIC_BY_DESIGN = {
     "text_nb_quality_classify", # two ONE-ROW joins — class prior totals and
                                 # the per-class token grand totals (same
                                 # scalar-broadcast class as q11/text_lm_score)
+    "corpus_heaps_law",         # conditional aggregates against the FOUR-ROW
+                                # checkpoint table (itself from the ONE-ROW
+                                # max) — the bounded-broadcast class
+    "corpus_cooccurrence_pmi",  # cross join against the ONE-ROW token/pair
+                                # grand totals (text_lm_score's class)
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
