@@ -2884,11 +2884,18 @@ def corpus_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- AllPairs/PPJoin prefix-filter similarity join (round 8) ---------------
 
-_PREFIX_ORACLE = (
-    "WITH "
-    + _SHINGLES_CTE
-    + f""",
-    hsh AS (SELECT DISTINCT doc_id, {hash60_sql('s')} AS h FROM sh),
+PREFIX_W = 4  # shingle width (tokens) — the RefinedWeb/MassiveText regime
+
+_PREFIX_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {PREFIX_W - 1})) AS i
+            FROM t WHERE len(toks) >= {PREFIX_W}),
+    shm AS (SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] AS s
+            FROM idx),
+    hsh AS (SELECT DISTINCT doc_id, {hash60_sql('s')} AS h FROM shm),
     cnt AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
                FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -2900,7 +2907,6 @@ _PREFIX_ORACLE = (
     WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """
-)
 
 
 @_register("dedup_prefix_filter_join", oracle=_PREFIX_ORACLE)
@@ -2932,10 +2938,33 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale. The oracle is the brute-force all-pairs truth — what
     makes this operator EXACT is precisely that the prefix filter is
     provably lossless.
+
+    Shingles are 4-token windows (the RefinedWeb/MassiveText dedup
+    regime), wider than the ladder's 2-grams ON PURPOSE: prefix filtering
+    prunes exactly as well as document frequency discriminates, and a
+    narrow shingle domain (the degenerate small-vocabulary case) makes
+    every bigram common — with w=4 the domain is |V|^4, DF is informative,
+    and candidate volume stays near-linear even on vocabulary-poor
+    corpora. The truth (and the oracle) is 4-gram Jaccard >= t, exactly
+    as the ladder's truth is 2-gram Jaccard.
     """
     t = JACCARD_THRESHOLD
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).select("doc_id", hash60("s").alias("h"))
+    toks = lower_ws_tokens("text")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= PREFIX_W)
+    sh = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {PREFIX_W - 1}), i ->"
+                    " concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .select("doc_id", hash60("s").alias("h"))
+    )
     df_tbl = sh.groupBy("h").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = sh.join(df_tbl, "h").select(
@@ -2960,7 +2989,22 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    verified = _pair_jaccard_sets(_doc_shingle_sets(d), cand)
+    # In-row 4-gram hashed sets for the exact verifier (_doc_shingle_sets'
+    # shape at w=4; same nullability annotation, see that docstring).
+    hashed = F.transform(
+        F.expr(
+            f"transform(sequence(1, size(toks) - {PREFIX_W - 1}), i ->"
+            " concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2]))"
+        ),
+        lambda s: hash60(s),
+    )
+    sets = base.select(
+        "doc_id",
+        F.coalesce(
+            F.sort_array(F.array_distinct(hashed)), F.array().cast("array<bigint>")
+        ).alias("sset"),
+    ).withColumn("n", F.size("sset"))
+    verified = _pair_jaccard_sets(sets, cand)
     return (
         verified.filter(F.col("jaccard") >= t)
         .select(

@@ -1864,10 +1864,10 @@ def test_cluster_profiles_accounting_on_planted_cells(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_prefix_filter_join_equals_bruteforce_twin(spark, tmp_path):
+def test_prefix_filter_join_equals_bruteforce_truth(spark, tmp_path):
     """Prefix filtering is LOSSLESS: on a fixture with a planted near-dup,
-    the output must equal dedup_ngram_jaccard's all-pairs truth exactly
-    (same pairs, same jaccard values) — and the planted pair must be in it."""
+    the output must equal the brute-force 4-gram Jaccard truth exactly —
+    same single pair, bit-equal jaccard computed independently in Python."""
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
     near = base.replace("gamma", "gamma2", 1)
     far = "one two three four five six seven eight nine ten " * 10
@@ -1878,16 +1878,17 @@ def test_prefix_filter_join_equals_bruteforce_twin(spark, tmp_path):
          (3, far, "en", "s", len(far))],
         name="ppjoin_docs",
     )
-    got = {
-        (r.doc_a, r.doc_b): r.jaccard
-        for r in dedup.dedup_prefix_filter_join(spark, sf).collect()
-    }
-    brute = {
-        (r.doc_a, r.doc_b): r.jaccard
-        for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
-    }
-    assert got == brute
-    assert (1, 2) in got and got[(1, 2)] > 0.8
+    got = dedup.dedup_prefix_filter_join(spark, sf).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+    def grams(txt, w=dedup.PREFIX_W):
+        t = txt.lower().split()
+        return {" ".join(t[i : i + w]) for i in range(len(t) - w + 1)}
+
+    a, b = grams(base), grams(near)
+    want = round(len(a & b) / len(a | b), 6)
+    assert got[0].jaccard == want
+    assert got[0].common_shingles == len(a & b)
 
 
 def test_silhouette_separates_tight_and_boundary_vectors(spark, tmp_path):
