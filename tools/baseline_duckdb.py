@@ -45,7 +45,7 @@ def main() -> None:
         if sql is None:  # rows-only ops have no SQL twin
             continue
         best = float("inf")
-        for _attempt in range(3):  # best-of-3, mirroring bench.py
+        for _attempt in range(5):  # best-of-5, mirroring bench.py
             t0 = time.time()
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
