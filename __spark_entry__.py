@@ -67,6 +67,10 @@ _PRIORITY = (
     "events_benford_audit",
     "corpus_cooccurrence_pmi",
     "events_match_pattern",
+    "text_kn_bigram_lm",
+    "lineitem_ship_latency_regression",
+    "events_type_dow_chi2",
+    "events_seasonal_decompose",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -78,7 +82,6 @@ _PRIORITY = (
     "dedup_containment",
     "corpus_decontaminate",
     "dedup_incremental",
-    "dedup_graph_pagerank",
     # -- float-adjacent ANN / retrieval family
     "similarity_topk",
     "similarity_ann_lsh",
@@ -93,7 +96,6 @@ _PRIORITY = (
     "retrieval_hybrid_rrf",
     "text_lm_score",
     "corpus_train_eval_split",
-    "text_quality",
     # -- tier sample: embedding
     "embedding_kmeans",
     "embedding_matryoshka_recall",

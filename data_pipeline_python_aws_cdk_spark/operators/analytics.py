@@ -4119,3 +4119,278 @@ def events_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- closed-form OLS regression aggregate (round 8) --------------------------
+
+# Shared verbatim sub-expressions over the exact integer moment sums
+# (n, sx, sy, sxy, sxx, syy) so every double op associates identically.
+_OLS_NUM = "((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy))"
+_OLS_DENX = "((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * sx))"
+_OLS_DENY = "((CAST(n AS DOUBLE) * syy) - (CAST(sy AS DOUBLE) * sy))"
+
+_REGRESSION_ORACLE = f"""
+WITH xy AS (
+  SELECT CAST(ROUND(l.l_quantity) AS BIGINT) AS x,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS y
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND {_OLS_DENX} > 0
+            THEN CAST(ROUND(({_OLS_NUM} / {_OLS_DENX}) * 1000000) AS BIGINT)
+            ELSE NULL END AS slope_micro,
+       CASE WHEN n >= 2 AND {_OLS_DENX} > 0
+            THEN CAST(ROUND(((CAST(sy AS DOUBLE)
+                              - (({_OLS_NUM} / {_OLS_DENX}) * sx)) / n)
+                            * 1000000) AS BIGINT)
+            ELSE NULL END AS intercept_micro,
+       CASE WHEN n >= 2 AND {_OLS_DENX} > 0 AND {_OLS_DENY} > 0
+            THEN CAST(ROUND((({_OLS_NUM} * {_OLS_NUM})
+                             / ({_OLS_DENX} * {_OLS_DENY})) * 1000000) AS BIGINT)
+            ELSE NULL END AS r2_micro
+FROM m
+"""
+
+
+@_register("lineitem_ship_latency_regression", oracle=_REGRESSION_ORACLE)
+def lineitem_ship_latency_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares regression as ONE aggregation: fit ship
+    latency (days from order date to line ship date) against line quantity
+    from the five closed-form moment sums — slope, intercept, and r² in a
+    single corpus pass with no iteration and no per-row model state. The
+    template for any do-big-quantities-ship-slower / trend-over-covariate
+    question a warehouse answers: swap (x, y) projections, the aggregate
+    is unchanged.
+
+    Scale shape: x and y are small exact integers, so all five moment sums
+    are exact int64 map-side-combined aggregates over the fact join (the
+    single-shuffle orders-lineitem equi-join every TPC-H op uses); the
+    closed-form division happens once on the final one-row result. Float
+    discipline: doubles enter only AFTER aggregation, in shared verbatim
+    expressions over exactly-equal integers; variance-zero and n<2
+    degeneracies return NULL identically in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    xy = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("x"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    ok = F.expr(f"n >= 2 AND {_OLS_DENX} > 0")
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            ok,
+            F.expr(f"CAST(ROUND(({_OLS_NUM} / {_OLS_DENX}) * 1000000) AS BIGINT)"),
+        ).alias("slope_micro"),
+        F.when(
+            ok,
+            F.expr(
+                f"CAST(ROUND(((CAST(sy AS DOUBLE)"
+                f" - (({_OLS_NUM} / {_OLS_DENX}) * sx)) / n) * 1000000) AS BIGINT)"
+            ),
+        ).alias("intercept_micro"),
+        F.when(
+            ok & F.expr(f"{_OLS_DENY} > 0"),
+            F.expr(
+                f"CAST(ROUND((({_OLS_NUM} * {_OLS_NUM})"
+                f" / ({_OLS_DENX} * {_OLS_DENY})) * 1000000) AS BIGINT)"
+            ),
+        ).alias("r2_micro"),
+    )
+
+
+# --- chi-square independence audit (round 8) ---------------------------------
+
+_CHI2_ORACLE = """
+WITH d AS (
+  SELECT event_type, isodow(ts) AS dow FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+obs AS (SELECT event_type, dow, COUNT(*) AS o FROM d GROUP BY event_type, dow),
+rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
+tot AS (SELECT SUM(o) AS t FROM obs),
+grid AS (
+  SELECT rt.event_type, ct.dow, rt.r, ct.c, COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.dow = ct.dow
+),
+cells AS (
+  SELECT CAST(ROUND((((CAST(o AS DOUBLE)
+                       - ((CAST(r AS DOUBLE) * c) / t))
+                      * (CAST(o AS DOUBLE) - ((CAST(r AS DOUBLE) * c) / t)))
+                     / ((CAST(r AS DOUBLE) * c) / t)) * 1000000) AS BIGINT)
+           AS term_micro
+  FROM grid CROSS JOIN tot
+)
+SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n_events,
+       CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_types,
+       CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_days,
+       CAST(((SELECT COUNT(*) FROM rt) - 1)
+            * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+       CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+FROM cells
+"""
+
+
+@_register("events_type_dow_chi2", oracle=_CHI2_ORACLE)
+def events_type_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between event type and ISO day-of-week:
+    is the event mix stable across weekdays, or does some type concentrate
+    (deploy-day error bursts, weekend bot traffic)? The classic
+    contingency-table test as a warehouse aggregate — observed cell counts
+    vs the independence expectation row·col/total, chi² = Σ(o-e)²/e over
+    the FULL type×dow grid (zero-observed cells included, built by
+    crossing the two bounded margin tables, never by enumerating data).
+
+    Scale shape: one map-side-combined rollup to |types|×7 observed cells;
+    margins and the grand total are rollups OF that table; the grid cross
+    join multiplies two BOUNDED dimension tables (allowlisted — margins,
+    not data relations). Float discipline: expectations and cell terms are
+    shared verbatim double expressions over exact integers, quantized to
+    micro-units PER CELL before the int64 sum, so the 35-term addition
+    order cannot diverge between engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.select("event_type", F.expr("weekday(ts) + 1").alias("dow"))
+    obs = d.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["event_type", "dow"], "left")
+        .select("event_type", "dow", "r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    term = F.expr(
+        "CAST(ROUND((((CAST(o AS DOUBLE) - ((CAST(r AS DOUBLE) * c) / t))"
+        " * (CAST(o AS DOUBLE) - ((CAST(r AS DOUBLE) * c) / t)))"
+        " / ((CAST(r AS DOUBLE) * c) / t)) * 1000000) AS BIGINT)"
+    )
+    cells = grid.crossJoin(F.broadcast(tot)).select(term.alias("term_micro"))
+    stats = cells.agg(F.sum("term_micro").cast("bigint").alias("chi2_micro"))
+    dims = (
+        rt.agg(F.count("*").alias("nt"))
+        .crossJoin(ct.agg(F.count("*").alias("nd")))
+        .crossJoin(tot)
+    )
+    return dims.crossJoin(F.broadcast(stats)).select(
+        F.col("t").cast("bigint").alias("n_events"),
+        F.col("nt").cast("bigint").alias("n_types"),
+        F.col("nd").cast("bigint").alias("n_days"),
+        ((F.col("nt") - 1) * (F.col("nd") - 1)).cast("bigint").alias("dof"),
+        "chi2_micro",
+    )
+
+
+# --- day-of-week seasonal decomposition (round 8) ----------------------------
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, isodow(CAST(ts AS DATE)) AS dow,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+tr AS (
+  SELECT d, dow, n,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(n) OVER w AS DOUBLE) / 7 END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT dow, n,
+         CAST(ROUND((CAST(n AS DOUBLE) - trend) * 1000000) AS BIGINT)
+           AS detr_micro
+  FROM tr
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(detr_micro) AS BIGINT) AS days_estimated,
+       ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_daily_events,
+       CAST(ROUND(CAST(SUM(detr_micro) AS DOUBLE) / COUNT(detr_micro))
+            AS BIGINT) AS seasonal_micro
+FROM det GROUP BY dow ORDER BY dow
+"""
+
+
+@_register("events_seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event series (the
+    moving-average method behind STL's initial pass — public method):
+    trend = centered 7-day moving average, detrended = observed - trend,
+    weekly seasonal factor = mean detrended value per ISO day-of-week.
+    The table that separates "traffic is growing" from "that's just
+    Monday" before any anomaly threshold is set; edge days without a full
+    7-day neighborhood are excluded from factor estimation (NULL trend),
+    never zero-filled.
+
+    Scale shape: the corpus-sized work is ONE map-side-combined rollup to
+    |days| rows; the moving-average window and the dow rollup run on that
+    bounded day series (a 100-TB year is 365 rows here — window state is
+    trivial by construction). Float discipline: trend is sum/7 on exact
+    integer day counts; detrended values quantize to micro-units per day
+    before the int64 seasonal sum; one shared division per output row.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .select("d", F.expr("weekday(d) + 1").alias("dow"), "n")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "dow",
+        "n",
+        F.when(
+            F.count("*").over(w) == 7, F.sum("n").over(w).cast("double") / 7
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "dow",
+        "n",
+        F.expr(
+            "CAST(ROUND((CAST(n AS DOUBLE) - trend) * 1000000) AS BIGINT)"
+        ).alias("detr_micro"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.count("detr_micro").cast("bigint").alias("days_estimated"),
+            F.round(F.sum("n").cast("double") / F.count("*"), 6).alias(
+                "avg_daily_events"
+            ),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(detr_micro) AS DOUBLE) / COUNT(detr_micro))"
+                " AS BIGINT)"
+            ).alias("seasonal_micro"),
+        )
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            "days_estimated",
+            "avg_daily_events",
+            "seasonal_micro",
+        )
+        .orderBy("dow")
+    )

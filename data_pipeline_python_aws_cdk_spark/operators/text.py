@@ -4110,3 +4110,115 @@ def corpus_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+# --- Kneser-Ney bigram LM scoring (round 8) ----------------------------------
+
+KN_DISCOUNT = 0.75  # the standard absolute-discount constant
+
+# The per-bigram interpolated-KN probability, shared VERBATIM between
+# engines (parenthesized so the double ops associate identically):
+#   p(w2|w1) = (max(c2 - d, 0) + (d * nctx) * (nr / bt)) / c1
+_KN_P_EXPR = (
+    "(greatest(CAST(c2 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE))"
+    " + ((0.75 * CAST(nctx AS DOUBLE)) * (CAST(nr AS DOUBLE) / CAST(bt AS DOUBLE))))"
+    " / CAST(c1 AS DOUBLE)"
+)
+
+_KN_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+       WHERE len(toks) >= 2),
+c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS nctx FROM c2t GROUP BY w1),
+rgt AS (SELECT w2, COUNT(*) AS nr FROM c2t GROUP BY w2),
+tot AS (SELECT COUNT(*) AS bt FROM c2t),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(-ln({_KN_P_EXPR}) * 1000000) AS BIGINT) AS nll_micro
+  FROM bg JOIN c2t ON c2t.w1 = bg.w1 AND c2t.w2 = bg.w2
+          JOIN ctx ON ctx.w1 = bg.w1
+          JOIN rgt ON rgt.w2 = bg.w2
+          CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_micro) AS BIGINT) AS kn_nll_micro,
+       CAST(ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS avg_nll_micro
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_register("text_kn_bigram_lm", oracle=_KN_ORACLE)
+def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language-model scoring (Kneser & Ney
+    ICASSP'95; the smoothing KenLM implements — public method): per-doc
+    negative log-likelihood under a bigram LM with absolute discounting
+    d=0.75 and CONTINUATION-count backoff, p(w2|w1) = (max(c(w1,w2)-d, 0)
+    + d·N1+(w1·)·P_cont(w2)) / c(w1·), P_cont(w2) = N1+(·w2)/|bigram
+    types|. This is the CCNet/KenLM perplexity-filter stage with real
+    smoothing: text_lm_score's unigram model scores word CHOICE,
+    char-trigram NLL scores spelling — this scores word ORDER, the signal
+    that catches shuffled/templated/stitched text whose unigram profile is
+    clean. Continuation counts (not raw frequencies) in the backoff are
+    KN's insight: "francisco" is frequent but follows only "san", so its
+    backoff mass stays low.
+
+    Trained on the corpus itself (the self-scoring convention of
+    text_lm_score; production trains on a held-out clean slice, shape
+    unchanged) — so every scored bigram has c2 >= 1 and p > 0 with no
+    epsilon floor needed.
+
+    Shape: one in-row bigram enumeration feeds the bigram-type table
+    (vocab²-bounded, map-side combined); context/continuation tables are
+    vocab-bounded rollups OF THE TYPE TABLE (never a second corpus pass);
+    the one-row type-count total broadcasts (allowlisted scalar class);
+    scoring joins the token stream against these bounded tables and
+    fold-ups ride doc_id. Float discipline: per-bigram probability is the
+    shared verbatim expression, one ln(), micro-unit quantized; per-doc
+    NLLs are exact int64 sums.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", lower_ws_tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2t = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = c2t.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("nctx")
+    )
+    rgt = c2t.groupBy("w2").agg(F.count("*").alias("nr"))
+    tot = c2t.agg(F.count("*").alias("bt"))
+    scored = (
+        bg.join(c2t, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(ROUND(-ln({_KN_P_EXPR}) * 1000000) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_micro").cast("bigint").alias("kn_nll_micro"),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("avg_nll_micro"),
+        )
+        .orderBy("doc_id")
+    )

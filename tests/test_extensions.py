@@ -2053,3 +2053,133 @@ def test_match_pattern_counts_runs_and_abandonments(spark, tmp_path):
     assert (got[1].n_converted, got[1].longest_match, got[1].n_abandoned) == (1, 4, 1)
     assert (got[2].n_converted, got[2].longest_match, got[2].n_abandoned) == (0, 0, 0)
     assert (got[3].n_converted, got[3].longest_match, got[3].n_abandoned) == (2, 5, 0)
+
+
+def test_kn_bigram_lm_matches_independent_formula(spark, tmp_path):
+    """The per-doc KN NLL must equal an independent Python replication of
+    interpolated Kneser-Ney (d=0.75) on a corpus small enough to enumerate
+    by hand — and the doc built from the corpus's dominant bigram must
+    score lower NLL per bigram than the doc with the one-off bigram."""
+    import math
+
+    from data_pipeline_python_aws_cdk_spark.operators import text
+
+    d1 = "x y x y x y"   # bigrams: xy x3, yx x2
+    d2 = "x z"           # bigram: xz x1
+    sf = _write_docs(
+        spark, tmp_path,
+        [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2))],
+        name="kn_docs",
+    )
+    got = {r.doc_id: r for r in text.text_kn_bigram_lm(spark, sf).collect()}
+
+    c2 = {("x", "y"): 3, ("y", "x"): 2, ("x", "z"): 1}
+    c1 = {"x": 4, "y": 2}
+    nctx = {"x": 2, "y": 1}
+    nr = {"y": 1, "x": 1, "z": 1}
+    bt = 3
+
+    def nll(w1, w2):
+        p = (max(c2[(w1, w2)] - 0.75, 0.0)
+             + (0.75 * nctx[w1]) * (nr[w2] / bt)) / c1[w1]
+        return round(-math.log(p) * 1000000)
+
+    want1 = 3 * nll("x", "y") + 2 * nll("y", "x")
+    want2 = nll("x", "z")
+    assert got[1].kn_nll_micro == want1 and got[1].n_bigrams == 5
+    assert got[2].kn_nll_micro == want2 and got[2].n_bigrams == 1
+    assert got[1].avg_nll_micro < got[2].avg_nll_micro  # rare bigram costs more
+
+
+def test_regression_recovers_exact_linear_law(spark, tmp_path):
+    """Ship latency planted as exactly 2*quantity + 3 days: slope 2,
+    intercept 3, r-squared 1 — all in micro-units, zero residual."""
+    from datetime import date
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    d0 = date(2026, 1, 1)
+    orders = [(i, 1, "O", 10.0, d0, "1-URGENT") for i in range(1, 6)]
+    lines = []
+    for i, q in zip(range(1, 6), [1.0, 2.0, 3.0, 4.0, 5.0]):
+        from datetime import timedelta
+        lines.append((i, 1, 1, 1, q, 10.0, 0.0, 0.0, "N", "O",
+                      d0 + timedelta(days=int(2 * q + 3))))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/reg/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.parquet(f"{tmp_path}/reg/lineitem.parquet")
+    row = analytics.lineitem_ship_latency_regression(
+        spark, f"{tmp_path}/reg"
+    ).collect()[0]
+    assert (row.n, row.slope_micro, row.intercept_micro, row.r2_micro) == (
+        5, 2000000, 3000000, 1000000,
+    )
+
+
+def test_chi2_zero_on_independence_and_n_on_full_dependence(spark, tmp_path):
+    """A perfectly balanced type x dow table scores chi2 = 0; a fully
+    dependent 2x2 table scores chi2 = n (the 2x2 identity)."""
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    mon, tue = datetime(2026, 1, 5, 12), datetime(2026, 1, 6, 12)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+
+    indep = [(i, ts, 1, t, 1.0, "{}") for i, (ts, t) in enumerate(
+        [(mon, "a"), (mon, "a"), (tue, "a"), (tue, "a"),
+         (mon, "b"), (mon, "b"), (tue, "b"), (tue, "b")])]
+    spark.createDataFrame(indep, schema).write.parquet(
+        f"{tmp_path}/chi_i/events.parquet")
+    r = analytics.events_type_dow_chi2(spark, f"{tmp_path}/chi_i").collect()[0]
+    assert (r.n_events, r.n_types, r.n_days, r.dof, r.chi2_micro) == (8, 2, 2, 1, 0)
+
+    dep = [(i, ts, 1, t, 1.0, "{}") for i, (ts, t) in enumerate(
+        [(mon, "a"), (mon, "a"), (tue, "b"), (tue, "b")])]
+    spark.createDataFrame(dep, schema).write.parquet(
+        f"{tmp_path}/chi_d/events.parquet")
+    r = analytics.events_type_dow_chi2(spark, f"{tmp_path}/chi_d").collect()[0]
+    assert r.chi2_micro == 4000000  # chi2 == n for a fully dependent 2x2
+
+
+def test_seasonal_decompose_recovers_planted_sunday_lift(spark, tmp_path):
+    """Three weeks of 10 events/day with Sundays at 17: the centered-MA
+    trend is flat 11, so the seasonal factor is exactly +6 on Sunday and
+    -1 elsewhere; edge days without a full window are excluded."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    start = datetime(2026, 1, 5)  # a Monday
+    rows, eid = [], 0
+    for day in range(21):
+        dow = day % 7 + 1
+        n = 17 if dow == 7 else 10
+        for k in range(n):
+            rows.append((eid, start + timedelta(days=day, hours=k % 24), 1,
+                         "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/seas/events.parquet")
+    got = {r.dow: r for r in analytics.events_seasonal_decompose(
+        spark, f"{tmp_path}/seas").collect()}
+    assert len(got) == 7
+    for dow in range(1, 7):
+        assert got[dow].seasonal_micro == -1000000, dow
+    assert got[7].seasonal_micro == 6000000
+    assert got[7].avg_daily_events == 17.0
+    assert all(got[d].n_days == 3 for d in range(1, 8))
+    assert got[4].days_estimated == 3 and got[1].days_estimated == 2

@@ -257,6 +257,11 @@ QUADRATIC_BY_DESIGN = {
                                 # max) — the bounded-broadcast class
     "corpus_cooccurrence_pmi",  # cross join against the ONE-ROW token/pair
                                 # grand totals (text_lm_score's class)
+    "text_kn_bigram_lm",        # cross join against the ONE-ROW bigram-type
+                                # total (text_lm_score's class)
+    "events_type_dow_chi2",     # |types| x 7 margin-table grid + ONE-ROW
+                                # total — bounded dimensions, not data
+                                # relations (source_overlap_matrix's class)
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
