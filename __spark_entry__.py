@@ -71,6 +71,7 @@ _PRIORITY = (
     "lineitem_ship_latency_regression",
     "events_type_dow_chi2",
     "events_seasonal_decompose",
+    "streaming_scd2_state",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -81,7 +82,6 @@ _PRIORITY = (
     "dedup_embedding_cosine",
     "dedup_containment",
     "corpus_decontaminate",
-    "dedup_incremental",
     # -- float-adjacent ANN / retrieval family
     "similarity_topk",
     "similarity_ann_lsh",

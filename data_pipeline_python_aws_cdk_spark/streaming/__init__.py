@@ -6,6 +6,7 @@ from .events import (
     hourly_event_counts,
     read_event_stream,
     run_available_now,
+    scd2_stream,
     run_to_files,
     sessionize_stream,
     user_running_stats,
@@ -17,6 +18,7 @@ __all__ = [
     "hourly_event_counts",
     "read_event_stream",
     "run_available_now",
+    "scd2_stream",
     "run_to_files",
     "sessionize_stream",
     "user_running_stats",

@@ -273,6 +273,7 @@ STREAMING = {
     "streaming_distinct_pairs",
     "streaming_click_purchase_join",
     "streaming_sliding_counts",
+    "streaming_scd2_state",
 }
 
 

@@ -410,3 +410,65 @@ def test_stream_quality_screen_matches_batch_and_replays_clean(spark, tmp_path):
     assert {r[3] for r in got} <= {"keep", "review", "drop"}
     run_stream_quality_screen(spark, docs_dir, verdicts, ckpt)
     assert spark.read.parquet(verdicts).count() == len(got)
+
+
+def test_streaming_scd2_matches_batch_rebuild(spark, events_dir):
+    """The incremental stateful SCD2 must equal the batch window rebuild
+    row-for-row on a full availableNow drain — closed intervals, the open
+    tail, run numbering, and the MIN-state convention included."""
+    stream = streaming.read_event_stream(spark, events_dir)
+    rows = streaming.run_available_now(
+        streaming.scd2_stream(stream), "scd2_stream", "update"
+    )
+    got = {
+        (r.user_id, r.run_id): (r.state, r.valid_from, r.valid_to,
+                                r.run_events, r.is_current)
+        for r in rows
+    }
+    want = {
+        (r.user_id, r.run_id): (r.state, r.valid_from, r.valid_to,
+                                r.run_events, r.is_current)
+        for r in analytics.events_scd2_user_state(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_streaming_scd2_incremental_across_triggers(spark, tmp_path):
+    """Two files delivered as separate micro-batches: the second trigger
+    must CLOSE the run left open by the first (state carried across
+    triggers) and emit the new open tail — per-user state stays five
+    scalars, never the history."""
+    from datetime import datetime
+
+    d = tmp_path / "scd2inc"
+    d.mkdir()
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    t = [datetime(2026, 1, 1, 10, 0, i) for i in range(4)]
+    spark.createDataFrame(
+        [(1, t[0], 7, "view", 0.0, "{}"), (2, t[1], 7, "view", 0.0, "{}")],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "f1.parquet"))
+    spark.createDataFrame(
+        [(3, t[2], 7, "click", 0.0, "{}"), (4, t[3], 7, "view", 0.0, "{}")],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "f2.parquet"))
+    stream = (
+        spark.readStream.schema(streaming.events.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*.parquet"))
+    )
+    rows = streaming.run_available_now(
+        streaming.scd2_stream(stream), "scd2_inc", "update"
+    )
+    # update-mode memory sink appends per trigger; the FINAL emission per
+    # (user, run) is authoritative
+    final = {}
+    for r in rows:
+        final[(r.user_id, r.run_id)] = (r.state, r.valid_from, r.valid_to,
+                                        r.run_events, r.is_current)
+    assert final == {
+        (7, 1): ("view", "2026-01-01 10:00:00", "2026-01-01 10:00:02", 2, False),
+        (7, 2): ("click", "2026-01-01 10:00:02", "2026-01-01 10:00:03", 1, False),
+        (7, 3): ("view", "2026-01-01 10:00:03", None, 1, True),
+    }
