@@ -2934,9 +2934,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are structurally excluded from candidate generation — they rank last.
     The prefix stream is ~(1-t) of the shingle stream; the DF aggregate and
     the prefix self-join shuffle on the shingle hash, the ranking window on
-    doc_id: three corpus-shaped exchanges total, no broadcast of anything
-    corpus-scale. The oracle is the brute-force all-pairs truth — what
-    makes this operator EXACT is precisely that the prefix filter is
+    doc_id — every exchange carries (id, hash, small ints), never text.
+    Verification scans CANDIDATE docs only (broadcast semi-join prune) and
+    candidates sit behind a localCheckpoint cut, so its three consumers
+    cannot re-run the prefix pipeline; nothing corpus-scale is ever
+    broadcast or pinned. The oracle is the brute-force all-pairs truth —
+    what makes this operator EXACT is precisely that the prefix filter is
     provably lossless.
 
     Shingles are 4-token windows (the RefinedWeb/MassiveText dedup
@@ -2988,9 +2991,22 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # localCheckpoint on the candidate-SCALE pair set: its three
+        # consumers (the verify join + both arms of the id union) prune
+        # differently, so exchange canonicalization cannot serve them from
+        # one materialization — the checkpoint stops each from re-running
+        # the whole prefix pipeline. Candidates are the near-dup fraction,
+        # so the cut is small by construction.
+        .localCheckpoint()
     )
-    # In-row 4-gram hashed sets for the exact verifier (_doc_shingle_sets'
-    # shape at w=4; same nullability annotation, see that docstring).
+    # Verification scans CANDIDATE docs only (broadcast semi-join prune —
+    # the minhash verifier's discipline; broadcasting the full corpus set
+    # table would be the scale killer): in-row 4-gram hashed sets,
+    # _doc_shingle_sets' shape at w=4, same nullability annotation.
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    pruned = base.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     hashed = F.transform(
         F.expr(
             f"transform(sequence(1, size(toks) - {PREFIX_W - 1}), i ->"
@@ -2998,7 +3014,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: hash60(s),
     )
-    sets = base.select(
+    sets = pruned.select(
         "doc_id",
         F.coalesce(
             F.sort_array(F.array_distinct(hashed)), F.array().cast("array<bigint>")

@@ -4087,15 +4087,20 @@ def corpus_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).filter(~F.col("p.same")).select("p.w1", "p.w2")
-    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cab")).filter(
-        F.col("cab") >= PMI_MIN_PAIRS
-    )
+    # ONE aggregated pair table serves the floor-filtered scoring side AND
+    # the pre-floor grand total. localCheckpoint (not an exchange pin):
+    # the consumers prune different columns, so Catalyst rewrites each
+    # copy's aggregate differently and the exchanges never canonicalize
+    # equal — the checkpoint is the only cut that makes the corpus-scale
+    # pair enumeration run exactly once. Both tables are vocabulary-
+    # bounded, so the local materialization is small at any corpus size.
+    pcall = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cab")).localCheckpoint()
+    pc = pcall.filter(F.col("cab") >= PMI_MIN_PAIRS)
     uni = d.select(F.explode(lower_ws_tokens("text")).alias("w"))
-    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
     # totals: tt over ALL unigrams (pre-floor), tp over ALL pairs (pre-floor)
-    tp_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cab_all"))
     tot = uc.agg(F.sum("c").alias("tt")).crossJoin(
-        tp_all.agg(F.sum("cab_all").alias("tp"))
+        pcall.agg(F.sum("cab").alias("tp"))
     )
     scored = (
         pc.join(uc.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
@@ -4193,7 +4198,13 @@ def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c2t = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # localCheckpoint pins the vocab²-bounded type table behind one real
+    # materialization: its four consumers (context, continuation, total,
+    # the scoring join) prune different columns, so Catalyst rewrites each
+    # copy's aggregate differently and exchange reuse can never fire — the
+    # checkpoint collapses four corpus-scale re-tokenizations into one.
+    # The table is vocab²-bounded, so the cut is cheap at any corpus size.
+    c2t = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint()
     ctx = c2t.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("nctx")
     )
