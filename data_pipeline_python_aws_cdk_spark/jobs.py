@@ -232,6 +232,30 @@ def main(argv: list[str] | None = None) -> int:
     p_up.add_argument("--version-col", required=True)
     p_up.add_argument("--partition-cols", default="", help="comma-separated")
 
+    p_scd2 = sub.add_parser(
+        "scd2", help="materialize the SCD2 user-state history table"
+    )
+    p_scd2.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_scd2.add_argument("--output", default=None, help="optional parquet destination")
+
+    p_attr = sub.add_parser(
+        "attribution", help="first/last/linear multi-touch credit per campaign"
+    )
+    p_attr.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_attr.add_argument("--output", default=None, help="optional parquet destination")
+
+    p_surv = sub.add_parser(
+        "survivors", help="full-corpus dedup keep/drop assignment table"
+    )
+    p_surv.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_surv.add_argument(
+        "--policy",
+        choices=("id", "quality"),
+        default="id",
+        help="canonical pick: lowest doc_id, or best quality bucket then longest",
+    )
+    p_surv.add_argument("--output", default=None, help="optional parquet destination")
+
     args = parser.parse_args(argv)
     spark = get_spark(f"job-{args.cmd}")
 
@@ -654,6 +678,83 @@ def main(argv: list[str] | None = None) -> int:
             partition_cols=[c for c in args.partition_cols.split(",") if c],
         )
         print(json.dumps({"statusCode": 200, **st}))
+        return 0
+
+    if args.cmd == "scd2":
+        import pyspark.sql.functions as F
+
+        from .operators.analytics import events_scd2_user_state
+
+        hist = events_scd2_user_state(spark, args.sf_dir)
+        if args.output:
+            hist.write.mode("overwrite").parquet(args.output)
+            hist = spark.read.parquet(args.output)
+        agg = hist.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.col("is_current").cast("int")).alias("open_runs"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "rows": agg.rows,
+                    "users": agg.users,
+                    "open_runs": agg.open_runs,
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "attribution":
+        from .operators.analytics import events_attribution
+
+        rep = events_attribution(spark, args.sf_dir)
+        if args.output:
+            rep.write.mode("overwrite").parquet(args.output)
+            rep = spark.read.parquet(args.output)
+        rows = rep.orderBy("campaign").collect()
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "campaigns": len(rows),
+                    "touches": sum(r.touches for r in rows),
+                    "linear_credit_micro": sum(r.linear_credit_micro for r in rows),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "survivors":
+        import pyspark.sql.functions as F
+
+        if args.policy == "quality":
+            from .operators.dedup import dedup_quality_survivors as _surv
+        else:
+            from .operators.dedup import dedup_survivors as _surv
+        table = _surv(spark, args.sf_dir)
+        if args.output:
+            table.write.mode("overwrite").parquet(args.output)
+            table = spark.read.parquet(args.output)
+        agg = table.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("is_survivor").cast("int")).alias("kept"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "policy": args.policy,
+                    "docs": agg.docs,
+                    "kept": agg.kept,
+                    "dropped": agg.docs - agg.kept,
+                    "output": args.output,
+                }
+            )
+        )
         return 0
 
     return 2

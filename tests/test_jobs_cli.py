@@ -726,3 +726,32 @@ def test_cli_qscreen(spark, tmp_path, capsys):
     assert st["statusCode"] == 200 and st["docs"] > 0
     assert set(st["routes"]) <= {"keep", "review", "drop"}
     assert spark.read.parquet(out).count() == st["docs"]
+
+
+def test_cli_scd2_attribution_survivors(spark, tmp_path, capsys):
+    sf = "/root/testdata/sf0.001"
+
+    rc = jobs.main(["scd2", "--sf-dir", sf, "--output", str(tmp_path / "scd2")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["statusCode"] == 200
+    assert out["rows"] > out["users"] > 0
+    assert out["open_runs"] == out["users"]  # every user has exactly one open run
+
+    rc = jobs.main(["attribution", "--sf-dir", sf])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["campaigns"] > 0
+    # linear credit is 1000000-per-conversion minus integer-floor remainders
+    assert 0 < out["linear_credit_micro"] <= out["touches"] * 1000000
+
+    for policy in ("id", "quality"):
+        rc = jobs.main(
+            ["survivors", "--sf-dir", sf, "--policy", policy,
+             "--output", str(tmp_path / f"surv_{policy}")]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["docs"] == out["kept"] + out["dropped"]
+        assert out["kept"] > 0 and out["dropped"] > 0
+    # both policies keep exactly one doc per cluster: same keep COUNT
+    a = spark.read.parquet(str(tmp_path / "surv_id"))
+    b = spark.read.parquet(str(tmp_path / "surv_quality"))
+    assert a.filter("is_survivor").count() == b.filter("is_survivor").count()
