@@ -72,6 +72,8 @@ _PRIORITY = (
     "events_type_dow_chi2",
     "events_seasonal_decompose",
     "streaming_scd2_state",
+    "orders_revenue_pareto",
+    "corpus_dedup_cascade_report",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -81,7 +83,6 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_containment",
-    "corpus_decontaminate",
     # -- float-adjacent ANN / retrieval family
     "similarity_topk",
     "similarity_ann_lsh",
@@ -100,7 +101,6 @@ _PRIORITY = (
     "embedding_kmeans",
     "embedding_matryoshka_recall",
     "embedding_bitext_mining",
-    "embedding_outlier_mahalanobis",
     # -- tier sample: multimodal
     "multimodal_decode",
     # -- TPC-H perf-weak set + window analytics

@@ -4394,3 +4394,90 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --- revenue concentration (Pareto/decile) audit (round 8) --------------------
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT o_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM rev
+),
+d AS (
+  SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS revenue_cents
+  FROM rk GROUP BY decile
+),
+c AS (
+  SELECT decile, n_customers, revenue_cents,
+         SUM(revenue_cents) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         SUM(revenue_cents) OVER () AS total_cents
+  FROM d
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(cum_cents AS BIGINT) AS cum_revenue_cents,
+       ROUND(CAST(cum_cents AS DOUBLE) / total_cents, 6) AS cum_share
+FROM c ORDER BY decile
+"""
+
+
+@_register("orders_revenue_pareto", oracle=_PARETO_ORACLE)
+def orders_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration audit: customers ranked into spend deciles
+    (highest first) with each decile's revenue and the cumulative share —
+    the Pareto "top 10% of customers carry X% of revenue" curve behind
+    account-tier and capacity decisions, and (read as a data-quality
+    signal) the skew profile that says whether a per-customer join needs
+    salting. customer_spend_quartiles codes individual customers; this is
+    the corpus-level concentration CURVE.
+
+    Money stays exact: o_totalprice quantizes to integer cents by the one
+    shared ROUND (TPC-H prices carry two decimals, so this is lossless),
+    and every sum — per customer, per decile, cumulative — is an int64
+    sum both engines agree on; the only double is the final share
+    division. The per-customer rollup combines map-side; NTILE runs on
+    the customer-cardinality aggregate (at 100 TB swap in percentile-
+    boundary bucketing to avoid the single-partition rank — the decile
+    CONTENTS are identical, and the cumulative arithmetic is unchanged);
+    decile rows are ten, so the cumulative windows are trivial.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
+        )
+    )
+    rk = rev.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    d = rk.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("cents").alias("revenue_cents")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return (
+        d.select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.sum("revenue_cents").over(wc).cast("bigint").alias("cum_revenue_cents"),
+            F.round(
+                F.sum("revenue_cents").over(wc).cast("double")
+                / F.sum("revenue_cents").over(wt),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

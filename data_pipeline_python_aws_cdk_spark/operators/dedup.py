@@ -3141,3 +3141,94 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- dedup cascade (marginal removal per stage) (round 8) --------------------
+
+def _cascade_oracle() -> str:
+    chain, final_select = _clusters_oracle_parts()
+    fp = hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    return f"""
+    WITH RECURSIVE {chain},
+    clusters AS ({final_select}),
+    fp AS (SELECT doc_id, {fp} AS f FROM documents),
+    s1 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    m AS (SELECT s1.doc_id, COALESCE(c.cluster_id, s1.doc_id) AS cl
+          FROM s1 LEFT JOIN clusters c ON c.doc_id = s1.doc_id),
+    s2 AS (SELECT MIN(doc_id) AS doc_id FROM m GROUP BY cl),
+    n0 AS (SELECT COUNT(*) AS c FROM documents),
+    n1 AS (SELECT COUNT(*) AS c FROM s1),
+    n2 AS (SELECT COUNT(*) AS c FROM s2)
+    SELECT stage_ord, stage, docs_in, docs_out,
+           docs_in - docs_out AS removed,
+           ROUND(CAST(docs_in - docs_out AS DOUBLE) / docs_in, 6)
+             AS removal_rate
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS stage_ord, 'exact' AS stage,
+             CAST(n0.c AS BIGINT) AS docs_in, CAST(n1.c AS BIGINT) AS docs_out
+      FROM n0 CROSS JOIN n1
+      UNION ALL
+      SELECT 2, 'minhash_lsh', CAST(n1.c AS BIGINT), CAST(n2.c AS BIGINT)
+      FROM n1 CROSS JOIN n2
+    )
+    ORDER BY stage_ord
+    """
+
+
+@_register("corpus_dedup_cascade_report", oracle=_cascade_oracle())
+def corpus_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CASCADE as actually deployed — exact dedup first (cheap,
+    removes byte-identical mirrors), MinHash-LSH near-dup second (expensive,
+    runs only on exact survivors) — with each stage's MARGINAL removal.
+    corpus_dedup_impact_report prices ONE policy's total cost per source;
+    this table says how much each successive stage buys, which is what
+    decides whether the expensive stage earns its compute at all (if exact
+    already removed 30% and near-dup adds 0.4%, reorder the pipeline
+    budget). Stage-2 keeps the minimum surviving doc_id per near-dup
+    cluster, so its keep-set is exactly what rerunning the ladder on the
+    stage-1 output would keep.
+
+    Shape: the exact stage is one (fp60 -> min doc_id) map-side-combined
+    rollup; stage 2 left-joins the subgraph-scale cluster table and rolls
+    up per cluster; the three stage counts are one-row aggregates crossed
+    into a TWO-row presentation (allowlisted scalar class). Counts are
+    exact integers; one double division per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    fp = d.select("doc_id", hash60(normalized).alias("f"))
+    s1 = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    members = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    m = s1.join(members, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cl")
+    )
+    s2 = m.groupBy("cl").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    n0 = d.agg(F.count("*").alias("c0"))
+    n1 = s1.agg(F.count("*").alias("c1"))
+    n2 = s2.agg(F.count("*").alias("c2"))
+    stages = (
+        n0.crossJoin(n1)
+        .crossJoin(n2)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(named_struct('stage_ord', 1L, 'stage', 'exact',"
+                    " 'docs_in', CAST(c0 AS BIGINT), 'docs_out', CAST(c1 AS BIGINT)),"
+                    " named_struct('stage_ord', 2L, 'stage', 'minhash_lsh',"
+                    " 'docs_in', CAST(c1 AS BIGINT), 'docs_out', CAST(c2 AS BIGINT)))"
+                )
+            ).alias("s")
+        )
+        .select("s.stage_ord", "s.stage", "s.docs_in", "s.docs_out")
+    )
+    return stages.select(
+        "stage_ord",
+        "stage",
+        "docs_in",
+        "docs_out",
+        (F.col("docs_in") - F.col("docs_out")).alias("removed"),
+        F.round(
+            (F.col("docs_in") - F.col("docs_out")).cast("double") / F.col("docs_in"),
+            6,
+        ).alias("removal_rate"),
+    ).orderBy("stage_ord")

@@ -2183,3 +2183,50 @@ def test_seasonal_decompose_recovers_planted_sunday_lift(spark, tmp_path):
     assert got[7].avg_daily_events == 17.0
     assert all(got[d].n_days == 3 for d in range(1, 8))
     assert got[4].days_estimated == 3 and got[1].days_estimated == 2
+
+
+def test_pareto_concentration_and_cents_exactness(spark, tmp_path):
+    """20 customers with one order each, customer k spending k dollars:
+    deciles hold 2 customers each, the top decile carries (20+19)/210 of
+    revenue, the cumulative share reaches exactly 1.0, and cent sums are
+    exact integers."""
+    from datetime import date
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    rows = [(k, k, "O", float(k), date(2026, 1, 1), "1-URGENT")
+            for k in range(1, 21)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/par/orders.parquet")
+    got = analytics.orders_revenue_pareto(spark, f"{tmp_path}/par").collect()
+    assert [r.n_customers for r in got] == [2] * 10
+    assert got[0].revenue_cents == (20 + 19) * 100
+    assert got[-1].cum_revenue_cents == sum(range(1, 21)) * 100
+    assert got[-1].cum_share == 1.0
+    assert got[0].cum_share == round(39 / 210, 6)
+
+
+def test_dedup_cascade_marginal_removal(spark, tmp_path):
+    """Three byte-identical docs collapse in the EXACT stage; a near-dup
+    (one-token edit) survives exact and is removed by the MINHASH stage;
+    an unrelated doc survives both — so the marginal removals are 2 and 1."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2", 1)
+    far = "one two three four five six seven eight nine ten " * 10
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, base, "en", "s", len(base)), (2, base, "en", "s", len(base)),
+         (3, base, "en", "s", len(base)), (4, near, "en", "s", len(near)),
+         (5, far, "en", "s", len(far))],
+        name="cascade_docs",
+    )
+    got = {r.stage: r for r in dedup.corpus_dedup_cascade_report(spark, sf).collect()}
+    ex, mh = got["exact"], got["minhash_lsh"]
+    assert (ex.docs_in, ex.docs_out, ex.removed) == (5, 3, 2)
+    assert (mh.docs_in, mh.docs_out, mh.removed) == (3, 2, 1)
+    assert ex.removal_rate == 0.4
+    assert mh.removal_rate == round(1 / 3, 6)

@@ -262,6 +262,9 @@ QUADRATIC_BY_DESIGN = {
     "events_type_dow_chi2",     # |types| x 7 margin-table grid + ONE-ROW
                                 # total — bounded dimensions, not data
                                 # relations (source_overlap_matrix's class)
+    "corpus_dedup_cascade_report",  # three ONE-ROW stage counts crossed
+                                    # into the 2-row presentation
+                                    # (dedup_family_compare's class)
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
