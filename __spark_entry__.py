@@ -74,15 +74,16 @@ _PRIORITY = (
     "streaming_scd2_state",
     "orders_revenue_pareto",
     "corpus_dedup_cascade_report",
+    "events_seasonal_residual_outliers",
+    "orders_segment_migration",
+    "multimodal_payload_dedup",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_survivors",
     "dedup_exact",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "dedup_containment",
     # -- float-adjacent ANN / retrieval family
     "similarity_topk",
     "similarity_ann_lsh",
@@ -94,7 +95,6 @@ _PRIORITY = (
     "embedding_quantize",
     # -- tier sample: text / corpus
     "text_bm25_retrieval",
-    "retrieval_hybrid_rrf",
     "text_lm_score",
     "corpus_train_eval_split",
     # -- tier sample: embedding

@@ -4481,3 +4481,221 @@ def orders_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- seasonal residual outliers (round 8) -------------------------------------
+
+_SEASONAL_RESID_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+tr AS (
+  SELECT d, dow, n,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(n) OVER w AS DOUBLE) / 7 END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT d, dow, n,
+         CAST(ROUND((CAST(n AS DOUBLE) - trend) * 1000000) AS BIGINT)
+           AS detr_micro
+  FROM tr WHERE trend IS NOT NULL
+),
+season AS (
+  SELECT dow,
+         CAST(ROUND(CAST(SUM(detr_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS s_micro
+  FROM det GROUP BY dow
+),
+resid AS (
+  SELECT det.d, det.dow, det.n,
+         det.detr_micro - season.s_micro AS r_micro
+  FROM det JOIN season ON season.dow = det.dow
+),
+mom AS (
+  SELECT COUNT(*) AS cnt, SUM(r_micro) AS sr, SUM(r_micro * r_micro) AS srr
+  FROM resid
+)
+SELECT strftime(r.d, '%Y-%m-%d') AS day, CAST(r.dow AS BIGINT) AS dow,
+       CAST(r.n AS BIGINT) AS n_events,
+       CAST(r.r_micro AS BIGINT) AS residual_micro,
+       CASE WHEN cnt >= 2
+                 AND ((CAST(srr AS DOUBLE) / cnt)
+                      - ((CAST(sr AS DOUBLE) / cnt) * (CAST(sr AS DOUBLE) / cnt)))
+                     > 0
+            THEN CAST(ROUND(((CAST(r_micro AS DOUBLE) - (CAST(sr AS DOUBLE) / cnt))
+                             / sqrt((CAST(srr AS DOUBLE) / cnt)
+                                    - ((CAST(sr AS DOUBLE) / cnt)
+                                       * (CAST(sr AS DOUBLE) / cnt))))
+                            * 1000000) AS BIGINT)
+            ELSE NULL END AS z_micro
+FROM resid r CROSS JOIN mom
+ORDER BY day
+"""
+
+
+@_register("events_seasonal_residual_outliers", oracle=_SEASONAL_RESID_ORACLE)
+def events_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anomaly output of the seasonal decomposition: per day, the
+    residual after removing BOTH the centered-MA trend and the day-of-week
+    factor, z-scored against the residual population — the alarm that
+    fires on a genuinely unusual Tuesday instead of on every Sunday
+    (events_anomaly_zscore scores raw values; this scores what trend and
+    weekly shape cannot explain). Days without a full 7-day window carry
+    no residual and are excluded, never zero-filled.
+
+    Shape: identical to events_seasonal_decompose up to the factor table
+    (ONE corpus rollup to |days| rows; everything after runs on that
+    bounded series); the residual-moment scalars cross in as a one-row
+    broadcast (allowlisted class). Float discipline: residuals are exact
+    int64 micro-units (detrended-micro minus factor-micro), moments are
+    exact integer sums, and the z expression is shared verbatim with a
+    variance>0 guard so degenerate series return NULL identically.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .select("d", F.expr("weekday(d) + 1").alias("dow"), "n")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "d",
+            "dow",
+            "n",
+            F.when(
+                F.count("*").over(w) == 7, F.sum("n").over(w).cast("double") / 7
+            ).alias("trend"),
+        )
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "d",
+            "dow",
+            "n",
+            F.expr(
+                "CAST(ROUND((CAST(n AS DOUBLE) - trend) * 1000000) AS BIGINT)"
+            ).alias("detr_micro"),
+        )
+    )
+    season = det.groupBy("dow").agg(
+        F.expr(
+            "CAST(ROUND(CAST(SUM(detr_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        ).alias("s_micro")
+    )
+    resid = det.join(F.broadcast(season), "dow").select(
+        "d", "dow", "n", (F.col("detr_micro") - F.col("s_micro")).alias("r_micro")
+    )
+    mom = resid.agg(
+        F.count("*").alias("cnt"),
+        F.sum("r_micro").alias("sr"),
+        F.sum(F.col("r_micro") * F.col("r_micro")).alias("srr"),
+    )
+    var_expr = (
+        "((CAST(srr AS DOUBLE) / cnt)"
+        " - ((CAST(sr AS DOUBLE) / cnt) * (CAST(sr AS DOUBLE) / cnt)))"
+    )
+    z = F.when(
+        F.expr(f"cnt >= 2 AND {var_expr} > 0"),
+        F.expr(
+            f"CAST(ROUND(((CAST(r_micro AS DOUBLE) - (CAST(sr AS DOUBLE) / cnt))"
+            f" / sqrt({var_expr})) * 1000000) AS BIGINT)"
+        ),
+    ).otherwise(F.lit(None).cast("bigint"))
+    return (
+        resid.crossJoin(F.broadcast(mom))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("r_micro").cast("bigint").alias("residual_micro"),
+            z.alias("z_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- RFM segment migration matrix (round 8) -----------------------------------
+
+_MIGRATION_ORACLE = """
+WITH days AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS ed,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cut AS (SELECT (MIN(ed) + MAX(ed)) // 2 AS c FROM days),
+h1 AS (
+  SELECT o_custkey,
+         NTILE(4) OVER (ORDER BY SUM(cents) DESC, o_custkey) AS seg
+  FROM days CROSS JOIN cut WHERE ed < c GROUP BY o_custkey
+),
+h2 AS (
+  SELECT o_custkey,
+         NTILE(4) OVER (ORDER BY SUM(cents) DESC, o_custkey) AS seg
+  FROM days CROSS JOIN cut WHERE ed >= c GROUP BY o_custkey
+)
+SELECT CAST(COALESCE(h1.seg, 0) AS BIGINT) AS seg_h1,
+       CAST(COALESCE(h2.seg, 0) AS BIGINT) AS seg_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+GROUP BY 1, 2 ORDER BY seg_h1, seg_h2
+"""
+
+
+@_register("orders_segment_migration", oracle=_MIGRATION_ORACLE)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifecycle flow: spend-quartile segment in the first half of
+    the order history vs the second half, as a migration matrix — upgrades,
+    downgrades, churn (segment 0 = absent in that half) and acquisition in
+    one 5x5 table. orders_rfm_segments codes customers at one point in
+    time; this is the TRANSITION structure retention programs actually act
+    on.
+
+    The time cut is the integer midpoint epoch-day of the order span (a
+    one-row aggregate broadcast, allowlisted class) — pure integer date
+    arithmetic, no calendar/timezone functions to diverge on. Money is
+    integer cents; each half's quartile is NTILE over that half's
+    per-customer aggregate (customer-cardinality, same scale note as
+    orders_revenue_pareto); the matrix is a full outer join of two
+    customer-keyed segment tables rolled up to at most 24 cells.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias("ed"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cut = days.agg(
+        ((F.min("ed") + F.max("ed")) / F.lit(2)).cast("bigint").alias("c")
+    )
+
+    def _half(pred) -> DataFrame:
+        half = (
+            days.crossJoin(F.broadcast(cut))
+            .filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").alias("cents"))
+        )
+        return half.select(
+            "o_custkey",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+            .alias("seg"),
+        )
+
+    h1 = _half(F.col("ed") < F.col("c")).withColumnRenamed("seg", "seg1")
+    h2 = _half(F.col("ed") >= F.col("c")).withColumnRenamed("seg", "seg2")
+    return (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("seg1", F.lit(0)).cast("bigint").alias("seg_h1"),
+            F.coalesce("seg2", F.lit(0)).cast("bigint").alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("seg_h1", "seg_h2")
+    )

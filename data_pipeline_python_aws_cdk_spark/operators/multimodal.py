@@ -547,3 +547,63 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_frames") >= VIDEO_DUP_MIN_FRAMES)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- exact payload dedup (round 8) -------------------------------------------
+
+_PAYLOAD_DEDUP_ORACLE = """
+WITH p AS (
+  SELECT doc_id, md5(text) AS ph, octet_length(encode(text)) AS nbytes
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT ph AS payload_md5,
+       MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS copies,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(nbytes) - MIN(nbytes) AS BIGINT) AS reclaimable_bytes
+FROM p GROUP BY ph
+ORDER BY copies DESC, payload_md5
+"""
+
+
+@_register("multimodal_payload_dedup", oracle=_PAYLOAD_DEDUP_ORACLE)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level payload dedup — stage one of every image/audio
+    pipeline (identical files re-crawled under different URLs dominate raw
+    media dumps, and a digest groupBy removes them before any expensive
+    decode or perceptual hashing runs). Keys on the md5 of the RAW payload
+    bytes: no decode, no normalization — text-side dedup_exact normalizes
+    whitespace/case, which has no analogue for opaque binaries. Also
+    reports the reclaimable byte mass (all copies minus one kept), the
+    number storage budgeting wants.
+
+    Shape: one map-side digest projection (payloads never shuffle — only
+    16-byte digests and byte counts move), one combine-friendly groupBy.
+    All-copy groups at any corpus size; at 100 TB this runs as the ingest
+    gate before payloads are even persisted twice.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    p = attach_payload(d).select(
+        "doc_id",
+        F.md5("payload").alias("ph"),
+        F.octet_length("payload").cast("bigint").alias("nbytes"),
+    )
+    return (
+        p.groupBy("ph")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("copies"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+            (F.sum("nbytes") - F.min("nbytes")).cast("bigint").alias(
+                "reclaimable_bytes"
+            ),
+        )
+        .select(
+            F.col("ph").alias("payload_md5"),
+            "keep_doc_id",
+            "copies",
+            "total_bytes",
+            "reclaimable_bytes",
+        )
+        .orderBy(F.col("copies").desc(), "payload_md5")
+    )

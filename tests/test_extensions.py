@@ -2230,3 +2230,88 @@ def test_dedup_cascade_marginal_removal(spark, tmp_path):
     assert (mh.docs_in, mh.docs_out, mh.removed) == (3, 2, 1)
     assert ex.removal_rate == 0.4
     assert mh.removal_rate == round(1 / 3, 6)
+
+
+def test_seasonal_residual_flags_planted_spike(spark, tmp_path):
+    """Three weeks of 10/day (Sundays 17) with one anomalous +30 Thursday:
+    the spike day carries by far the largest positive z; Sundays stay
+    unremarkable because the weekly factor absorbs them."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    start = datetime(2026, 1, 5)  # a Monday
+    rows, eid = [], 0
+    for day in range(21):
+        dow = day % 7 + 1
+        n = 17 if dow == 7 else 10
+        if day == 10:  # Thursday, Jan 15: planted spike
+            n += 30
+        for k in range(n):
+            rows.append((eid, start + timedelta(days=day, hours=k % 24), 1,
+                         "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/seasr/events.parquet")
+    got = analytics.events_seasonal_residual_outliers(
+        spark, f"{tmp_path}/seasr").collect()
+    by_day = {r.day: r for r in got}
+    spike = by_day["2026-01-15"]
+    assert spike.n_events == 40
+    assert spike.z_micro == max(r.z_micro for r in got)
+    assert spike.z_micro > 1500000  # > 1.5 sigma, dominant by construction
+    assert all(r.z_micro < spike.z_micro for r in got if r.day != "2026-01-15")
+
+
+def test_segment_migration_exact_matrix(spark, tmp_path):
+    """Eight customers whose spend ranking reverses between halves, plus a
+    churned and an acquired customer: the full 10-customer migration
+    matrix is pinned cell by cell (segment 0 = absent in that half)."""
+    from datetime import date
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    rows = []
+    ok = 0
+    d1, d2 = date(1970, 1, 1), date(1970, 1, 20)  # cut lands at epoch-day 9
+    for c in range(1, 9):
+        ok += 1
+        rows.append((ok, c, "O", float(1000 - 100 * c), d1, "1-URGENT"))  # H1
+        ok += 1
+        rows.append((ok, c, "O", float(100 + 100 * c), d2, "1-URGENT"))   # H2
+    ok += 1
+    rows.append((ok, 9, "O", 100.0, d1, "1-URGENT"))    # churned after H1
+    ok += 1
+    rows.append((ok, 10, "O", 100.0, d2, "1-URGENT"))   # acquired in H2
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/mig/orders.parquet")
+    got = {
+        (r.seg_h1, r.seg_h2): r.n_customers
+        for r in analytics.orders_segment_migration(spark, f"{tmp_path}/mig").collect()
+    }
+    assert got == {(0, 4): 1, (1, 3): 2, (1, 4): 1, (2, 2): 2,
+                   (3, 1): 2, (4, 0): 1, (4, 1): 1}
+
+
+def test_payload_dedup_reports_reclaimable_bytes(spark, tmp_path):
+    from data_pipeline_python_aws_cdk_spark.operators import multimodal
+
+    same = "identical payload bytes"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, same, "en", "s", len(same)), (2, same, "en", "s", len(same)),
+         (3, "unique bytes", "en", "s", 12)],
+        name="payload_docs",
+    )
+    got = {r.keep_doc_id: r for r in multimodal.multimodal_payload_dedup(spark, sf).collect()}
+    assert got[1].copies == 2
+    assert got[1].total_bytes == 2 * len(same)
+    assert got[1].reclaimable_bytes == len(same)
+    assert got[3].copies == 1 and got[3].reclaimable_bytes == 0

@@ -265,6 +265,11 @@ QUADRATIC_BY_DESIGN = {
     "corpus_dedup_cascade_report",  # three ONE-ROW stage counts crossed
                                     # into the 2-row presentation
                                     # (dedup_family_compare's class)
+    "events_seasonal_residual_outliers",  # ONE-ROW residual-moment scalars
+                                          # crossed onto the bounded day
+                                          # series (text_lm_score's class)
+    "orders_segment_migration",     # ONE-ROW midpoint-epoch-day cut crossed
+                                    # onto both half aggregations
 }
 
 # Streaming entries execute (drain a stream) at build time; their physical
