@@ -77,6 +77,9 @@ _PRIORITY = (
     "events_seasonal_residual_outliers",
     "orders_segment_migration",
     "multimodal_payload_dedup",
+    "orders_cohort_ltv",
+    "events_dau_wau_mau",
+    "orders_nation_segment_rollup",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -90,16 +93,13 @@ _PRIORITY = (
     "similarity_ann_ivf",
     "similarity_ann_quantized",
     "similarity_ann_pq_adc",
-    "similarity_ann_recall_report",
     "embedding_pq_codes",
-    "embedding_quantize",
     # -- tier sample: text / corpus
     "text_bm25_retrieval",
     "text_lm_score",
     "corpus_train_eval_split",
     # -- tier sample: embedding
     "embedding_kmeans",
-    "embedding_matryoshka_recall",
     "embedding_bitext_mining",
     # -- tier sample: multimodal
     "multimodal_decode",

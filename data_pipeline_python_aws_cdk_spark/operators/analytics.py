@@ -4699,3 +4699,253 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("seg_h1", "seg_h2")
     )
+
+
+# --- cohort LTV curves (round 8) ----------------------------------------------
+
+_COHORT_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(yr) AS cohort FROM o GROUP BY o_custkey),
+sz AS (SELECT cohort, COUNT(*) AS cohort_customers FROM first GROUP BY cohort),
+j AS (
+  SELECT f.cohort, o.yr - f.cohort AS offset_years, o.cents
+  FROM o JOIN first f ON f.o_custkey = o.o_custkey
+),
+g AS (
+  SELECT cohort, offset_years, SUM(cents) AS revenue_cents
+  FROM j GROUP BY cohort, offset_years
+),
+c AS (
+  SELECT cohort, offset_years, revenue_cents,
+         SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY offset_years
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM g
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_year,
+       CAST(c.offset_years AS BIGINT) AS offset_years,
+       CAST(sz.cohort_customers AS BIGINT) AS cohort_customers,
+       CAST(c.revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+       CAST(ROUND(CAST(c.cum_cents AS DOUBLE) / sz.cohort_customers) AS BIGINT)
+         AS avg_ltv_cents
+FROM c JOIN sz ON sz.cohort = c.cohort
+ORDER BY cohort_year, offset_years
+"""
+
+
+@_register("orders_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order year,
+    revenue accumulated by years-since-acquisition — the LTV table behind
+    payback-period and acquisition-spend decisions, and the longitudinal
+    complement of events_cohort_retention (that counts ACTIVITY, this
+    counts MONEY). avg_ltv_cents divides by the FULL cohort size, so the
+    curve reads as expected value per acquired customer, inactive years
+    and all.
+
+    Shape: first-order years are one customer-keyed min; the cohort join
+    rides the same key; rollups are cohort x offset bounded (|years|²);
+    the cumulative window runs per cohort over at most |years| rows.
+    Money is exact integer cents throughout; the single division rounds
+    to whole cents through the shared half-up ROUND.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    sz = first.groupBy("cohort").agg(F.count("*").alias("cohort_customers"))
+    g = (
+        o.join(first, "o_custkey")
+        .select("cohort", (F.col("yr") - F.col("cohort")).alias("offset_years"), "cents")
+        .groupBy("cohort", "offset_years")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("offset_years").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.withColumn("cum_cents", F.sum("revenue_cents").over(wc))
+        .join(F.broadcast(sz), "cohort")
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort_year"),
+            F.col("offset_years").cast("bigint").alias("offset_years"),
+            F.col("cohort_customers").cast("bigint").alias("cohort_customers"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.col("cum_cents").cast("bigint").alias("cum_revenue_cents"),
+            F.expr(
+                "CAST(ROUND(CAST(cum_cents AS DOUBLE) / cohort_customers)"
+                " AS BIGINT)"
+            ).alias("avg_ltv_cents"),
+        )
+        .orderBy("cohort_year", "offset_years")
+    )
+
+
+# --- DAU / WAU / MAU actives (round 8) -----------------------------------------
+
+_ACTIVES_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT ed FROM ud),
+dau AS (SELECT ed, COUNT(*) AS dau FROM ud GROUP BY ed),
+wau AS (
+  SELECT d.ed, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u ON u.ed BETWEEN d.ed - 6 AND d.ed
+  GROUP BY d.ed
+),
+mau AS (
+  SELECT d.ed, COUNT(DISTINCT u.user_id) AS mau
+  FROM days d JOIN ud u ON u.ed BETWEEN d.ed - 27 AND d.ed
+  GROUP BY d.ed
+)
+SELECT strftime(DATE '1970-01-01' + dau.ed * INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN wau ON wau.ed = dau.ed JOIN mau ON mau.ed = dau.ed
+ORDER BY day
+"""
+
+
+@_register("events_dau_wau_mau", oracle=_ACTIVES_ORACLE)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user series: per calendar day, distinct users active that day
+    (DAU), in the trailing 7 days (WAU), and in the trailing 28 days (MAU),
+    plus the DAU/MAU stickiness ratio — the product-health table every
+    engagement dashboard leads with.
+
+    Shape: the corpus reduces ONCE to distinct (user, epoch-day) pairs —
+    the only corpus-scale shuffle. Each pair then EXPLODES to the <=28
+    trailing report-days it covers (a bounded fan-out, the standard
+    sliding-distinct trick that avoids a per-day range self-join over the
+    raw events), and windowed actives are map-side-combinable distinct
+    counts per (report-day, window). Integer epoch-day arithmetic keeps
+    calendar/timezone functions out of the join keys; the date string is
+    formatted once for presentation.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        ),
+    ).distinct()
+    days = ud.select("ed").distinct()
+    dau = ud.groupBy("ed").agg(F.count("*").alias("dau"))
+    # sliding distinct via bounded explode: (user, day) covers report days
+    # day..day+6 (WAU) / day..day+27 (MAU); only days that exist report.
+    cover7 = ud.select(
+        "user_id", F.explode(F.expr("sequence(ed, ed + 6)")).alias("ed")
+    )
+    wau = (
+        cover7.join(days, "ed")
+        .groupBy("ed")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    cover28 = ud.select(
+        "user_id", F.explode(F.expr("sequence(ed, ed + 27)")).alias("ed")
+    )
+    mau = (
+        cover28.join(days, "ed")
+        .groupBy("ed")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(wau, "ed")
+        .join(mau, "ed")
+        .select(
+            F.date_format(
+                F.expr("date_add(DATE '1970-01-01', CAST(ed AS INT))"), "yyyy-MM-dd"
+            ).alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# --- ROLLUP hierarchy totals (round 8) ------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END
+         AS nation,
+       CASE WHEN GROUPING(c.c_mktsegment) = 1 THEN 'ALL' ELSE c.c_mktsegment END
+         AS segment,
+       CAST(GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT)
+         AS grouping_level,
+       CAST(COUNT(*) AS BIGINT) AS orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+ORDER BY grouping_level, nation, segment
+"""
+
+
+@_register("orders_nation_segment_rollup", oracle=_ROLLUP_ORACLE)
+def orders_nation_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals: order counts and revenue at (nation,
+    segment), per-nation subtotal, and grand-total levels in ONE pass —
+    the drill-down backbone report. Completes the grouping-operator
+    family next to orders_status_cube (CUBE) and lineitem_grouping_sets
+    (explicit sets): ROLLUP prunes the cross-hierarchy combinations a
+    drill-down never reads, so it shuffles fewer cells than CUBE at the
+    same fidelity.
+
+    Shape: two broadcast dimension joins onto the fact, then one
+    map-side-combined rollup aggregation (Spark plans partial aggregates
+    per grouping set in a single Expand + exchange). GROUPING() bits are
+    folded into an explicit level column so NULL-valued real segments can
+    never be confused with subtotal rows. Money exact in integer cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_mktsegment",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    g = j.rollup("n_name", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        (F.grouping("n_name") * 2 + F.grouping("c_mktsegment"))
+        .cast("bigint")
+        .alias("grouping_level"),
+    )
+    return (
+        g.select(
+            F.when(F.col("grouping_level") >= 2, "ALL")
+            .otherwise(F.col("n_name"))
+            .alias("nation"),
+            F.when(F.col("grouping_level") % 2 == 1, "ALL")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            "grouping_level",
+            "orders",
+            "revenue_cents",
+        )
+        .orderBy("grouping_level", "nation", "segment")
+    )

@@ -2315,3 +2315,87 @@ def test_payload_dedup_reports_reclaimable_bytes(spark, tmp_path):
     assert got[1].total_bytes == 2 * len(same)
     assert got[1].reclaimable_bytes == len(same)
     assert got[3].copies == 1 and got[3].reclaimable_bytes == 0
+
+
+def test_cohort_ltv_accumulates_per_acquisition_year(spark, tmp_path):
+    from datetime import date
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    rows = [
+        (1, 1, "O", 100.0, date(2020, 3, 1), "1-URGENT"),
+        (2, 1, "O", 50.0, date(2021, 6, 1), "1-URGENT"),
+        (3, 2, "O", 200.0, date(2021, 2, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/ltv/orders.parquet")
+    got = {
+        (r.cohort_year, r.offset_years): r
+        for r in analytics.orders_cohort_ltv(spark, f"{tmp_path}/ltv").collect()
+    }
+    assert got[(2020, 0)].revenue_cents == 10000
+    assert got[(2020, 1)].cum_revenue_cents == 15000
+    assert got[(2020, 1)].avg_ltv_cents == 15000   # one customer in cohort
+    assert got[(2021, 0)].cohort_customers == 1
+    assert got[(2021, 0)].avg_ltv_cents == 20000
+
+
+def test_dau_wau_mau_windows_and_stickiness(spark, tmp_path):
+    from datetime import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    rows = [
+        (1, datetime(2026, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, datetime(2026, 1, 10, 9), 1, "view", 1.0, "{}"),
+        (3, datetime(2026, 1, 10, 10), 1, "click", 1.0, "{}"),  # same user-day
+        (4, datetime(2026, 1, 10, 9), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/act/events.parquet")
+    got = {r.day: r for r in analytics.events_dau_wau_mau(spark, f"{tmp_path}/act").collect()}
+    assert set(got) == {"2026-01-01", "2026-01-10"}
+    d1, d10 = got["2026-01-01"], got["2026-01-10"]
+    assert (d1.dau, d1.wau, d1.mau) == (1, 1, 1)
+    # Jan 1 is outside Jan 10's trailing week but inside its trailing 28
+    assert (d10.dau, d10.wau, d10.mau) == (2, 2, 2)
+    assert d10.stickiness == 1.0
+
+
+def test_rollup_levels_and_null_segment_disambiguation(spark, tmp_path):
+    from datetime import date
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    spark.createDataFrame(
+        [(0, "N1", 0), (1, "N2", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(f"{tmp_path}/ru/nation.parquet")
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG1"), (2, "c2", 0, 0.0, None), (3, "c3", 1, 0.0, "SEG2")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{tmp_path}/ru/customer.parquet")
+    orders = [(10, 1, "O", 10.0, date(2026, 1, 1), "x"),
+              (11, 2, "O", 20.0, date(2026, 1, 1), "x"),
+              (12, 3, "O", 40.0, date(2026, 1, 1), "x")]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/ru/orders.parquet")
+    got = {
+        (r.nation, r.segment, r.grouping_level): r
+        for r in analytics.orders_nation_segment_rollup(spark, f"{tmp_path}/ru").collect()
+    }
+    assert got[("ALL", "ALL", 3)].revenue_cents == 7000       # grand total
+    assert got[("N1", "ALL", 1)].revenue_cents == 3000        # nation subtotal
+    assert got[("N1", "SEG1", 0)].revenue_cents == 1000       # leaf
+    # a REAL NULL segment stays NULL at level 0 — never conflated with 'ALL'
+    assert got[("N1", None, 0)].revenue_cents == 2000
+    assert ("N1", "ALL", 0) not in got
