@@ -80,6 +80,7 @@ _PRIORITY = (
     "orders_cohort_ltv",
     "events_dau_wau_mau",
     "orders_nation_segment_rollup",
+    "events_conversion_latency_percentiles",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -93,7 +94,6 @@ _PRIORITY = (
     "similarity_ann_ivf",
     "similarity_ann_quantized",
     "similarity_ann_pq_adc",
-    "embedding_pq_codes",
     # -- tier sample: text / corpus
     "text_bm25_retrieval",
     "text_lm_score",

@@ -4949,3 +4949,79 @@ def orders_nation_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_level", "nation", "segment")
     )
+
+
+# --- conversion latency percentiles (round 8) ----------------------------------
+
+_CONV_LATENCY_ORACLE = """
+WITH fc AS (
+  SELECT user_id, MIN(ts) AS first_click FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY user_id
+),
+fp AS (
+  SELECT user_id, MIN(ts) AS first_purchase FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY user_id
+),
+lat AS (
+  SELECT CAST(date_diff('second', fc.first_click, fp.first_purchase)
+              AS BIGINT) AS sec
+  FROM fc JOIN fp ON fp.user_id = fc.user_id
+  WHERE fp.first_purchase >= fc.first_click
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS converters,
+       CAST(MIN(sec) AS BIGINT) AS min_sec,
+       ROUND(quantile_cont(sec, 0.50), 6) AS p50_sec,
+       ROUND(quantile_cont(sec, 0.90), 6) AS p90_sec,
+       ROUND(quantile_cont(sec, 0.99), 6) AS p99_sec,
+       CAST(MAX(sec) AS BIGINT) AS max_sec
+FROM lat
+"""
+
+
+@_register("events_conversion_latency_percentiles", oracle=_CONV_LATENCY_ORACLE)
+def events_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-latency DISTRIBUTION: exact p50/p90/p99 of first-click
+    to first-purchase seconds across converting users.
+    events_conversion_funnel reports the MEAN latency — means hide the
+    long tail that SLA and retargeting-window decisions actually read
+    (a p99 of three days with a p50 of an hour is a different product
+    than a uniform day). Users whose first purchase precedes any click
+    are organic converters and excluded, matching the funnel's
+    click-then-purchase residual.
+
+    Shape: two per-user MIN aggregations share the user_id exchange (AQE
+    reuses it — the conversion-funnel plan); latencies are exact integer
+    seconds; the percentile buffers one int per converter (the
+    events_value_percentiles scale note applies: swap percentile_approx
+    at extreme cardinality). Spark's percentile and DuckDB's
+    quantile_cont share the linear-interpolation definition, so the
+    oracle matches at 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = (
+        fc.join(fp, "user_id")
+        .filter(F.col("first_purchase") >= F.col("first_click"))
+        .select(
+            (
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+            ).cast("bigint").alias("sec")
+        )
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("converters"),
+        F.min("sec").cast("bigint").alias("min_sec"),
+        F.round(F.expr("percentile(sec, 0.50)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.90)"), 6).alias("p90_sec"),
+        F.round(F.expr("percentile(sec, 0.99)"), 6).alias("p99_sec"),
+        F.max("sec").cast("bigint").alias("max_sec"),
+    )

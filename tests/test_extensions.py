@@ -2399,3 +2399,32 @@ def test_rollup_levels_and_null_segment_disambiguation(spark, tmp_path):
     # a REAL NULL segment stays NULL at level 0 — never conflated with 'ALL'
     assert got[("N1", None, 0)].revenue_cents == 2000
     assert ("N1", "ALL", 0) not in got
+
+
+def test_conversion_latency_percentiles_exact_interpolation(spark, tmp_path):
+    """Two converters at 100 s and 200 s: p50 interpolates to 150, p90 to
+    190; an organic purchaser (purchase before any click) and a
+    non-converter are excluded."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0 + timedelta(seconds=100), 1, "purchase", 0.0, "{}"),
+        (3, t0, 2, "click", 0.0, "{}"),
+        (4, t0 + timedelta(seconds=200), 2, "purchase", 0.0, "{}"),
+        (5, t0, 3, "purchase", 0.0, "{}"),                       # organic
+        (6, t0 + timedelta(seconds=50), 3, "click", 0.0, "{}"),
+        (7, t0, 4, "click", 0.0, "{}"),                          # never converts
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/lat/events.parquet")
+    r = analytics.events_conversion_latency_percentiles(
+        spark, f"{tmp_path}/lat").collect()[0]
+    assert (r.converters, r.min_sec, r.max_sec) == (2, 100, 200)
+    assert (r.p50_sec, r.p90_sec, r.p99_sec) == (150.0, 190.0, 199.0)
