@@ -81,6 +81,8 @@ _PRIORITY = (
     "events_dau_wau_mau",
     "orders_nation_segment_rollup",
     "events_conversion_latency_percentiles",
+    "events_bot_screen",
+    "parts_supplier_hhi",
     # -- tier sample: dedup ladder + clusters
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -92,7 +94,6 @@ _PRIORITY = (
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
-    "similarity_ann_quantized",
     "similarity_ann_pq_adc",
     # -- tier sample: text / corpus
     "text_bm25_retrieval",
@@ -107,7 +108,6 @@ _PRIORITY = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "window_latest_order",
 )
 
 

@@ -5025,3 +5025,224 @@ def events_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> D
         F.round(F.expr("percentile(sec, 0.99)"), 6).alias("p99_sec"),
         F.max("sec").cast("bigint").alias("max_sec"),
     )
+
+
+# --- behavioral bot screening (round 8) -----------------------------------------
+
+_BOT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+  FROM ev GROUP BY user_id
+),
+tc AS (SELECT user_id, event_type, COUNT(*) AS c FROM ev
+       GROUP BY user_id, event_type),
+ent AS (
+  SELECT tc.user_id,
+         SUM(CAST(ROUND(-(CAST(tc.c AS DOUBLE) / b.n_events)
+                        * ln(CAST(tc.c AS DOUBLE) / b.n_events)
+                        * 1000000) AS BIGINT)) AS entropy_micro
+  FROM tc JOIN base b ON b.user_id = tc.user_id GROUP BY tc.user_id
+),
+gaps AS (
+  SELECT user_id,
+         CAST(date_diff('second',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+              AS BIGINT) AS g
+  FROM ev
+),
+gm AS (
+  SELECT user_id, COUNT(g) AS ng, SUM(g) AS sg, SUM(g * g) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+),
+j AS (
+  SELECT b.user_id, b.n_events, b.active_days, ent.entropy_micro,
+         gm.ng, gm.sg, gm.sgg
+  FROM base b JOIN ent ON ent.user_id = b.user_id
+  LEFT JOIN gm ON gm.user_id = b.user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(active_days AS BIGINT) AS active_days,
+       ROUND(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_day,
+       CAST(entropy_micro AS BIGINT) AS type_entropy_micro,
+       CASE WHEN ng >= 2 AND sg > 0
+            THEN CAST(ROUND((sqrt((CAST(sgg AS DOUBLE) / ng)
+                                  - ((CAST(sg AS DOUBLE) / ng)
+                                     * (CAST(sg AS DOUBLE) / ng)))
+                             / (CAST(sg AS DOUBLE) / ng)) * 1000000) AS BIGINT)
+            ELSE NULL END AS gap_cv_micro,
+       (CAST(n_events AS DOUBLE) / active_days >= 50.0
+        OR (n_events >= 20 AND ng >= 2 AND sg > 0
+            AND (sqrt((CAST(sgg AS DOUBLE) / ng)
+                      - ((CAST(sg AS DOUBLE) / ng) * (CAST(sg AS DOUBLE) / ng)))
+                 / (CAST(sg AS DOUBLE) / ng)) < 0.1)) AS is_bot_suspect
+FROM j ORDER BY user_id
+"""
+
+
+@_register("events_bot_screen", oracle=_BOT_ORACLE)
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screening: per user, the three classic automation
+    signatures — event rate (events per active day), action diversity
+    (Shannon entropy over event types: scripts loop a narrow action set),
+    and timing regularity (coefficient of variation of inter-event gaps:
+    schedulers fire metronomically, humans don't) — folded into a
+    deterministic suspect flag (rate >= 50/day, or >= 20 near-metronomic
+    events with gap CV < 0.1). The data-cleaning gate behavioral analytics
+    runs BEFORE funnels/attribution/retention, for the same reason corpus
+    pipelines run quality filters before dedup.
+
+    Shape: one user-keyed exchange serves the per-user rollup, the
+    per-(user, type) counts, and the lag window (all co-keyed); gap
+    moments are exact int64 second sums. Float discipline: entropy terms
+    take one ln() per exact count ratio and quantize to micro-units
+    per term before the int sum; the CV expression is shared verbatim
+    with n>=2 / mean>0 guards.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    ent = (
+        tc.join(base.select("user_id", "n_events"), "user_id")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(ROUND(-(CAST(c AS DOUBLE) / n_events)"
+                " * ln(CAST(c AS DOUBLE) / n_events) * 1000000) AS BIGINT)"
+            ).alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("term").alias("entropy_micro"))
+    )
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wg)))
+        .cast("bigint")
+        .alias("g"),
+    )
+    gm = gaps.filter(F.col("g").isNotNull()).groupBy("user_id").agg(
+        F.count("g").alias("ng"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    j = base.join(ent, "user_id").join(gm, "user_id", "left")
+    cv = (
+        "(sqrt((CAST(sgg AS DOUBLE) / ng)"
+        " - ((CAST(sg AS DOUBLE) / ng) * (CAST(sg AS DOUBLE) / ng)))"
+        " / (CAST(sg AS DOUBLE) / ng))"
+    )
+    return (
+        j.select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("active_days").cast("bigint").alias("active_days"),
+            F.round(F.col("n_events").cast("double") / F.col("active_days"), 6).alias(
+                "events_per_day"
+            ),
+            F.col("entropy_micro").cast("bigint").alias("type_entropy_micro"),
+            F.when(
+                F.expr("ng >= 2 AND sg > 0"),
+                F.expr(f"CAST(ROUND({cv} * 1000000) AS BIGINT)"),
+            ).alias("gap_cv_micro"),
+            F.expr(
+                f"(CAST(n_events AS DOUBLE) / active_days >= 50.0"
+                f" OR (n_events >= 20 AND ng >= 2 AND sg > 0 AND {cv} < 0.1))"
+            ).alias("is_bot_suspect"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- supplier concentration (HHI) (round 8) --------------------------------------
+
+_HHI_ORACLE = """
+WITH s AS (
+  SELECT p.p_type, l.l_suppkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, l.l_suppkey
+),
+t AS (SELECT p_type, SUM(cents) AS total, COUNT(*) AS suppliers
+      FROM s GROUP BY p_type),
+h AS (
+  SELECT s.p_type,
+         SUM(CAST(ROUND((CAST(s.cents AS DOUBLE) / t.total)
+                        * (CAST(s.cents AS DOUBLE) / t.total)
+                        * 1000000) AS BIGINT)) AS hhi_micro,
+         MAX(s.cents) AS top_cents
+  FROM s JOIN t ON t.p_type = s.p_type GROUP BY s.p_type
+)
+SELECT t.p_type, CAST(t.suppliers AS BIGINT) AS suppliers,
+       CAST(t.total AS BIGINT) AS revenue_cents,
+       CAST(h.hhi_micro AS BIGINT) AS hhi_micro,
+       ROUND(CAST(h.top_cents AS DOUBLE) / t.total, 6) AS top_supplier_share
+FROM t JOIN h ON h.p_type = t.p_type
+ORDER BY t.p_type
+"""
+
+
+@_register("parts_supplier_hhi", oracle=_HHI_ORACLE)
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part category: the Herfindahl-Hirschman
+    index (sum of squared revenue shares — the antitrust-standard
+    concentration metric, 1/N for perfect competition up to 1.0 for
+    monopoly, here in micro-units) plus the top supplier's share — the
+    supply-chain-risk table procurement reads before single-source
+    categories bite.
+
+    Shape: one fact join (part dimension broadcasts), one map-side-
+    combined (type, supplier) rollup, then type-bounded aggregates.
+    Revenue is exact integer cents; each squared share takes the shared
+    double expression and quantizes to micro-units per supplier before
+    the int64 sum, so the summation order cannot diverge.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    t = s.groupBy("p_type").agg(
+        F.sum("cents").alias("total"), F.count("*").alias("suppliers")
+    )
+    h = (
+        s.join(t.select("p_type", "total"), "p_type")
+        .select(
+            "p_type",
+            F.expr(
+                "CAST(ROUND((CAST(cents AS DOUBLE) / total)"
+                " * (CAST(cents AS DOUBLE) / total) * 1000000) AS BIGINT)"
+            ).alias("term"),
+            "cents",
+        )
+        .groupBy("p_type")
+        .agg(F.sum("term").alias("hhi_micro"), F.max("cents").alias("top_cents"))
+    )
+    return (
+        t.join(h, "p_type")
+        .select(
+            "p_type",
+            F.col("suppliers").cast("bigint").alias("suppliers"),
+            F.col("total").cast("bigint").alias("revenue_cents"),
+            F.col("hhi_micro").cast("bigint").alias("hhi_micro"),
+            F.round(F.col("top_cents").cast("double") / F.col("total"), 6).alias(
+                "top_supplier_share"
+            ),
+        )
+        .orderBy("p_type")
+    )

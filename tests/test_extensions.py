@@ -2428,3 +2428,64 @@ def test_conversion_latency_percentiles_exact_interpolation(spark, tmp_path):
         spark, f"{tmp_path}/lat").collect()[0]
     assert (r.converters, r.min_sec, r.max_sec) == (2, 100, 200)
     assert (r.p50_sec, r.p90_sec, r.p99_sec) == (150.0, 190.0, 199.0)
+
+
+def test_bot_screen_flags_metronomic_single_action_user(spark, tmp_path):
+    """60 clicks at exact 10 s intervals in one day: rate >= 50/day, zero
+    type entropy, zero gap CV — flagged. A 3-day mixed-type irregular
+    human is not."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    t0 = datetime(2026, 1, 1, 8, 0, 0)
+    rows = [(i, t0 + timedelta(seconds=10 * i), 1, "click", 0.0, "{}")
+            for i in range(60)]
+    human = [(100, t0, 2, "view", 0.0, "{}"),
+             (101, t0 + timedelta(hours=3, seconds=17), 2, "click", 0.0, "{}"),
+             (102, t0 + timedelta(days=1, seconds=905), 2, "view", 0.0, "{}"),
+             (103, t0 + timedelta(days=2, seconds=42), 2, "purchase", 0.0, "{}"),
+             (104, t0 + timedelta(days=2, hours=5), 2, "view", 0.0, "{}")]
+    spark.createDataFrame(
+        rows + human,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/bot/events.parquet")
+    got = {r.user_id: r for r in analytics.events_bot_screen(
+        spark, f"{tmp_path}/bot").collect()}
+    bot, hum = got[1], got[2]
+    assert bot.events_per_day == 60.0
+    assert bot.type_entropy_micro == 0      # single action type
+    assert bot.gap_cv_micro == 0            # metronomic
+    assert bot.is_bot_suspect is True
+    assert hum.is_bot_suspect is False and hum.type_entropy_micro > 0
+
+
+def test_hhi_monopoly_and_duopoly(spark, tmp_path):
+    from datetime import date
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics
+
+    spark.createDataFrame(
+        [(1, "part a", "BrandA", "TYPEA", 1, 1.0),
+         (2, "part b", "BrandB", "TYPEB", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/hhi/part.parquet")
+    lines = [
+        (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", date(2026, 1, 1)),  # A: mono
+        (2, 2, 20, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", date(2026, 1, 1)),   # B: 50/50
+        (3, 2, 21, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", date(2026, 1, 1)),
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.parquet(f"{tmp_path}/hhi/lineitem.parquet")
+    got = {r.p_type: r for r in analytics.parts_supplier_hhi(
+        spark, f"{tmp_path}/hhi").collect()}
+    assert got["TYPEA"].hhi_micro == 1000000 and got["TYPEA"].top_supplier_share == 1.0
+    assert got["TYPEB"].hhi_micro == 500000 and got["TYPEB"].top_supplier_share == 0.5
+    assert got["TYPEB"].suppliers == 2
