@@ -4910,7 +4910,9 @@ def orders_nation_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drill-down never reads, so it shuffles fewer cells than CUBE at the
     same fidelity.
 
-    Shape: two broadcast dimension joins onto the fact, then one
+    Shape: the bounded nation dimension broadcasts; customer is SF-scaled,
+    so its join stays size-gated (broadcast when small, shuffled-hash when
+    not — never an unconditional broadcast of a scaled table); then one
     map-side-combined rollup aggregation (Spark plans partial aggregates
     per grouping set in a single Expand + exchange). GROUPING() bits are
     folded into an explicit level column so NULL-valued real segments can
@@ -4920,7 +4922,7 @@ def orders_nation_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "n_name",
@@ -5200,8 +5202,10 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply-chain-risk table procurement reads before single-source
     categories bite.
 
-    Shape: one fact join (part dimension broadcasts), one map-side-
-    combined (type, supplier) rollup, then type-bounded aggregates.
+    Shape: one size-gated fact join (part is SF-scaled — the planner
+    broadcasts it while it fits and shuffles when it no longer does), one
+    map-side-combined (type, supplier) rollup, then type-bounded
+    aggregates.
     Revenue is exact integer cents; each squared share takes the shared
     double expression and quantizes to micro-units per supplier before
     the int64 sum, so the summation order cannot diverge.
@@ -5213,7 +5217,7 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     s = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_type", "l_suppkey")
         .agg(F.sum("cents").alias("cents"))
     )
