@@ -3232,3 +3232,106 @@ def corpus_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("removal_rate"),
     ).orderBy("stage_ord")
+
+
+# --- intra-corpus exact-substring dedup (round 9) ---------------------------
+
+SUBSTR_NGRAM = 8  # window width (tokens) — the exact-substring unit
+SUBSTR_MIN_SPAN = 8  # emit spans covering at least this many tokens
+
+
+def _exact_substring_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=SUBSTR_NGRAM - 1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SUBSTR_NGRAM - 1})) AS i
+            FROM t WHERE len(toks) >= {SUBSTR_NGRAM}),
+    g AS (SELECT doc_id, i, {gram} AS h FROM idx),
+    shared AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+               FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.i, s.n_docs FROM g JOIN shared s ON s.h = g.h),
+    runs AS (SELECT doc_id, i, n_docs,
+                    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+             FROM hits),
+    spans AS (SELECT doc_id,
+                     CAST(MIN(i) AS BIGINT) AS span_start,
+                     CAST(MAX(i) - MIN(i) + {SUBSTR_NGRAM} AS BIGINT) AS span_len,
+                     CAST(COUNT(*) AS BIGINT) AS n_windows,
+                     CAST(MIN(n_docs) - 1 AS BIGINT) AS n_other_docs
+              FROM runs GROUP BY doc_id, isl)
+    SELECT doc_id, span_start, span_len, n_windows, n_other_docs
+    FROM spans WHERE span_len >= {SUBSTR_MIN_SPAN}
+    ORDER BY doc_id, span_start
+    """
+
+
+@_register("corpus_exact_substring_dedup", oracle=_exact_substring_oracle())
+def corpus_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus exact-substring dedup manifest (Lee et al.,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"): for every document, the MAXIMAL token spans whose
+    {SUBSTR_NGRAM}-token windows ALL recur verbatim in at least one OTHER
+    document — the span-removal manifest the Lee et al. suffix-array stage
+    emits, here corpus-vs-itself (corpus_span_decontaminate is the same
+    arithmetic train-vs-heldout; this closes the ladder's one missing
+    canonical stage). Emits (doc_id, span_start, span_len, n_windows,
+    n_other_docs): span_start/span_len delimit the cuttable range in
+    token coordinates, n_other_docs = the minimum cross-document sharing
+    over the span's windows (every window in the span appears verbatim in
+    >= that many other docs — the conservative bound a removal policy
+    wants before surgically cutting).
+
+    Suffix arrays don't distribute; the hashed-window equivalent does:
+    a window is a repeated >= {SUBSTR_NGRAM}-token substring iff its hash
+    lands in >= 2 distinct docs, and maximal repeated spans are exactly
+    the maximal runs of consecutive shared positions (gaps-and-islands:
+    i - row_number). Detection is hash-exact up to 60-bit collisions,
+    the ladder-wide fingerprint discipline.
+
+    Scale shape: texts drop to (doc_id, position, window-hash) ints at
+    the scan — exchanges carry hashes, never text. One map-side-combined
+    groupBy on the hash builds the shared-window table (duplicated-window
+    cardinality, NOT corpus cardinality — hash-distributed, no driver
+    materialization, no broadcast: it is SF-scaled); one hash-keyed join
+    marks hit positions; the island window + span rollup ride doc_id at
+    hit cardinality, the smallest set in the pipeline. Window width 8 and
+    the span threshold are module constants (Lee et al. run k=50 at web
+    scale; the synthetic corpus' planted dups share 11-93-token spans).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SUBSTR_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    hits = g.join(shared, "h").select("doc_id", "i", "n_docs")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = hits.withColumn("isl", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "isl")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") - F.min("i") + SUBSTR_NGRAM).cast("bigint").alias("span_len"),
+            F.count("*").cast("bigint").alias("n_windows"),
+            (F.min("n_docs") - 1).cast("bigint").alias("n_other_docs"),
+        )
+        .filter(F.col("span_len") >= SUBSTR_MIN_SPAN)
+        .select("doc_id", "span_start", "span_len", "n_windows", "n_other_docs")
+        .orderBy("doc_id", "span_start")
+    )

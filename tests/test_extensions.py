@@ -2489,3 +2489,30 @@ def test_hhi_monopoly_and_duopoly(spark, tmp_path):
     assert got["TYPEA"].hhi_micro == 1000000 and got["TYPEA"].top_supplier_share == 1.0
     assert got["TYPEB"].hhi_micro == 500000 and got["TYPEB"].top_supplier_share == 0.5
     assert got["TYPEB"].suppliers == 2
+
+
+def test_exact_substring_dedup_finds_planted_shared_paragraph(spark, tmp_path):
+    """Two docs embedding the same 20-token paragraph at DIFFERENT offsets
+    must each emit exactly one maximal span delimiting that paragraph in
+    their own token coordinates; a novel doc must emit nothing."""
+    shared = " ".join(f"sh{i}" for i in range(20))
+    d1 = " ".join(f"u{i}" for i in range(10)) + " " + shared + " " + " ".join(
+        f"v{i}" for i in range(5)
+    )
+    d2 = " ".join(f"w{i}" for i in range(3)) + " " + shared + " " + " ".join(
+        f"x{i}" for i in range(12)
+    )
+    d3 = " ".join(f"nv{i}" for i in range(30))
+    out = tmp_path / "substr"
+    spark.createDataFrame(
+        [(1, d1, "en", "s", 1), (2, d2, "en", "s", 1), (3, d3, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    rows = dedup.corpus_exact_substring_dedup(spark, str(out)).collect()
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == {1, 2}
+    # doc 1: paragraph at tokens 11-30 -> windows i=11..23 (13 of them)
+    assert (got[1].span_start, got[1].span_len, got[1].n_windows) == (11, 20, 13)
+    # doc 2: paragraph at tokens 4-23 -> windows i=4..16
+    assert (got[2].span_start, got[2].span_len, got[2].n_windows) == (4, 20, 13)
+    assert got[1].n_other_docs == 1 and got[2].n_other_docs == 1
