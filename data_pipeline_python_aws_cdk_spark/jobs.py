@@ -214,6 +214,14 @@ def main(argv: list[str] | None = None) -> int:
     p_bpe.add_argument("--output", required=True, help="merges.json destination dir")
     p_bpe.add_argument("--merges", type=int, default=8)
 
+    p_benc = sub.add_parser(
+        "bpe-encode",
+        help="tokenize the corpus into BPE id sequences (parquet)",
+    )
+    p_benc.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_benc.add_argument("--output", required=True, help="parquet destination dir")
+    p_benc.add_argument("--merges", type=int, default=6)
+
     p_rest = sub.add_parser(
         "restore", help="roll back an upsert from a .versions snapshot"
     )
@@ -545,6 +553,28 @@ def main(argv: list[str] | None = None) -> int:
 
         info = export_jsonl_shards(spark, args.sf_dir, args.output)
         print(json.dumps({"statusCode": 200, **info}))
+        return 0
+
+    if args.cmd == "bpe-encode":
+        import pyspark.sql.functions as F
+
+        from .operators.text import bpe_encode_ids
+
+        ids = bpe_encode_ids(spark, args.sf_dir, n_merges=args.merges)
+        ids.write.mode("overwrite").parquet(args.output)
+        stats = ids.agg(
+            F.count("*").alias("docs"), F.sum("n_bpe_tokens").alias("tokens")
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "docs": int(stats.docs),
+                    "tokens": int(stats.tokens),
+                    "output": args.output,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "bpe":

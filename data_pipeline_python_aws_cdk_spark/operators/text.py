@@ -2064,37 +2064,51 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = 8
-) -> dict:
-    """Distributed BPE tokenizer training: greedily learn ``n_merges``
-    merge rules over the corpus dictionary (Sennrich et al.'s algorithm,
-    the vocabulary-induction step every *-BPE/wordpiece pipeline runs
-    before training).
+_SYMS_STR_EXPR = f"array_join({_SYMS_EXPR}, ' ')"
+# Adjacent symbol pairs of the single-spaced state string (overlapping, the
+# Sennrich counting convention: "a a a" contributes (a,a) twice).
+_STATE_PAIRS = (
+    "zip_with(slice(split(s, ' '), 1, size(split(s, ' ')) - 1),"
+    " slice(split(s, ' '), 2, size(split(s, ' ')) - 1),"
+    " (a, b) -> concat(a, ' ', b))"
+)
 
-    Scale shape: the corpus collapses to (word, freq, symbol-array) rows
-    once; every round then (1) counts adjacent symbol pairs with a
-    map-side-combined aggregate weighted by freq, (2) takes the argmax
-    with a deterministic (count desc, pair asc) tie-break, and (3) rewrites
-    ONLY the rows whose symbol arrays contain the winning pair (an
-    Arrow-batched pandas UDF over that filtered subset — greedy
-    left-to-right non-overlapping, the reference semantics). State is
-    localCheckpoint'd per round so lineage stays flat across the driver
-    loop. Pair counting and the merge rewrite are both dictionary-sized,
-    corpus-size-independent work.
 
-    Returns {"merges": [(pair, count), ...], "vocab_size": int,
-    "total_symbols": int} — merges in learned order.
+def _merge_pair_expr(col, a: str, b: str):
+    """Greedy left-to-right non-overlapping merge of pair (a, b) in a
+    single-spaced symbol string, as three JVM string ops.
+
+    Literal replace() scans left-to-right and never rescans replaced text —
+    exactly the greedy non-overlap semantics — but on a single-spaced
+    string consecutive occurrences share their delimiter space, so the
+    second of "a b a b" is missed. Doubling the internal spaces gives every
+    symbol its own delimiters; a collapse pass restores the single-spaced
+    form. Symbols never contain spaces (they are merges of whitespace-split
+    word characters), so collapsing space runs is lossless.
+    """
+    doubled = F.concat(
+        F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    rewritten = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+    return F.trim(F.regexp_replace(rewritten, " +", " "))
+
+
+def _bpe_train_states(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[list[tuple[str, int]], DataFrame]:
+    """Shared BPE training loop: returns (merges, state) where state is the
+    post-merge dictionary (word, freq, s) with ``s`` the single-spaced
+    symbol string — the table every consumer (stats, encode, fertility)
+    derives from. Every per-round operation is JVM-side string/array work;
+    no Python UDF touches the hot path.
     """
     wf = _word_freqs(spark, sf_dir)
     state = wf.select(
-        "word", "freq", F.expr(_SYMS_EXPR).alias("syms")
+        "word", "freq", F.expr(_SYMS_STR_EXPR).alias("s")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, int]] = []
     for _ in range(n_merges):
-        pairs = state.filter(F.size("syms") >= 2).select(
-            "freq", F.explode(F.expr(_ADJ_PAIRS)).alias("pair")
-        )
+        pairs = state.select("freq", F.explode(F.expr(_STATE_PAIRS)).alias("pair"))
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
@@ -2107,37 +2121,38 @@ def bpe_train(
         best, cnt = top[0].pair, int(top[0].cnt)
         merges.append((best, cnt))
         a, b = best.split(" ")
+        state = state.withColumn(
+            "s", _merge_pair_expr(F.col("s"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges, state
 
-        def _make_merge(_a: str, _b: str):
-            def one(s):
-                out = []
-                i, n = 0, len(s)
-                while i < n:
-                    if i + 1 < n and s[i] == _a and s[i + 1] == _b:
-                        out.append(_a + _b)
-                        i += 2
-                    else:
-                        out.append(s[i])
-                        i += 1
-                return out
 
-            def batches(it):
-                for pdf in it:
-                    pdf = pdf.copy()
-                    pdf["syms"] = pdf["syms"].map(one)
-                    yield pdf
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> dict:
+    """Distributed BPE tokenizer training: greedily learn ``n_merges``
+    merge rules over the corpus dictionary (Sennrich et al.'s algorithm,
+    the vocabulary-induction step every *-BPE/wordpiece pipeline runs
+    before training).
 
-            return batches
+    Scale shape: the corpus collapses to (word, freq, symbol-string) rows
+    once; every round then (1) counts adjacent symbol pairs with a
+    map-side-combined aggregate weighted by freq, (2) takes the argmax
+    with a deterministic (count desc, pair asc) tie-break, and (3) applies
+    the merge as JVM literal-replace string ops on the doubled-delimiter
+    form (greedy left-to-right non-overlapping, the reference semantics —
+    see ``_merge_pair_expr``; this replaced a round-8-era Arrow UDF
+    rewrite: same result, no Python in the loop). State is
+    localCheckpoint'd per round so lineage stays flat across the driver
+    loop. Pair counting and the merge rewrite are both dictionary-sized,
+    corpus-size-independent work.
 
-        has_pair = F.array_contains(F.expr(_ADJ_PAIRS), best)
-        touched = state.filter(has_pair).mapInPandas(
-            _make_merge(a, b), schema=state.schema
-        )
-        state = (
-            state.filter(~has_pair).unionByName(touched).localCheckpoint(eager=True)
-        )
+    Returns {"merges": [(pair, count), ...], "vocab_size": int,
+    "total_symbols": int} — merges in learned order.
+    """
+    merges, state = _bpe_train_states(spark, sf_dir, n_merges)
     stats = state.select(
-        F.explode("syms").alias("sym"), F.col("freq")
+        F.explode(F.split("s", " ")).alias("sym"), F.col("freq")
     ).agg(
         F.count_distinct("sym").alias("vocab"),
         F.sum("freq").alias("total"),  # one row per symbol slot x freq
@@ -2147,6 +2162,214 @@ def bpe_train(
         "vocab_size": int(stats.vocab),
         "total_symbols": int(stats.total),
     }
+
+
+# --- BPE apply/encode (round 9) ---------------------------------------------
+
+BPE_ENCODE_MERGES = 6  # merges learned by the registered encode queries
+
+
+def _bpe_sql_cte(n_merges: int) -> tuple[str, str]:
+    """The DuckDB twin of ``_bpe_train_states``, UNROLLED: a CTE chain
+    st0 -> st{n} where each round computes the weighted pair argmax with
+    the same (count desc, pair asc) tie-break and applies the same
+    doubled-delimiter literal replace. The COALESCE sentinel (an
+    unmatchable two-symbol pattern built from chr(1)) keeps rounds total
+    when the dictionary runs out of pairs — the Spark loop breaks, the SQL
+    no-ops, final states agree. Returns (cte_text, final_state_name).
+    """
+    parts = [
+        "w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')) AS word FROM documents)",
+        "wf AS (SELECT word, COUNT(*) AS freq FROM w WHERE word <> ''"
+        " GROUP BY word)",
+        "st0 AS (SELECT word, freq, array_to_string(list_transform("
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), ' ')"
+        " AS s FROM wf)",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"p{r} AS (SELECT l[i] || ' ' || l[i+1] AS pair, SUM(freq) AS cnt"
+            f" FROM (SELECT freq, str_split(s, ' ') AS l FROM st{r}) t,"
+            f" unnest(generate_series(1, len(l) - 1)) u(i) GROUP BY 1)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT COALESCE((SELECT pair FROM p{r}"
+            f" ORDER BY cnt DESC, pair LIMIT 1),"
+            f" chr(1) || ' ' || chr(1)) AS pair)"
+        )
+        parts.append(
+            f"st{r + 1} AS (SELECT word, freq, trim(regexp_replace("
+            f"replace(' ' || replace(s, ' ', '  ') || ' ',"
+            f" ' ' || str_split(pair, ' ')[1] || '  '"
+            f" || str_split(pair, ' ')[2] || ' ',"
+            f" ' ' || replace(pair, ' ', '') || ' '),"
+            f" ' +', ' ', 'g')) AS s FROM st{r}, b{r})"
+        )
+    return ",\n    ".join(parts), f"st{n_merges}"
+
+
+def _bpe_vocab(state: DataFrame) -> DataFrame:
+    """(sym, token_id) id table of the final symbol vocabulary, ids dense
+    by lexicographic symbol order. BOUNDED: the final vocabulary is the
+    base alphabet plus at most one new symbol per merge (each merge
+    creates exactly one type), so the global ranking window and the
+    broadcast downstream are |alphabet|+n_merges rows at ANY corpus size.
+    """
+    syms = state.select(F.explode(F.split("s", " ")).alias("sym")).distinct()
+    return syms.select(
+        "sym",
+        F.row_number().over(Window.orderBy("sym")).cast("bigint").alias("token_id"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    ctes, st_n = _bpe_sql_cte(BPE_ENCODE_MERGES)
+    return f"""
+    WITH {ctes},
+    vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) AS token_id
+              FROM (SELECT DISTINCT sym FROM
+                    (SELECT unnest(str_split(s, ' ')) AS sym FROM {st_n}))),
+    dw AS (SELECT doc_id, u.word
+           FROM documents d,
+                unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                  u(word)
+           WHERE u.word <> ''),
+    enc AS (SELECT dw.doc_id, unnest(str_split(st.s, ' ')) AS sym
+            FROM dw JOIN {st_n} st ON st.word = dw.word),
+    ids AS (SELECT doc_id, token_id FROM enc JOIN vocab USING (sym))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(token_id) AS BIGINT) AS token_id_sum,
+           CAST(COUNT(DISTINCT token_id) AS BIGINT) AS n_distinct_tokens
+    FROM ids GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("corpus_bpe_encode", oracle=_bpe_encode_oracle())
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained BPE merge table to tokenize the corpus into real
+    token ids — the encode step that closes the tokenizer loop
+    (corpus_bpe_pair_counts audits, bpe_train learns, THIS applies;
+    bpe_encode_ids hands the id sequences to packing/export). Trains
+    {BPE_ENCODE_MERGES} merges with the shared loop, assigns dense token
+    ids over the final symbol vocabulary, and emits the per-doc encode
+    summary (token count, id checksum, distinct types) — all-integer, so
+    the DuckDB twin (the UNROLLED trainer, same argmax tie-break, same
+    greedy rewrite) matches bit-for-bit.
+
+    Scale shape: training cost is the dictionary loop (corpus-size-
+    independent per round); encoding is corpus words joined to the
+    dictionary's (word -> symbol string) — the ONE corpus-scale shuffle,
+    keyed on word, text never wider than a word — then an explode to
+    symbols and a broadcast join against the PROVABLY bounded id table
+    (|alphabet| + n_merges rows, one new type per merge). Per-doc rollup
+    is map-side combined.
+    """
+    _, state = _bpe_train_states(spark, sf_dir, BPE_ENCODE_MERGES)
+    vocab = _bpe_vocab(state)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(lower_ws_tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    enc = words.join(state.select("word", "s"), "word")
+    toks = enc.select("doc_id", F.explode(F.split("s", " ")).alias("sym"))
+    ids = toks.join(F.broadcast(vocab), "sym")
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("token_id").cast("bigint").alias("token_id_sum"),
+            F.countDistinct("token_id").cast("bigint").alias("n_distinct_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    ctes, st_n = _bpe_sql_cte(BPE_ENCODE_MERGES)
+    return f"""
+    WITH {ctes},
+    wtok AS (SELECT word, len(str_split(s, ' ')) AS n_syms FROM {st_n}),
+    dw AS (SELECT d.lang, u.word
+           FROM documents d,
+                unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                  u(word)
+           WHERE u.word <> ''),
+    j AS (SELECT lang, n_syms FROM dw JOIN wtok USING (word))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(n_syms) AS DOUBLE) / COUNT(*), 6) AS fertility
+    FROM j GROUP BY lang ORDER BY lang
+    """
+
+
+@_register("corpus_bpe_fertility", oracle=_bpe_fertility_oracle())
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility from REAL encodings: BPE tokens per word by
+    language under the trained {BPE_ENCODE_MERGES}-merge vocabulary —
+    corpus_tokenizer_fertility's question answered with the actual learned
+    tokenizer instead of the BPE-ish regex approximation (run both: the
+    gap IS the approximation error). High fertility on a language means
+    the merge table under-serves it.
+
+    Scale shape: per-word token counts are a projection of the trained
+    dictionary (dictionary-scale, no corpus text); the corpus contributes
+    one word-keyed join of (lang, word) pairs, rolled up to |langs| rows
+    map-side. Exact int64 sums; one double division per output row.
+    """
+    _, state = _bpe_train_states(spark, sf_dir, BPE_ENCODE_MERGES)
+    wtok = state.select("word", F.size(F.split("s", " ")).alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(lower_ws_tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    j = words.join(wtok, "word")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.try_divide(F.sum("n_syms").cast("double"), F.count("*")), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def bpe_encode_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_ENCODE_MERGES
+) -> DataFrame:
+    """Tokenize every document into its BPE id SEQUENCE (doc_id,
+    token_ids array<bigint>, n_bpe_tokens) — the hand-off frame that feeds
+    sequence packing and shard export with real token ids. Ids follow
+    _bpe_vocab's dense lexicographic assignment; within a document, ids
+    appear in reading order (words in order, symbols left-to-right within
+    each word — pinned by positional sort keys, not by shuffle luck).
+    """
+    _, state = _bpe_train_states(spark, sf_dir, n_merges)
+    vocab = _bpe_vocab(state)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(lower_ws_tokens("text")).alias("wpos", "word")
+    ).filter(F.col("word") != "")
+    enc = words.join(state.select("word", "s"), "word")
+    syms = enc.select(
+        "doc_id", "wpos", F.posexplode(F.split("s", " ")).alias("spos", "sym")
+    )
+    ids = syms.join(F.broadcast(vocab), "sym")
+    per_doc = ids.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("wpos", "spos", "token_id"))
+        ).alias("ordered")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.expr("transform(ordered, x -> x.token_id)").alias("token_ids"),
+        F.size("ordered").cast("bigint").alias("n_bpe_tokens"),
+    )
 
 
 def export_jsonl_shards(spark: SparkSession, sf_dir: str, out: str) -> dict:

@@ -2516,3 +2516,53 @@ def test_exact_substring_dedup_finds_planted_shared_paragraph(spark, tmp_path):
     # doc 2: paragraph at tokens 4-23 -> windows i=4..16
     assert (got[2].span_start, got[2].span_len, got[2].n_windows) == (4, 20, 13)
     assert got[1].n_other_docs == 1 and got[2].n_other_docs == 1
+
+
+def test_bpe_encode_ids_matches_pure_python_encode(spark, tmp_path):
+    """bpe_encode_ids must reproduce the pure-Python pipeline exactly:
+    train merges (reference trainer), apply them greedily per word, map
+    symbols to dense lexicographic ids, concatenate in reading order."""
+    docs = [
+        (1, "low low low lower lowest", "en", "s", 1),
+        (2, "new newer newest low new", "en", "s", 1),
+        (3, "wider wide wide new lower", "en", "s", 1),
+    ]
+    out = tmp_path / "bpe_enc"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    wf = {}
+    for _, t, *_ in docs:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    merges = _reference_bpe(wf, 4)
+    pairs = [tuple(m.split(" ")) for m, _ in merges]
+
+    def encode_word(w):
+        syms = list(w)
+        for a, b in pairs:
+            out_s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out_s.append(a + b)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    i += 1
+            syms = out_s
+        return syms
+
+    vocab = sorted({s for w in wf for s in encode_word(w)})
+    ids = {s: i + 1 for i, s in enumerate(vocab)}
+    expected = {
+        did: [ids[s] for w in t.split() for s in encode_word(w)]
+        for did, t, *_ in docs
+    }
+
+    got = {
+        r.doc_id: (list(r.token_ids), r.n_bpe_tokens)
+        for r in text.bpe_encode_ids(spark, str(out), n_merges=4).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expected
+    assert all(v[1] == len(expected[k]) for k, v in got.items())

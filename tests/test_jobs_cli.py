@@ -755,3 +755,26 @@ def test_cli_scd2_attribution_survivors(spark, tmp_path, capsys):
     a = spark.read.parquet(str(tmp_path / "surv_id"))
     b = spark.read.parquet(str(tmp_path / "surv_quality"))
     assert a.filter("is_survivor").count() == b.filter("is_survivor").count()
+
+
+def test_cli_bpe_encode_writes_id_sequences(spark, tmp_path, capsys):
+    docs = tmp_path / "corpus_enc"
+    spark.createDataFrame(
+        [(1, "low low lower", "en", "s", 1), (2, "lowest low new", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{docs}/documents.parquet")
+
+    out = str(tmp_path / "bpe_ids")
+    rc = jobs.main(
+        ["bpe-encode", "--sf-dir", str(docs), "--output", out, "--merges", "2"]
+    )
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["statusCode"] == 200 and st["docs"] == 2
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2}
+    # id sequences are non-empty, all positive, and length matches the count
+    for r in rows.values():
+        assert len(r.token_ids) == r.n_bpe_tokens > 0
+        assert all(t >= 1 for t in r.token_ids)
+    assert st["tokens"] == sum(r.n_bpe_tokens for r in rows.values())
