@@ -549,7 +549,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(nprobe: int = IVF_NPROBE) -> str:
     cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
     return f"""
     WITH cent AS (
@@ -570,7 +570,7 @@ def _ivf_oracle() -> str:
     assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
     probes AS (
       SELECT vec_id AS query_id, centroid_id FROM ranked
-      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+      WHERE vec_id < {N_QUERIES} AND rn <= {nprobe}
     ),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
@@ -594,7 +594,9 @@ def _ivf_oracle() -> str:
 
 
 @_register("similarity_ann_ivf", oracle=_ivf_oracle())
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """ANN via an IVF (inverted-file) index: centroid partition + probe.
 
     The scale path when the corpus is huge and queries keep arriving:
@@ -637,7 +639,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "centroid_id"
     )
     probes = spark.createDataFrame(
-        _probe_lists(cent_rows, query_rows, IVF_NPROBE) or [],
+        _probe_lists(cent_rows, query_rows, nprobe) or [],
         "query_id long, centroid_id long",
     )
     cand = (
@@ -1195,7 +1197,7 @@ def ivf_build_index(
 
 
 def ivf_probe_indexed(
-    spark: SparkSession, index_dir: str, sf_dir: str
+    spark: SparkSession, index_dir: str, sf_dir: str, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
     """Probe the persisted IVF index with partition pruning.
 
@@ -1207,6 +1209,12 @@ def ivf_probe_indexed(
     index was built from the seed codebook; the probe always ranks
     against the codebook persisted with the index (``_centroids``), so a
     k-means-refined index is probed with its own refined centers.
+
+    ``nprobe`` is the recall/cost dial: more probed lists = more index
+    partitions read = higher recall (the silhouette audit quantifies WHY:
+    boundary vectors land in a neighbor's cell). The pruning contract is
+    unchanged at any setting — (1 - nprobe/NLIST) of the index is never
+    listed, never read.
     """
     from py4j.protocol import Py4JJavaError  # noqa: F401 — doc: probe fallback
 
@@ -1231,7 +1239,7 @@ def ivf_probe_indexed(
     w_q = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "centroid_id")
     probes = (
         qc.withColumn("rn", F.row_number().over(w_q))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "centroid_id")
     )
     # One driver-side materialization of the (query, centroid) probe table
@@ -2177,6 +2185,7 @@ def _recall_oracle() -> str:
     methods = {
         "ann_lsh": _ann_oracle(),
         "ann_ivf": _ivf_oracle(),
+        "ann_ivf_nprobe3": _ivf_oracle(3),
         "ann_quantized": _ann_quantized_oracle(),
         "ann_pq_adc": _pq_adc_oracle(),
     }
@@ -2218,6 +2227,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "ann_lsh": similarity_ann_lsh,
         "ann_ivf": similarity_ann_ivf,
+        "ann_ivf_nprobe3": lambda s, d: similarity_ann_ivf(s, d, nprobe=3),
         "ann_quantized": similarity_ann_quantized,
         "ann_pq_adc": similarity_ann_pq_adc,
     }
@@ -2249,6 +2259,85 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("queries"),
         )
         .orderBy("method")
+    )
+
+
+IVF_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _ivf_sweep_oracle() -> str:
+    topk = ORACLES["similarity_topk"]
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT {np} AS nprobe, e.query_id,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS r,
+               COUNT(a.neighbor_id) AS hits
+        FROM ({topk}) e LEFT JOIN ({_ivf_oracle(np)}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id"""
+        for np in IVF_NPROBE_SWEEP
+    )
+    return f"""
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           ROUND(AVG(r), 6) AS recall_at_{TOP_K},
+           CAST(SUM(hits) AS BIGINT) AS true_positives,
+           CAST(COUNT(*) AS BIGINT) AS queries
+    FROM ({sel})
+    GROUP BY nprobe
+    ORDER BY nprobe
+    """
+
+
+@_register("similarity_ann_ivf_nprobe_sweep", oracle=_ivf_sweep_oracle())
+def similarity_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe recall curve: recall@{TOP_K} of IVF probing at
+    nprobe in {IVF_NPROBE_SWEEP}, against the exact brute-force top-k —
+    the table that SETS nprobe. The simplified-silhouette audit predicts
+    the lift qualitatively (boundary vectors with s<0.25 sit in cells
+    whose second-nearest centroid holds their true neighbors; probing
+    that second cell recovers them); this measures it, per corpus, as a
+    monotone recall-vs-cost curve. Read with embedding_silhouette: a
+    corpus with few boundary vectors saturates at nprobe=1 and the extra
+    probes are wasted IO; one with many keeps climbing.
+
+    Shape: each sweep point runs the gated inline IVF plan (map-only
+    assignment, bounded probe table, candidate-only rerank) — the
+    assignment pass re-executes per point in this inline form; at 100 TB
+    you build the persisted index ONCE (ivf_build_index) and sweep
+    nprobe over ivf_probe_indexed, where each point is a partition-pruned
+    read of nprobe/NLIST of the index and the sweep shares one build.
+    The comparison joins are {TOP_K}-row-per-query; the rollup is
+    |sweep|-bounded.
+    """
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    per = None
+    for np_ in IVF_NPROBE_SWEEP:
+        approx = similarity_ann_ivf(spark, sf_dir, nprobe=np_).select(
+            "query_id", F.col("neighbor_id").alias("a_neighbor")
+        )
+        hit = (
+            exact.join(
+                approx,
+                (exact.query_id == approx.query_id)
+                & (exact.neighbor_id == approx.a_neighbor),
+                "left",
+            )
+            .select(
+                exact.query_id.alias("qid"),
+                F.col("a_neighbor").isNotNull().cast("double").alias("hit"),
+            )
+            .groupBy("qid")
+            .agg(F.avg("hit").alias("r"), F.sum("hit").alias("hits"))
+            .select(F.lit(np_).cast("bigint").alias("nprobe"), "r", "hits")
+        )
+        per = hit if per is None else per.unionByName(hit)
+    return (
+        per.groupBy("nprobe")
+        .agg(
+            F.round(F.avg("r"), 6).alias(f"recall_at_{TOP_K}"),
+            F.sum("hits").cast("bigint").alias("true_positives"),
+            F.count("*").cast("bigint").alias("queries"),
+        )
+        .orderBy("nprobe")
     )
 
 

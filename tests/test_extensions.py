@@ -2566,3 +2566,37 @@ def test_bpe_encode_ids_matches_pure_python_encode(spark, tmp_path):
     }
     assert {k: v[0] for k, v in got.items()} == expected
     assert all(v[1] == len(expected[k]) for k, v in got.items())
+
+
+def test_ivf_nprobe_sweep_monotone_and_full_probe_exact(spark):
+    """Recall must be non-decreasing in nprobe (candidate sets are nested),
+    and probing EVERY list must reproduce the exact brute-force top-k —
+    the degenerate end of the sweep where IVF stops being approximate."""
+    rows = similarity.similarity_ann_ivf_nprobe_sweep(spark, SF_SMOKE).collect()
+    by_np = {r.nprobe: r for r in rows}
+    assert sorted(by_np) == [1, 2, 4, 8]
+    recalls = [by_np[n].recall_at_10 for n in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls)
+    assert all(r.queries == 8 for r in rows)
+
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import IVF_NLIST
+
+    full = similarity.similarity_ann_ivf(spark, SF_SMOKE, nprobe=IVF_NLIST)
+    exact = similarity.similarity_topk(spark, SF_SMOKE)
+    assert {tuple(r) for r in full.collect()} == {tuple(r) for r in exact.collect()}
+
+
+def test_ivf_probe_indexed_honors_nprobe(spark, tmp_path):
+    """The persisted-index probe at nprobe=3 must equal the inline query at
+    nprobe=3 — the parameter threads through both paths identically."""
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_indexed,
+        similarity_ann_ivf,
+    )
+
+    index_dir = str(tmp_path / "ivf_index_np3")
+    ivf_build_index(spark, SF_SMOKE, index_dir)
+    probed = ivf_probe_indexed(spark, index_dir, SF_SMOKE, nprobe=3)
+    inline = similarity_ann_ivf(spark, SF_SMOKE, nprobe=3)
+    assert {tuple(r) for r in probed.collect()} == {tuple(r) for r in inline.collect()}
