@@ -49,65 +49,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the remaining slots re-verify the float-adjacent ANN/retrieval
 #     family and a sample of every tier (dedup, text/corpus, embedding,
 #     multimodal, TPC-H perf-weak set, events analytics).
+# Round-9 window: the 4 round-9 debuts lead (debut-window rule), then the
+# OLDEST never-re-verified driver rows — the entire round-1 cohort (last
+# driver-green in CORRECTNESS_r01) and the round-2-era events/streaming
+# tier — so driver re-verification keeps cycling the whole registry
+# (VERDICT r8 item 5).  Every key outside this window holds a driver-green
+# row from r01-r08 plus the local 247/247 differential at HEAD.
 _PRIORITY = (
-    # -- round-7 debuts: never driver-evaluated, must lead this window
-    "customers_fuzzy_match",
-    "events_scd2_user_state",
-    "events_attribution",
-    "corpus_dsir_weights",
-    "text_nb_quality_classify",
-    "corpus_duplicate_passages",
-    "embedding_cluster_profiles",
-    # -- NEW round-8 debuts: must be driver-evaluated in their debut window
-    "dedup_prefix_filter_join",
-    "embedding_silhouette",
-    "dedup_quality_survivors",
-    "corpus_heaps_law",
-    "corpus_topic_mix",
-    "events_benford_audit",
-    "corpus_cooccurrence_pmi",
-    "events_match_pattern",
-    "text_kn_bigram_lm",
-    "lineitem_ship_latency_regression",
-    "events_type_dow_chi2",
-    "events_seasonal_decompose",
-    "streaming_scd2_state",
-    "orders_revenue_pareto",
-    "corpus_dedup_cascade_report",
-    "events_seasonal_residual_outliers",
-    "orders_segment_migration",
-    "multimodal_payload_dedup",
-    "orders_cohort_ltv",
-    "events_dau_wau_mau",
-    "orders_nation_segment_rollup",
-    "events_conversion_latency_percentiles",
-    "events_bot_screen",
-    "parts_supplier_hhi",
-    # -- tier sample: dedup ladder + clusters
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # -- float-adjacent ANN / retrieval family
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_pq_adc",
-    # -- tier sample: text / corpus
-    "text_bm25_retrieval",
-    "text_lm_score",
-    "corpus_train_eval_split",
-    # -- tier sample: embedding
-    "embedding_kmeans",
-    "embedding_bitext_mining",
-    # -- tier sample: multimodal
-    "multimodal_decode",
-    # -- TPC-H perf-weak set + window analytics
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
+    # -- NEW round-9 debuts: must be driver-evaluated in their debut window
+    "corpus_exact_substring_dedup",
+    "corpus_bpe_encode",
+    "corpus_bpe_fertility",
+    "similarity_ann_ivf_nprobe_sweep",
+    # -- round-1 cohort: driver-green only in CORRECTNESS_r01 until now
+    "business_types",
+    "catchphrase_usage",
+    "company_employees",
+    "count_total",
+    "customer_order_gaps",
+    "customer_spend_quartiles",
+    "customers_without_orders",
+    "duplicate_emails",
+    "email_domains",
+    "lineitem_grouping_sets",
+    "orders_status_cube",
+    "partition_filter",
+    "phone_patterns",
+    "q14_promo_revenue",
+    "q16_parts_supplier_counts",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "same_city_diff_company",
+    "sample_rows",
+    "segment_revenue_salted",
+    "suppliers_with_large_lines",
+    "top_customers_by_revenue",
+    "top_segments",
+    "unique_locations",
+    "user_profiles",
+    "users_by_city",
+    "users_with_websites",
+    "window_running_revenue",
+    # -- round-2-era events/streaming tier (the class VERDICT r8 named)
+    "events_asof_purchase",
+    "events_conversion_funnel",
+    "events_daily_pivot",
+    "events_distinct_users",
+    "events_hourly_windows",
+    "events_props_extract",
+    "events_range_join",
+    "events_time_rollup",
+    "events_value_percentiles",
+    "streaming_click_purchase_join",
+    "streaming_distinct_pairs",
+    "streaming_hourly_counts",
+    "streaming_sessionize",
+    "streaming_user_stats",
+    # -- remaining round-2-era singles
+    "lang_id",
+    "pii_redact",
+    "multimodal_resize",
 )
 
 
