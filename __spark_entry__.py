@@ -61,6 +61,8 @@ _PRIORITY = (
     "corpus_bpe_encode",
     "corpus_bpe_fertility",
     "similarity_ann_ivf_nprobe_sweep",
+    "corpus_doc_duplication_fraction",
+    "doc_self_repetition_spans",
     # -- round-1 cohort: driver-green only in CORRECTNESS_r01 until now
     "business_types",
     "catchphrase_usage",
@@ -106,10 +108,9 @@ _PRIORITY = (
     "streaming_hourly_counts",
     "streaming_sessionize",
     "streaming_user_stats",
-    # -- remaining round-2-era singles
+    # -- remaining round-2-era single (pii_redact / multimodal_resize
+    #    rotate in next round; both hold r02 driver greens + local greens)
     "lang_id",
-    "pii_redact",
-    "multimodal_resize",
 )
 
 

@@ -3335,3 +3335,203 @@ def corpus_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_len", "n_windows", "n_other_docs")
         .orderBy("doc_id", "span_start")
     )
+
+
+def _doc_dup_fraction_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=SUBSTR_NGRAM - 1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SUBSTR_NGRAM - 1})) AS i
+            FROM t WHERE len(toks) >= {SUBSTR_NGRAM}),
+    g AS (SELECT doc_id, i, {gram} AS h FROM idx),
+    shared AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.i FROM g JOIN shared s ON s.h = g.h),
+    covp AS (SELECT doc_id, unnest(generate_series(i, i + {SUBSTR_NGRAM - 1})) AS p
+             FROM hits),
+    cov AS (SELECT doc_id, COUNT(DISTINCT p) AS covered FROM covp GROUP BY doc_id),
+    nh AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM hits GROUP BY doc_id),
+    base AS (SELECT doc_id, len(toks) AS n_tokens,
+                    len(toks) - {SUBSTR_NGRAM - 1} AS n_windows
+             FROM t WHERE len(toks) >= {SUBSTR_NGRAM})
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(nh.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           ROUND(COALESCE(nh.n_dup_windows, 0) * 1.0 / b.n_windows, 6)
+             AS dup_window_frac,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(cov.covered, 0) * 1.0 / b.n_tokens, 6)
+             AS dup_token_frac
+    FROM base b
+    LEFT JOIN nh ON nh.doc_id = b.doc_id
+    LEFT JOIN cov ON cov.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+@_register("corpus_doc_duplication_fraction", oracle=_doc_dup_fraction_oracle())
+def corpus_doc_duplication_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication fraction: what share of each doc's
+    {SUBSTR_NGRAM}-token windows (and of its token mass, as the union of
+    hit windows) recurs verbatim elsewhere in the corpus — the doc-level
+    rollup of corpus_exact_substring_dedup's span manifest and the
+    RefinedWeb-style "mostly duplicated document" FILTER signal: the span
+    manifest says what to cut, this says which docs to drop outright
+    (dup_token_frac near 1 = a mirror/boilerplate page; near 0 = original
+    prose). Every >= {SUBSTR_NGRAM}-token doc appears, zero-dup docs
+    included — the distribution IS the report.
+
+    Scale shape: the same one-wide-shuffle gram pipeline as the span
+    manifest (hashes shuffle, text never does); the shared-hash table here
+    drops n_docs (left-semi join); coverage re-explodes HIT windows only
+    (hit cardinality, not corpus cardinality) and both rollups ride
+    doc_id. The base-table left joins are doc-keyed at doc cardinality.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SUBSTR_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    hits = g.join(shared, "h", "left_semi").select("doc_id", "i")
+    nh = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_NGRAM - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("dup_tokens"))
+    )
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - (SUBSTR_NGRAM - 1)).cast("bigint").alias("n_windows"),
+    )
+    return (
+        base.join(nh, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) * F.lit(1.0) / F.col("n_windows"),
+                6,
+            ).alias("dup_window_frac"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SELF_NGRAM = 3  # intra-doc repeat unit: loops repeat SHORT phrases, and the
+# within-doc chance-collision base rate is doc-length-bounded, so a narrow
+# window is the right detector here (the CROSS-doc manifest needs
+# SUBSTR_NGRAM=8 because its collision base is the whole corpus).
+
+
+def _self_repetition_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=SELF_NGRAM - 1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SELF_NGRAM - 1})) AS i
+            FROM t WHERE len(toks) >= {SELF_NGRAM}),
+    g AS (SELECT doc_id, i, {gram} AS h FROM idx),
+    rep AS (SELECT doc_id, h, COUNT(*) AS cnt
+            FROM g GROUP BY doc_id, h HAVING COUNT(*) >= 2),
+    hits AS (SELECT g.doc_id, g.i, r.cnt
+             FROM g JOIN rep r ON r.doc_id = g.doc_id AND r.h = g.h),
+    runs AS (SELECT doc_id, i, cnt,
+                    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+             FROM hits),
+    spans AS (SELECT doc_id,
+                     CAST(MIN(i) AS BIGINT) AS span_start,
+                     CAST(MAX(i) - MIN(i) + {SELF_NGRAM} AS BIGINT) AS span_len,
+                     CAST(COUNT(*) AS BIGINT) AS n_windows,
+                     CAST(MIN(cnt) AS BIGINT) AS min_repeats
+              FROM runs GROUP BY doc_id, isl)
+    SELECT doc_id, span_start, span_len, n_windows, min_repeats
+    FROM spans ORDER BY doc_id, span_start
+    """
+
+
+@_register("doc_self_repetition_spans", oracle=_self_repetition_oracle())
+def doc_self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span manifest: maximal token spans whose
+    {SELF_NGRAM}-token windows each occur >= 2 times WITHIN THE SAME
+    document — the looping-generation / copy-pasted-boilerplate artifact
+    detector at span granularity. text_repetition_stats (Gopher fractions)
+    scores HOW repetitive a doc is; this says WHERE, in the same
+    (doc_id, span_start, span_len) coordinates as the cross-doc manifest,
+    so one removal policy consumes both. A repeated passage marks ALL its
+    occurrences (each is a run of within-doc-repeated windows), and
+    min_repeats bounds the occurrence count every window in the span
+    reaches.
+
+    Scale shape: strictly cheaper than the cross-doc manifest — the
+    repeat table groups on (doc_id, hash) so the ONE shuffle is doc-local
+    (a doc's windows land together; no cross-doc key exists anywhere),
+    and the hit join, island window, and span rollup all ride doc_id.
+    At 100 TB this is the operator to run FIRST: it needs no global
+    shared-hash table at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SELF_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {SELF_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {SELF_NGRAM}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    rep = (
+        g.groupBy("doc_id", "h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    hits = g.join(rep, ["doc_id", "h"]).select("doc_id", "i", "cnt")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = hits.withColumn("isl", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "isl")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") - F.min("i") + SELF_NGRAM).cast("bigint").alias("span_len"),
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.min("cnt").cast("bigint").alias("min_repeats"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows", "min_repeats")
+        .orderBy("doc_id", "span_start")
+    )

@@ -2600,3 +2600,47 @@ def test_ivf_probe_indexed_honors_nprobe(spark, tmp_path):
     probed = ivf_probe_indexed(spark, index_dir, SF_SMOKE, nprobe=3)
     inline = similarity_ann_ivf(spark, SF_SMOKE, nprobe=3)
     assert {tuple(r) for r in probed.collect()} == {tuple(r) for r in inline.collect()}
+
+
+def test_doc_duplication_fraction_planted_half_copy(spark, tmp_path):
+    """A doc whose first 15 tokens are copied into another doc must show
+    exactly the shared-prefix windows and token coverage; a fully unique
+    doc must report zeros (and still appear — the distribution is the
+    report)."""
+    base = [f"t{i}" for i in range(30)]
+    d1 = " ".join(base)
+    d2 = " ".join(base[:15] + [f"z{i}" for i in range(15)])
+    d3 = " ".join(f"q{i}" for i in range(20))
+    out = tmp_path / "dupfrac"
+    spark.createDataFrame(
+        [(1, d1, "en", "s", 1), (2, d2, "en", "s", 1), (3, d3, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in dedup.corpus_doc_duplication_fraction(spark, str(out)).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # shared windows: those fully inside tokens 1-15 -> i = 1..8
+    assert (got[1].n_windows, got[1].n_dup_windows, got[1].dup_tokens) == (23, 8, 15)
+    assert (got[2].n_windows, got[2].n_dup_windows, got[2].dup_tokens) == (23, 8, 15)
+    assert got[1].dup_token_frac == 0.5
+    assert (got[3].n_dup_windows, got[3].dup_tokens, got[3].dup_token_frac) == (0, 0, 0.0)
+
+
+def test_self_repetition_spans_planted_loop(spark, tmp_path):
+    """A doc repeating the phrase 'a b c' twice must emit one span per
+    occurrence, each delimiting exactly the repeated trigram; a repeat-free
+    doc must emit nothing."""
+    d1 = "p q r a b c s t u a b c v w x"
+    d2 = " ".join(f"n{i}" for i in range(12))
+    out = tmp_path / "selfrep"
+    spark.createDataFrame(
+        [(1, d1, "en", "s", 1), (2, d2, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    rows = dedup.doc_self_repetition_spans(spark, str(out)).collect()
+    assert [
+        (r.doc_id, r.span_start, r.span_len, r.n_windows, r.min_repeats)
+        for r in rows
+    ] == [(1, 4, 3, 1, 2), (1, 10, 3, 1, 2)]
