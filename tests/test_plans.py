@@ -221,6 +221,10 @@ QUADRATIC_BY_DESIGN = {
     "embedding_pq_codes",         # corpus x 16-row codebook broadcast (ann_ivf class)
     "similarity_ann_pq_adc",      # same codebook broadcast feeds the ADC tables
     "similarity_ann_recall_report",  # composes similarity_topk's broadcast queries
+    "similarity_ann_ivf_nprobe_sweep",  # same class: the exact arm of every
+    #                                sweep point is similarity_topk's
+    #                                broadcast-queries shape; IVF arms are
+    #                                bounded probe-table broadcasts
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
