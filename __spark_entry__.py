@@ -63,6 +63,8 @@ _PRIORITY = (
     "similarity_ann_ivf_nprobe_sweep",
     "corpus_doc_duplication_fraction",
     "doc_self_repetition_spans",
+    "corpus_bpe_merge_curve",
+    "corpus_bpe_pack_sequences",
     # -- round-1 cohort: driver-green only in CORRECTNESS_r01 until now
     "business_types",
     "catchphrase_usage",
@@ -83,7 +85,6 @@ _PRIORITY = (
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "same_city_diff_company",
-    "sample_rows",
     "segment_revenue_salted",
     "suppliers_with_large_lines",
     "top_customers_by_revenue",
@@ -108,9 +109,8 @@ _PRIORITY = (
     "streaming_hourly_counts",
     "streaming_sessionize",
     "streaming_user_stats",
-    # -- remaining round-2-era single (pii_redact / multimodal_resize
-    #    rotate in next round; both hold r02 driver greens + local greens)
-    "lang_id",
+    # (lang_id / pii_redact / multimodal_resize / sample_rows rotate in
+    #  next round; each holds an r01/r02 driver green + local greens)
 )
 
 

@@ -4456,3 +4456,135 @@ def text_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_merge_curve_oracle() -> str:
+    ctes, _ = _bpe_sql_cte(BPE_ENCODE_MERGES)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS merge_ord, b{r}.pair, p.cnt"
+        f" FROM b{r} JOIN p{r} p ON p.pair = b{r}.pair"
+        for r in range(BPE_ENCODE_MERGES)
+    )
+    return f"""
+    WITH {ctes},
+    mc AS ({arms}),
+    base AS (SELECT SUM(freq * length(word)) AS base FROM wf)
+    SELECT CAST(merge_ord AS BIGINT) AS merge_ord, pair,
+           CAST(cnt AS BIGINT) AS merged_count,
+           CAST(base - SUM(cnt) OVER (ORDER BY merge_ord) AS BIGINT)
+             AS tokens_after,
+           ROUND((base - SUM(cnt) OVER (ORDER BY merge_ord)) * 1.0 / base, 6)
+             AS compression_ratio
+    FROM mc, base
+    ORDER BY merge_ord
+    """
+
+
+@_register("corpus_bpe_merge_curve", oracle=_bpe_merge_curve_oracle())
+def corpus_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training curve: per learned merge, the pair, how many
+    occurrences it collapsed, the corpus symbol count after it, and the
+    cumulative compression ratio vs the character baseline — the
+    diminishing-returns table that SETS the merge budget (each merge
+    strictly saves its pair count; when the curve flattens, stop). Read
+    with corpus_bpe_fertility: this is compression spent, that is
+    fertility bought.
+
+    Shape: the trainer's own per-round argmax IS the curve — no extra
+    corpus work; the baseline is one dictionary aggregate. The merge list
+    is a bounded driver-side literal (n_merges rows, the probe-table
+    pattern), cross-joined against the ONE-ROW baseline; the cumulative
+    window runs over n_merges rows. The DuckDB twin joins each unrolled
+    round's argmax back to its own pair-count table, so a round with no
+    pairs left drops out of BOTH engines identically.
+    """
+    merges, _ = _bpe_train_states(spark, sf_dir, BPE_ENCODE_MERGES)
+    lit = spark.createDataFrame(
+        [(i + 1, p, c) for i, (p, c) in enumerate(merges)],
+        "merge_ord long, pair string, merged_count long",
+    )
+    base = _word_freqs(spark, sf_dir).agg(
+        F.sum(F.col("freq") * F.length("word")).alias("base")
+    )
+    w = Window.orderBy("merge_ord")
+    return (
+        lit.crossJoin(F.broadcast(base))
+        .select(
+            "merge_ord",
+            "pair",
+            "merged_count",
+            (F.col("base") - F.sum("merged_count").over(w))
+            .cast("bigint")
+            .alias("tokens_after"),
+            F.round(
+                (F.col("base") - F.sum("merged_count").over(w))
+                * F.lit(1.0)
+                / F.col("base"),
+                6,
+            ).alias("compression_ratio"),
+        )
+        .orderBy("merge_ord")
+    )
+
+
+def _bpe_pack_oracle() -> str:
+    ctes, st_n = _bpe_sql_cte(BPE_ENCODE_MERGES)
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", salt="pack")
+    return f"""
+    WITH {ctes},
+    wtok AS (SELECT word, len(str_split(s, ' ')) AS n_syms FROM {st_n}),
+    dw AS (SELECT doc_id, u.word
+           FROM documents d,
+                unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                  u(word)
+           WHERE u.word <> ''),
+    toks AS (SELECT doc_id, {h} AS h, SUM(n_syms) AS doc_tokens
+             FROM dw JOIN wtok USING (word) GROUP BY doc_id),
+    ordered AS (
+      SELECT doc_id, h % {PACK_BUCKETS} AS bucket, doc_tokens,
+             CAST(COALESCE(SUM(doc_tokens) OVER (
+               PARTITION BY h % {PACK_BUCKETS}
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_start
+      FROM toks WHERE doc_tokens > 0
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           tok_start // {PACK_SEQ_LEN} AS seq_id,
+           tok_start, CAST(doc_tokens AS BIGINT) AS doc_tokens,
+           (tok_start + doc_tokens - 1) // {PACK_SEQ_LEN}
+             > tok_start // {PACK_SEQ_LEN} AS straddles
+    FROM ordered
+    ORDER BY bucket, tok_start, doc_id
+    """
+
+
+@_register("corpus_bpe_pack_sequences", oracle=_bpe_pack_oracle())
+def corpus_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL tokenizer counts: corpus_pack_sequences'
+    exact contract (hash-bucketed deterministic stream, running offsets,
+    {PACK_SEQ_LEN}-token sequence ids, straddle flags) with doc_tokens
+    measured by the TRAINED {BPE_ENCODE_MERGES}-merge BPE encoding
+    instead of the BPE-ish regex — the step VERDICT r8 named: the
+    train -> encode -> pack loop now carries one tokenizer end to end, so
+    sample boundaries land where the loader's real token stream lands
+    them. Run both packers; the assignment diff IS the approximation
+    error the regex was hiding.
+
+    Shape: per-doc real counts are the encode pipeline's word-keyed join
+    rolled up by doc_id (text never wider than a word); packing itself is
+    _pack_offsets — one bucket shuffle, one in-partition window pass.
+    """
+    _, state = _bpe_train_states(spark, sf_dir, BPE_ENCODE_MERGES)
+    wtok = state.select("word", F.size(F.split("s", " ")).alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(lower_ws_tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    toks = (
+        words.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("doc_tokens"))
+        .filter(F.col("doc_tokens") > 0)
+    )
+    return _pack_offsets(toks).orderBy("bucket", "tok_start", "doc_id")

@@ -2644,3 +2644,61 @@ def test_self_repetition_spans_planted_loop(spark, tmp_path):
         (r.doc_id, r.span_start, r.span_len, r.n_windows, r.min_repeats)
         for r in rows
     ] == [(1, 4, 3, 1, 2), (1, 10, 3, 1, 2)]
+
+
+def test_bpe_merge_curve_matches_reference_counts(spark, tmp_path):
+    """Curve rows must replay the reference trainer's merge counts and the
+    exact symbol-count arithmetic: tokens_after(r) = chars - cumsum(counts)."""
+    docs = [
+        (1, "low low low lower lowest", "en", "s", 1),
+        (2, "new newer newest low new", "en", "s", 1),
+    ]
+    out = tmp_path / "bpe_curve"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    wf = {}
+    for _, t, *_ in docs:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    from data_pipeline_python_aws_cdk_spark.operators.text import BPE_ENCODE_MERGES
+
+    expected = _reference_bpe(wf, BPE_ENCODE_MERGES)
+    base = sum(len(w) * f for w, f in wf.items())
+    rows = text.corpus_bpe_merge_curve(spark, str(out)).collect()
+    assert [(r.merge_ord, r.pair, r.merged_count) for r in rows] == [
+        (i + 1, p, c) for i, (p, c) in enumerate(expected)
+    ]
+    cum = 0
+    for r in rows:
+        cum += r.merged_count
+        assert r.tokens_after == base - cum
+
+
+def test_bpe_pack_sequences_counts_agree_with_encode(spark, tmp_path):
+    """The real-count packer's doc_tokens must equal the id-sequence
+    lengths bpe_encode_ids emits for the same corpus and merge budget —
+    the loop-closing invariant (pack boundaries ARE token-stream truth).
+    Offsets must stay gapless per bucket, corpus_pack_sequences' contract."""
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(i + 3)) + " low lower", "en", "s", 1)
+        for i in range(1, 9)
+    ]
+    out = tmp_path / "bpe_pack"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    from data_pipeline_python_aws_cdk_spark.operators.text import BPE_ENCODE_MERGES
+
+    enc = {
+        r.doc_id: r.n_bpe_tokens
+        for r in text.bpe_encode_ids(
+            spark, str(out), n_merges=BPE_ENCODE_MERGES
+        ).collect()
+    }
+    packed = text.corpus_bpe_pack_sequences(spark, str(out)).collect()
+    assert {r.doc_id: r.doc_tokens for r in packed} == enc
+    by_bucket = {}
+    for r in sorted(packed, key=lambda r: (r.bucket, r.tok_start)):
+        assert r.tok_start == by_bucket.get(r.bucket, 0)
+        by_bucket[r.bucket] = r.tok_start + r.doc_tokens

@@ -225,6 +225,9 @@ QUADRATIC_BY_DESIGN = {
     #                                sweep point is similarity_topk's
     #                                broadcast-queries shape; IVF arms are
     #                                bounded probe-table broadcasts
+    "corpus_bpe_merge_curve",   # n_merges-row driver literal cross-joined
+    #                             against the ONE-ROW character baseline
+    #                             (probe-table + scalar-broadcast classes)
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
