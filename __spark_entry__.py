@@ -65,9 +65,10 @@ _PRIORITY = (
     "doc_self_repetition_spans",
     "corpus_bpe_merge_curve",
     "corpus_bpe_pack_sequences",
+    "corpus_duplication_by_source",
+    "similarity_ann_ivfpq",
+    "corpus_span_removal_plan",
     # -- round-1 cohort: driver-green only in CORRECTNESS_r01 until now
-    "business_types",
-    "catchphrase_usage",
     "company_employees",
     "count_total",
     "customer_order_gaps",
@@ -84,7 +85,6 @@ _PRIORITY = (
     "q18_large_volume_customers",
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "same_city_diff_company",
     "segment_revenue_salted",
     "suppliers_with_large_lines",
     "top_customers_by_revenue",
@@ -109,8 +109,10 @@ _PRIORITY = (
     "streaming_hourly_counts",
     "streaming_sessionize",
     "streaming_user_stats",
-    # (lang_id / pii_redact / multimodal_resize / sample_rows rotate in
-    #  next round; each holds an r01/r02 driver green + local greens)
+    # (lang_id / pii_redact / multimodal_resize / sample_rows /
+    #  catchphrase_usage / same_city_diff_company rotate in next round —
+    #  each holds an r01/r02 driver green + local greens at HEAD, and each
+    #  dropped key's plan CLASS stays sampled by an in-window sibling)
 )
 
 

@@ -3535,3 +3535,217 @@ def doc_self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_len", "n_windows", "min_repeats")
         .orderBy("doc_id", "span_start")
     )
+
+
+def _dup_by_source_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=SUBSTR_NGRAM - 1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SUBSTR_NGRAM - 1})) AS i
+            FROM t WHERE len(toks) >= {SUBSTR_NGRAM}),
+    g AS (SELECT doc_id, i, {gram} AS h FROM idx),
+    shared AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.i FROM g JOIN shared s ON s.h = g.h),
+    covp AS (SELECT doc_id, unnest(generate_series(i, i + {SUBSTR_NGRAM - 1})) AS p
+             FROM hits),
+    cov AS (SELECT doc_id, COUNT(DISTINCT p) AS covered FROM covp GROUP BY doc_id),
+    base AS (SELECT doc_id, source, len(toks) AS n_tokens
+             FROM t WHERE len(toks) >= {SUBSTR_NGRAM}),
+    per AS (SELECT b.source, b.n_tokens, COALESCE(c.covered, 0) AS dup_tokens
+            FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_dup,
+           CAST(SUM(CASE WHEN 2 * dup_tokens >= n_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_mostly_dup,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(dup_tokens) * 1.0 / SUM(n_tokens), 6) AS dup_token_rate
+    FROM per GROUP BY source ORDER BY source
+    """
+
+
+@_register("corpus_duplication_by_source", oracle=_dup_by_source_oracle())
+def corpus_duplication_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCE is the mirror: the per-source rollup of verbatim
+    duplication — docs touched, docs mostly-duplicated (>= half their
+    token mass recurring elsewhere, the integer form 2*dup >= n so the
+    threshold has no float edge), and the source's duplicated-token rate.
+    The routing table for dedup policy: a crawl source with an outlier
+    rate gets the aggressive span-cut treatment, an original-content
+    source skips it — the exact-substring twin of
+    corpus_dedup_impact_by_source (that one accounts the NEAR-dup ladder,
+    this the verbatim-window layer).
+
+    Scale shape: corpus_doc_duplication_fraction's pipeline (one gram
+    shuffle on hashes, left-semi shared join, hit-bounded coverage)
+    collapsed one level further, to a |sources|-bounded map-side rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= SUBSTR_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    hits = g.join(shared, "h", "left_semi").select("doc_id", "i")
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_NGRAM - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("covered"))
+    )
+    base = t.select("doc_id", "source", F.size("toks").alias("n_tokens"))
+    per = base.join(cov, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("covered", F.lit(0)).alias("dup_tokens"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("dup_tokens") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_dup"),
+            F.sum(
+                F.when(2 * F.col("dup_tokens") >= F.col("n_tokens"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_mostly_dup"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.sum("dup_tokens") * F.lit(1.0) / F.sum("n_tokens"), 6
+            ).alias("dup_token_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _span_removal_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=SUBSTR_NGRAM - 1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SUBSTR_NGRAM - 1})) AS i
+            FROM t WHERE len(toks) >= {SUBSTR_NGRAM}),
+    g AS (SELECT doc_id, i, {gram} AS h FROM idx),
+    shared AS (SELECT h, MIN(doc_id) AS c_doc
+               FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.i, g.doc_id = s.c_doc AS keep
+             FROM g JOIN shared s ON s.h = g.h),
+    covp AS (SELECT doc_id, keep,
+                    unnest(generate_series(i, i + {SUBSTR_NGRAM - 1})) AS p
+             FROM hits),
+    cov AS (SELECT doc_id,
+                   COUNT(DISTINCT CASE WHEN NOT keep THEN p END) AS removable,
+                   COUNT(DISTINCT CASE WHEN keep THEN p END) AS kept
+            FROM covp GROUP BY doc_id),
+    nt AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+    SELECT c.doc_id,
+           CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.removable AS BIGINT) AS removable_tokens,
+           CAST(c.kept AS BIGINT) AS kept_dup_tokens,
+           CAST(n.n_tokens - c.removable AS BIGINT) AS remaining_tokens
+    FROM cov c JOIN nt n ON n.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """
+
+
+@_register("corpus_span_removal_plan", oracle=_span_removal_oracle())
+def corpus_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the exact-substring manifest under the Lee et al. keep-one-
+    copy policy: every shared {SUBSTR_NGRAM}-token window elects the
+    MINIMUM doc_id holding it as its canonical home; hit windows in that
+    doc are KEPT (some copy must survive — deduplication, not deletion),
+    hit windows everywhere else are REMOVABLE. Per touched doc:
+    removable token mass (union of removable windows), kept duplicate
+    mass, and the post-cut size — the byte-accounting a span-removal run
+    reports before committing, and the bridge from
+    corpus_exact_substring_dedup (WHERE the spans are) to an actual
+    smaller corpus. Min-id canon is the ladder-wide survivor rule, so
+    span-level and doc-level dedup elect consistent keepers.
+
+    Scale shape: the manifest pipeline plus ONE extra column — the
+    per-hash canonical doc rides the same map-side-combined groupBy that
+    already counts distinct docs, and keep/remove resolves in the hit
+    join. Coverage unions stay hit-bounded; nothing new shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SUBSTR_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("c_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("h", "c_doc")
+    )
+    hits = g.join(shared, "h").select(
+        "doc_id", "i", (F.col("doc_id") == F.col("c_doc")).alias("keep")
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            "keep",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_NGRAM - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(F.when(~F.col("keep"), F.col("p"))).alias("removable"),
+            F.countDistinct(F.when(F.col("keep"), F.col("p"))).alias("kept"),
+        )
+    )
+    nt = t.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return (
+        cov.join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("removable").cast("bigint").alias("removable_tokens"),
+            F.col("kept").cast("bigint").alias("kept_dup_tokens"),
+            (F.col("n_tokens") - F.col("removable"))
+            .cast("bigint")
+            .alias("remaining_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3306,3 +3306,198 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def _ivfpq_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH icent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    iac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    iranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM iac
+    ),
+    iassign AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
+    iprobes AS (
+      SELECT vec_id AS query_id, centroid_id FROM iranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ),
+    icand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM iprobes p JOIN iassign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    ),
+    cb AS (
+      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, s.sub, cb.k,
+             CAST(ROUND(ROUND(SUM(
+               (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)
+               * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                  - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
+               * 1000000) AS BIGINT) AS dmic
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY e.vec_id, s.sub, cb.k
+    ),
+    best AS (
+      SELECT vec_id, sub, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dmic, k) AS rn
+      FROM d
+    ),
+    codes AS (SELECT vec_id, sub, k FROM best WHERE rn = 1),
+    adc AS (
+      SELECT ic.query_id, ic.neighbor_id, SUM(t.dmic) AS adc_micro
+      FROM icand ic
+      JOIN codes c ON c.vec_id = ic.neighbor_id
+      JOIN d t ON t.vec_id = ic.query_id AND t.sub = c.sub AND t.k = c.k
+      GROUP BY ic.query_id, ic.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_micro, neighbor_id) AS srn
+      FROM adc
+    ),
+    p2 AS (
+      SELECT s.query_id, s.neighbor_id, a.embedding AS qe, b.embedding AS ne
+      FROM short s JOIN embeddings a ON a.vec_id = s.query_id
+                   JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.srn <= {PQ_SHORTLIST}
+    ),
+    ex AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+           FROM p2, generate_series(1, {DIM}) g(i)
+           GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM ex)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+    """
+
+
+@_register("similarity_ann_ivfpq", oracle=_ivfpq_oracle())
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the FAISS IVFPQ serving composition, and the one the two
+    parents exist to feed: IVF probing cuts the CANDIDATE SET to
+    nprobe/NLIST of the corpus (partition pruning at the file level once
+    persisted), PQ-ADC cuts the PER-CANDIDATE COST to {PQ_M} integer
+    nibble lookups (no float vectors read), and the {PQ_SHORTLIST}-row
+    shortlist reranks exactly. similarity_ann_ivf still reads full
+    vectors for every probed candidate; similarity_ann_pq_adc still
+    scores every corpus code; this does neither — the multiplicative
+    saving that serves billion-vector corpora from RAM.
+
+    Shape: candidate generation is the gated inline-IVF plan (map-only
+    Arrow assignment, bounded probe-table broadcast); ADC scoring joins
+    the candidate pairs to their code nibbles and the broadcast
+    per-query lookup tables (|queries| x {PQ_M} x {PQ_K} integer rows),
+    summing exact micro-unit distances — bit-identical boundaries
+    cross-engine; only the shortlist touches float vectors again. The
+    recall scoreboard comparison: run this against ann_ivf (same probes,
+    cheaper scan) — the recall gap IS the quantization cost at the
+    banked IO savings.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # --- IVF candidate generation (similarity_ann_ivf's gated prologue)
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    cent_rows, query_rows = _seed_codebook_and_queries(e)
+    assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
+        "vec_id", "centroid_id"
+    )
+    probes = spark.createDataFrame(
+        _probe_lists(cent_rows, query_rows, IVF_NPROBE) or [],
+        "query_id long, centroid_id long",
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # --- PQ codes + per-query ADC tables (similarity_ann_pq_adc's plan)
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
+    )
+    sq_micro = F.round(
+        F.round(
+            F.expr(
+                f"aggregate(zip_with("
+                f" slice(embedding, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" slice(ce, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+                f"        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        )
+        * 1_000_000
+    ).cast("bigint")
+    subs = e.select(
+        "vec_id", "embedding",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+    )
+    dist = subs.join(F.broadcast(cb)).select(
+        "vec_id", "sub", "k", sq_micro.alias("dmic")
+    )
+    codes = (
+        dist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dmic", "k")).alias("b"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "sub", F.col("b.k").alias("k")
+        )
+    )
+    qtable = dist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "k", "dmic"
+    )
+    # --- ADC restricted to the IVF candidates: the composition point
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qtable), ["query_id", "sub", "k"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dmic").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

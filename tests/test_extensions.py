@@ -2702,3 +2702,61 @@ def test_bpe_pack_sequences_counts_agree_with_encode(spark, tmp_path):
     for r in sorted(packed, key=lambda r: (r.bucket, r.tok_start)):
         assert r.tok_start == by_bucket.get(r.bucket, 0)
         by_bucket[r.bucket] = r.tok_start + r.doc_tokens
+
+
+def test_ann_ivfpq_finds_planted_near_duplicate_and_respects_probes(spark, tmp_path):
+    """IVFPQ must surface a 0.999-cosine copy at rank 1 (it shares the
+    query's inverted list and survives ADC + exact rerank), and its result
+    set must be a subset of the plain-IVF candidate universe — PQ only
+    rescores the probed lists, it can never add candidates."""
+    import random
+
+    rnd = random.Random(13)
+    dim = similarity.DIM
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    q = vec()
+    near = [x + rnd.gauss(0, 0.01) for x in q]
+    rows = [(0, q, 0), (100, near, 0)] + [(i, vec(), 1) for i in range(101, 300)]
+    out = tmp_path / "emb_ivfpq"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+
+    res = similarity.similarity_ann_ivfpq(spark, str(out)).collect()
+    top = {r.query_id: r.neighbor_id for r in res if r.rank == 1}
+    assert top.get(0) == 100
+
+    # never a self-pair (the join must exclude query == neighbor)
+    assert all(r.query_id != r.neighbor_id for r in res)
+    # dominance: plain IVF reranks EVERY probed candidate exactly, IVFPQ
+    # only its ADC shortlist of the same candidates — so at equal rank the
+    # IVF cosine can never be lower
+    ivf = {
+        (r.query_id, r.rank): r.cosine
+        for r in similarity.similarity_ann_ivf(spark, str(out)).collect()
+    }
+    for r in res:
+        assert ivf[(r.query_id, r.rank)] >= r.cosine
+
+
+def test_span_removal_plan_keeps_one_copy(spark, tmp_path):
+    """Under the min-id canon, the lower doc of a planted shared paragraph
+    keeps its copy (removable 0, kept = paragraph mass) and the higher doc
+    marks exactly the paragraph removable; an untouched doc is absent."""
+    shared = " ".join(f"sh{i}" for i in range(20))
+    d1 = " ".join(f"u{i}" for i in range(10)) + " " + shared
+    d2 = shared + " " + " ".join(f"x{i}" for i in range(12))
+    d3 = " ".join(f"nv{i}" for i in range(30))
+    out = tmp_path / "removal"
+    spark.createDataFrame(
+        [(1, d1, "en", "s", 1), (2, d2, "en", "s", 1), (3, d3, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    got = {r.doc_id: r for r in dedup.corpus_span_removal_plan(spark, str(out)).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].removable_tokens, got[1].kept_dup_tokens) == (0, 20)
+    assert (got[2].removable_tokens, got[2].kept_dup_tokens) == (20, 0)
+    assert got[2].remaining_tokens == got[2].n_tokens - 20

@@ -228,6 +228,9 @@ QUADRATIC_BY_DESIGN = {
     "corpus_bpe_merge_curve",   # n_merges-row driver literal cross-joined
     #                             against the ONE-ROW character baseline
     #                             (probe-table + scalar-broadcast classes)
+    "similarity_ann_ivfpq",     # corpus x 16-row PQ codebook broadcast
+    #                             (embedding_pq_codes' class) feeding the
+    #                             IVF-candidate-restricted ADC join
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
