@@ -3297,7 +3297,12 @@ def corpus_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, NOT corpus cardinality — hash-distributed, no driver
     materialization, no broadcast: it is SF-scaled); one hash-keyed join
     marks hit positions; the island window + span rollup ride doc_id at
-    hit cardinality, the smallest set in the pipeline. Window width 8 and
+    hit cardinality, the smallest set in the pipeline. Pass accounting:
+    inline, the gram stream's two consumers (DF rollup, hit join) each
+    re-run the tokenize scan; at 100 TB persist the (doc_id, i, h) int
+    stream once and point the whole family (span manifest, doc fraction,
+    source rollup, removal plan) at the parquet — the duplicate-passages
+    persisted-fingerprint discipline, amortized over FOUR consumers here. Window width 8 and
     the span threshold are module constants (Lee et al. run k=50 at web
     scale; the synthetic corpus' planted dups share 11-93-token spans).
     """
