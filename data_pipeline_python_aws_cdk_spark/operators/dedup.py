@@ -3754,3 +3754,62 @@ def corpus_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def substring_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the window-fingerprint stream: one (doc_id, i, h) row
+    per {SUBSTR_NGRAM}-token window, the shared input of the whole
+    exact-substring family (span manifest, doc fraction, source rollup,
+    removal plan). Build pays the tokenize scan ONCE; every consumer then
+    reads back three ints per window — the write-once/probe-many
+    amortization of the LSH/IVF/BM25 index tier, at ~{SUBSTR_NGRAM}x
+    compression of the token volume it replaces. Written hash-bucketed
+    (repartition on h) so the downstream shared-hash groupBy and hit join
+    start from the partitioning they need.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SUBSTR_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    g.repartition(F.col("h")).write.mode("overwrite").parquet(index_dir)
+
+
+def exact_substring_dedup_indexed(
+    spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """corpus_exact_substring_dedup served from the PERSISTED fingerprint
+    stream: identical span manifest (result-equal gated by test), zero
+    text reads — both gram consumers scan the int parquet. The inline
+    query's 100 TB upgrade path, executable.
+    """
+    g = spark.read.parquet(index_dir)
+    shared = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    hits = g.join(shared, "h").select("doc_id", "i", "n_docs")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = hits.withColumn("isl", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "isl")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") - F.min("i") + SUBSTR_NGRAM).cast("bigint").alias("span_len"),
+            F.count("*").cast("bigint").alias("n_windows"),
+            (F.min("n_docs") - 1).cast("bigint").alias("n_other_docs"),
+        )
+        .filter(F.col("span_len") >= SUBSTR_MIN_SPAN)
+        .select("doc_id", "span_start", "span_len", "n_windows", "n_other_docs")
+        .orderBy("doc_id", "span_start")
+    )

@@ -2760,3 +2760,24 @@ def test_span_removal_plan_keeps_one_copy(spark, tmp_path):
     assert (got[1].removable_tokens, got[1].kept_dup_tokens) == (0, 20)
     assert (got[2].removable_tokens, got[2].kept_dup_tokens) == (20, 0)
     assert got[2].remaining_tokens == got[2].n_tokens - 20
+
+
+def test_substring_index_probe_equals_inline(spark, tmp_path):
+    """The persisted fingerprint stream must reproduce the inline span
+    manifest exactly — the write-once/probe-many path is result-equal."""
+    shared = " ".join(f"sh{i}" for i in range(20))
+    docs = [
+        (1, " ".join(f"u{i}" for i in range(10)) + " " + shared, "en", "s", 1),
+        (2, shared + " " + " ".join(f"x{i}" for i in range(12)), "en", "s", 1),
+        (3, " ".join(f"nv{i}" for i in range(30)), "en", "s", 1),
+    ]
+    out = tmp_path / "sidx_docs"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    idx = str(tmp_path / "substring_index")
+    dedup.substring_index_build(spark, str(out), idx)
+    inline = dedup.corpus_exact_substring_dedup(spark, str(out)).collect()
+    probed = dedup.exact_substring_dedup_indexed(spark, idx).collect()
+    assert {tuple(r) for r in probed} == {tuple(r) for r in inline}
+    assert len(inline) == 2
