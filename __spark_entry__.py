@@ -49,12 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the remaining slots re-verify the float-adjacent ANN/retrieval
 #     family and a sample of every tier (dedup, text/corpus, embedding,
 #     multimodal, TPC-H perf-weak set, events analytics).
-# Round-9 window: the 4 round-9 debuts lead (debut-window rule), then the
-# OLDEST never-re-verified driver rows — the entire round-1 cohort (last
+# Round-9 window: the 13 round-9 debuts lead (debut-window rule), then the
+# OLDEST never-re-verified driver rows — the round-1 cohort (last
 # driver-green in CORRECTNESS_r01) and the round-2-era events/streaming
 # tier — so driver re-verification keeps cycling the whole registry
 # (VERDICT r8 item 5).  Every key outside this window holds a driver-green
-# row from r01-r08 plus the local 247/247 differential at HEAD.
+# row from r01-r08 plus the local full-registry differential at HEAD
+# (sf0.01, hostile, SPARK_GRAFT_SHUFFLE=7, sf0.1, vanilla foreign-cwd).
 _PRIORITY = (
     # -- NEW round-9 debuts: must be driver-evaluated in their debut window
     "corpus_exact_substring_dedup",
@@ -68,8 +69,9 @@ _PRIORITY = (
     "corpus_duplication_by_source",
     "similarity_ann_ivfpq",
     "corpus_span_removal_plan",
+    "corpus_source_js_divergence",
+    "events_cusum_changepoint",
     # -- round-1 cohort: driver-green only in CORRECTNESS_r01 until now
-    "company_employees",
     "count_total",
     "customer_order_gaps",
     "customer_spend_quartiles",
@@ -90,7 +92,6 @@ _PRIORITY = (
     "top_customers_by_revenue",
     "top_segments",
     "unique_locations",
-    "user_profiles",
     "users_by_city",
     "users_with_websites",
     "window_running_revenue",
@@ -110,7 +111,8 @@ _PRIORITY = (
     "streaming_sessionize",
     "streaming_user_stats",
     # (lang_id / pii_redact / multimodal_resize / sample_rows /
-    #  catchphrase_usage / same_city_diff_company rotate in next round —
+    #  catchphrase_usage / same_city_diff_company / company_employees /
+    #  user_profiles rotate in next round —
     #  each holds an r01/r02 driver green + local greens at HEAD, and each
     #  dropped key's plan CLASS stays sampled by an in-window sibling)
 )

@@ -5250,3 +5250,83 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@_register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT day, n_events,
+             ROW_NUMBER() OVER (ORDER BY day) AS idx,
+             SUM(n_events) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER () AS d,
+             SUM(n_events) OVER () AS t
+      FROM daily
+    ),
+    c AS (
+      SELECT day, CAST(n_events AS BIGINT) AS n_events,
+             CAST(d * cum - idx * t AS BIGINT) AS cusum_scaled
+      FROM s
+    )
+    SELECT day, n_events, cusum_scaled,
+           abs(cusum_scaled) = MAX(abs(cusum_scaled)) OVER ()
+             AS is_changepoint
+    FROM c ORDER BY day
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on the daily event series (Page's
+    cumulative-sum statistic — public method): per day, the cumulative
+    deviation from the series mean; the |maximum| marks the most likely
+    changepoint (a deploy, a tracking change, a bot wave turning on).
+    Complements events_seasonal_residual_outliers: z-scored residuals
+    flag SINGLE bad days, the CUSUM peak finds WHERE THE LEVEL MOVED —
+    a step change yields mild residuals every day but a sharp CUSUM
+    elbow.
+
+    Integer discipline: the textbook statistic sum(n_i - mean) is
+    fractional; scaling by the day count D gives
+    S_d = D*cumsum(n) - d*T — exact int64 throughout, so the argmax
+    boundary cannot float-flip cross-engine (the chi-square/Benford
+    convention applied to a time series).
+
+    Shape: the corpus collapses to |days| rows in one map-side-combined
+    rollup; every window (rank, running sum, global D/T/max) runs on
+    that bounded series — the seasonal-decompose discipline, no one-row
+    cross join needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w_ord = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    s = daily.select(
+        "day",
+        "n_events",
+        F.row_number().over(w_ord).alias("idx"),
+        F.sum("n_events").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count("*").over(w_all).alias("d"),
+        F.sum("n_events").over(w_all).alias("t"),
+    )
+    c = s.select(
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("d") * F.col("cum") - F.col("idx") * F.col("t"))
+        .cast("bigint")
+        .alias("cusum_scaled"),
+    )
+    return c.select(
+        "day",
+        "n_events",
+        "cusum_scaled",
+        (
+            F.abs("cusum_scaled")
+            == F.max(F.abs("cusum_scaled")).over(Window.partitionBy())
+        ).alias("is_changepoint"),
+    ).orderBy("day")

@@ -4588,3 +4588,111 @@ def corpus_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_tokens") > 0)
     )
     return _pack_offsets(toks).orderBy("bucket", "tok_start", "doc_id")
+
+
+def _js_divergence_oracle() -> str:
+    b = FEAT_BUCKETS
+    return f"""
+    WITH w AS (
+      SELECT source, {hash60_sql('word')} % {b} AS bucket
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+            FROM documents) t
+      WHERE word <> ''
+    ),
+    sb AS (SELECT source, bucket, COUNT(*) AS cnt_s FROM w GROUP BY 1, 2),
+    st AS (SELECT source, SUM(cnt_s) AS t_s FROM sb GROUP BY source),
+    cb AS (SELECT bucket, COUNT(*) AS cnt_c FROM w GROUP BY bucket),
+    tot AS (SELECT COUNT(*) AS t_c FROM w),
+    grid AS (SELECT s.source, g.bkt AS bucket
+             FROM (SELECT DISTINCT source FROM w) s,
+                  (SELECT unnest(generate_series(0, {b - 1})) AS bkt) g),
+    terms AS (
+      SELECT grid.source,
+             CAST(ROUND((
+               0.5 * ((COALESCE(sb.cnt_s, 0) + 1.0) / (st.t_s + {b}))
+                   * ln(((COALESCE(sb.cnt_s, 0) + 1.0) / (st.t_s + {b}))
+                        / ((((COALESCE(sb.cnt_s, 0) + 1.0) / (st.t_s + {b}))
+                            + ((COALESCE(cb.cnt_c, 0) + 1.0) / (tot.t_c + {b})))
+                           / 2))
+               + 0.5 * ((COALESCE(cb.cnt_c, 0) + 1.0) / (tot.t_c + {b}))
+                     * ln(((COALESCE(cb.cnt_c, 0) + 1.0) / (tot.t_c + {b}))
+                          / ((((COALESCE(sb.cnt_s, 0) + 1.0) / (st.t_s + {b}))
+                              + ((COALESCE(cb.cnt_c, 0) + 1.0) / (tot.t_c + {b})))
+                             / 2))
+             ) * 1000000000) AS BIGINT) AS term_nano
+      FROM grid
+      LEFT JOIN sb ON sb.source = grid.source AND sb.bucket = grid.bucket
+      LEFT JOIN cb ON cb.bucket = grid.bucket
+      JOIN st ON st.source = grid.source
+      CROSS JOIN tot
+    )
+    SELECT t.source,
+           CAST(st.t_s AS BIGINT) AS n_tokens,
+           CAST(SUM(t.term_nano) AS BIGINT) AS js_nano
+    FROM terms t JOIN st ON st.source = t.source
+    GROUP BY t.source, st.t_s
+    ORDER BY t.source
+    """
+
+
+@_register("corpus_source_js_divergence", oracle=_js_divergence_oracle())
+def corpus_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain shift per source: Jensen-Shannon divergence between each
+    source's hashed-unigram distribution and the whole corpus — the
+    symmetric, bounded (<= ln 2) drift table that ranks sources by HOW
+    DIFFERENT their language is, feeding mixture planning (a high-JS
+    source is a distinct domain to up/down-weight deliberately) and crawl
+    drift alarms (a source whose JS moves between snapshots changed
+    content, not just volume). DSIR's log-ratio weights answer "is this
+    doc target-like"; JS answers "how far is this SOURCE from the mix".
+
+    Same feature discipline as DSIR (Xie et al. arXiv:2302.03169's
+    hashed buckets): {FEAT_BUCKETS} buckets bound the distribution
+    regardless of vocabulary, Laplace (+1, +B) smoothing keeps every term
+    finite, and each per-bucket JS term is ONE double expression over
+    identical integer inputs in both engines, quantized to integer
+    NANO-units (terms are O(1e-6); micro would truncate the signal) —
+    per-source sums are then exact int64.
+
+    Shape: one exploded token pass -> (source, bucket) and (bucket)
+    map-side-combined rollups; the term table is the BOUNDED
+    |sources| x {FEAT_BUCKETS} grid (built by cross join of two tiny
+    sets, never corpus-scale); the final rollup is |sources| rows.
+    """
+    b = FEAT_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select("source", F.explode(lower_ws_tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .select("source", (hash60("word") % b).alias("bucket"))
+    )
+    sb = w.groupBy("source", "bucket").agg(F.count("*").alias("cnt_s"))
+    st = sb.groupBy("source").agg(F.sum("cnt_s").alias("t_s"))
+    cb = w.groupBy("bucket").agg(F.count("*").alias("cnt_c"))
+    tot = w.agg(F.count("*").alias("t_c"))
+    buckets = spark.range(b).select(F.col("id").cast("bigint").alias("bucket"))
+    grid = sb.select("source").distinct().crossJoin(F.broadcast(buckets))
+    p = (F.coalesce("cnt_s", F.lit(0)) + 1.0) / (F.col("t_s") + b)
+    q = (F.coalesce("cnt_c", F.lit(0)) + 1.0) / (F.col("t_c") + b)
+    m = (p + q) / 2
+    term_nano = F.round(
+        (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)) * 1_000_000_000
+    ).cast("bigint")
+    terms = (
+        grid.join(sb, ["source", "bucket"], "left")
+        .join(F.broadcast(cb), "bucket", "left")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "t_s", term_nano.alias("term_nano"))
+    )
+    return (
+        terms.groupBy("source", "t_s")
+        .agg(F.sum("term_nano").cast("bigint").alias("js_nano"))
+        .select(
+            "source",
+            F.col("t_s").cast("bigint").alias("n_tokens"),
+            "js_nano",
+        )
+        .orderBy("source")
+    )

@@ -2781,3 +2781,64 @@ def test_substring_index_probe_equals_inline(spark, tmp_path):
     probed = dedup.exact_substring_dedup_indexed(spark, idx).collect()
     assert {tuple(r) for r in probed} == {tuple(r) for r in inline}
     assert len(inline) == 2
+
+
+def test_js_divergence_zero_for_single_source_and_ranks_disjoint_higher(spark, tmp_path):
+    """With one source, P == Q bucket-for-bucket so JS is EXACTLY zero;
+    with two sources, a disjoint-vocabulary source must out-diverge one
+    that shares the corpus vocabulary, and both stay within [0, ln 2]."""
+    import math
+
+    one = tmp_path / "js_one"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma alpha", "en", "s0", 1),
+         (2, "beta gamma alpha beta", "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{one}/documents.parquet")
+    rows = text.corpus_source_js_divergence(spark, str(one)).collect()
+    assert [(r.source, r.js_nano) for r in rows] == [("s0", 0)]
+
+    two = tmp_path / "js_two"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 5, "en", "shared", 1),
+         (2, "alpha beta gamma delta epsilon " * 5, "en", "shared", 1),
+         (3, "zulu yankee xray whiskey " * 5, "en", "disjoint", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{two}/documents.parquet")
+    by_src = {
+        r.source: r.js_nano
+        for r in text.corpus_source_js_divergence(spark, str(two)).collect()
+    }
+    assert set(by_src) == {"shared", "disjoint"}
+    ln2_nano = math.log(2) * 1e9
+    assert 0 < by_src["shared"] < by_src["disjoint"] <= ln2_nano
+
+
+def test_cusum_changepoint_finds_planted_level_shift(spark, tmp_path):
+    """10 days at 10 events/day then 10 days at 30/day: the scaled CUSUM
+    is exactly 200d-400d on the left and 200d-4000 on the right, so the
+    |max| lands exactly on the last pre-shift day."""
+    import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics as analyticsmod
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        for k in range(10 if d < 10 else 30):
+            eid += 1
+            rows.append((eid, day, eid % 7, "click", 1.0, "{}"))
+    out = tmp_path / "cusum"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{out}/events.parquet")
+    res = analyticsmod.events_cusum_changepoint(spark, str(out)).collect()
+    assert len(res) == 20
+    flagged = [r for r in res if r.is_changepoint]
+    assert len(flagged) == 1
+    assert flagged[0].day == datetime.date(2024, 1, 10)
+    assert flagged[0].cusum_scaled == -2000
+    assert res[-1].cusum_scaled == 0  # CUSUM always closes at zero

@@ -231,6 +231,9 @@ QUADRATIC_BY_DESIGN = {
     "similarity_ann_ivfpq",     # corpus x 16-row PQ codebook broadcast
     #                             (embedding_pq_codes' class) feeding the
     #                             IVF-candidate-restricted ADC join
+    "corpus_source_js_divergence",  # BOUNDED |sources| x 512-bucket grid
+    #                             (two tiny sets cross-joined) + the
+    #                             ONE-ROW token grand total
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
