@@ -5330,3 +5330,75 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max(F.abs("cusum_scaled")).over(Window.partitionBy())
         ).alias("is_changepoint"),
     ).orderBy("day")
+
+
+MAD_K = 3.0  # flag |deviation| > MAD_K * 1.4826 * MAD (the robust 3-sigma)
+
+
+@_register(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT MEDIAN(n_events) AS med FROM daily),
+    dev AS (SELECT day, n_events, n_events - med AS deviation
+            FROM daily CROSS JOIN med),
+    mad AS (SELECT MEDIAN(ABS(deviation)) AS mad FROM dev)
+    SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           deviation,
+           ROUND(deviation / NULLIF(1.4826 * mad, 0), 6) AS robust_z,
+           ABS(deviation) > {MAD_K} * 1.4826 * mad AS is_outlier
+    FROM dev CROSS JOIN mad
+    ORDER BY day
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume outliers via median absolute deviation — the
+    estimator that does NOT move when the outlier it hunts lands in the
+    sample (mean/std z-scores inflate their own threshold; median/MAD
+    have a 50% breakdown point). The ops-monitoring twin of
+    events_seasonal_residual_outliers: that one models seasonality first
+    and z-scores what remains; this one is model-free and robust — run
+    both, and a day flagged by only one tells you whether the anomaly is
+    a level excursion or a seasonality break.
+
+    Cross-engine float discipline: medians of integer counts interpolate
+    to half-grain values (exact in binary); deviation and |deviation| are
+    exact; the single 1.4826 consistency-constant product is the same
+    double expression over identical operands in both engines, so the
+    flag boundary cannot drift. try_divide/NULLIF(.,0) agree on the
+    all-days-identical corpus (MAD = 0 -> NULL z, no flags).
+
+    Shape: one map-side-combined rollup to |days| rows; both medians are
+    one-row aggregates of that bounded series, cross-joined back (the
+    dedup_family_compare scalar class).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    med = daily.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("n_events") - F.col("med")).alias("deviation"),
+    )
+    mad = dev.agg(F.expr("percentile(abs(deviation), 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            "deviation",
+            F.round(
+                F.try_divide(
+                    F.col("deviation"), F.nullif(1.4826 * F.col("mad"), F.lit(0.0))
+                ),
+                6,
+            ).alias("robust_z"),
+            (F.abs("deviation") > MAD_K * 1.4826 * F.col("mad")).alias("is_outlier"),
+        )
+        .orderBy("day")
+    )

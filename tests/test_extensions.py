@@ -2842,3 +2842,40 @@ def test_cusum_changepoint_finds_planted_level_shift(spark, tmp_path):
     assert flagged[0].day == datetime.date(2024, 1, 10)
     assert flagged[0].cusum_scaled == -2000
     assert res[-1].cusum_scaled == 0  # CUSUM always closes at zero
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark, tmp_path):
+    """A single 10x day among stable days must be the ONLY flag, with the
+    median/MAD threshold unmoved by the spike (the breakdown property a
+    mean/std z-score lacks); an all-identical series must flag nothing
+    and yield NULL robust_z (MAD = 0)."""
+    import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import analytics as am
+
+    def mk(counts, name):
+        rows, eid = [], 0
+        for d, n in enumerate(counts):
+            day = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d)
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, day, eid % 5, "view", 1.0, "{}"))
+        out = tmp_path / name
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{out}/events.parquet")
+        return str(out)
+
+    spiky = mk([10, 11, 10, 12, 10, 11, 100, 10, 11, 10], "mad_spiky")
+    res = am.events_mad_outliers(spark, spiky).collect()
+    flagged = [r for r in res if r.is_outlier]
+    assert len(flagged) == 1 and flagged[0].n_events == 100
+    # median of the 10 days is 10.5, untouched by the spike
+    assert flagged[0].deviation == 89.5
+
+    flat = mk([7] * 6, "mad_flat")
+    res2 = am.events_mad_outliers(spark, flat).collect()
+    assert all(not r.is_outlier for r in res2)
+    assert all(r.robust_z is None for r in res2)

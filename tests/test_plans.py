@@ -234,6 +234,9 @@ QUADRATIC_BY_DESIGN = {
     "corpus_source_js_divergence",  # BOUNDED |sources| x 512-bucket grid
     #                             (two tiny sets cross-joined) + the
     #                             ONE-ROW token grand total
+    "events_mad_outliers",      # two ONE-ROW median/MAD scalars cross-
+    #                             joined back onto the |days| series
+    #                             (dedup_family_compare's class)
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
