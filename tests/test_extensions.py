@@ -2879,3 +2879,98 @@ def test_mad_outliers_robust_to_the_outlier_itself(spark, tmp_path):
     res2 = am.events_mad_outliers(spark, flat).collect()
     assert all(not r.is_outlier for r in res2)
     assert all(r.robust_z is None for r in res2)
+
+
+def _reference_substring_spans(docs, ngram, min_span):
+    """Pure-Python exact-substring manifest: shared windows -> maximal runs."""
+    grams = {}
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    for d, ts in toks.items():
+        for i in range(len(ts) - ngram + 1):
+            grams.setdefault(" ".join(ts[i:i + ngram]), set()).add(d)
+    spans = []
+    for d, ts in toks.items():
+        hits = [
+            (i + 1, len(grams[" ".join(ts[i:i + ngram])]))
+            for i in range(len(ts) - ngram + 1)
+            if len(grams[" ".join(ts[i:i + ngram])]) >= 2
+        ]
+        run = []
+        for pos, ndocs in hits:
+            if run and pos == run[-1][0] + 1:
+                run.append((pos, ndocs))
+            else:
+                if run:
+                    spans.append((d, run))
+                run = [(pos, ndocs)]
+        if run:
+            spans.append((d, run))
+    out = []
+    for d, run in spans:
+        start, end = run[0][0], run[-1][0]
+        span_len = end - start + ngram
+        if span_len >= min_span:
+            out.append((d, start, span_len, len(run), min(n for _, n in run) - 1))
+    return sorted(out)
+
+
+def test_exact_substring_property_random_corpora(spark, tmp_path):
+    """Property: on randomized small corpora the distributed span manifest
+    agrees row-for-row with a pure-Python reference (shared-window
+    detection, island merging, min-sharing bound)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        SUBSTR_MIN_SPAN,
+        SUBSTR_NGRAM,
+    )
+
+    word = st.sampled_from(["a", "b", "c", "d", "e"])
+    doc = st.lists(word, min_size=4, max_size=30).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=5)
+    case = [0]
+
+    @given(texts=corpus)
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(texts):
+        case[0] += 1
+        out = tmp_path / f"substr_prop_{case[0]}"
+        docs = {i + 1: t for i, t in enumerate(texts)}
+        spark.createDataFrame(
+            [(d, t, "en", "s", 1) for d, t in docs.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{out}/documents.parquet")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_len, r.n_windows, r.n_other_docs)
+            for r in dedup.corpus_exact_substring_dedup(spark, str(out)).collect()
+        )
+        assert got == _reference_substring_spans(docs, SUBSTR_NGRAM, SUBSTR_MIN_SPAN)
+
+    check()
+
+
+def test_bpe_encode_ids_roundtrip_reconstructs_words(spark, tmp_path):
+    """Invariant: concatenating each word's encoded symbols reproduces the
+    word exactly — BPE merges re-segment, they never alter characters."""
+    docs = [
+        (1, "low lower lowest newest new wide", "en", "s", 1),
+        (2, "newer low wide wider lowest", "en", "s", 1),
+    ]
+    out = tmp_path / "bpe_rt"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        _bpe_train_states,
+        _bpe_vocab,
+    )
+
+    _, state = _bpe_train_states(spark, str(out), 5)
+    sym_of = {r.sym: r.token_id for r in _bpe_vocab(state).collect()}
+    id_to_sym = {v: k for k, v in sym_of.items()}
+    enc = text.bpe_encode_ids(spark, str(out), n_merges=5).collect()
+    originals = {d: t.split() for d, t, *_ in docs}
+    for r in enc:
+        decoded = "".join(id_to_sym[t] for t in r.token_ids)
+        assert decoded == "".join(originals[r.doc_id])
