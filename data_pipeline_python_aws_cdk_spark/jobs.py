@@ -264,6 +264,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_surv.add_argument("--output", default=None, help="optional parquet destination")
 
+    p_sdd = sub.add_parser(
+        "substring-dedup",
+        help="exact-substring pipeline: fingerprint index + span manifest"
+        " + keep-one-copy removal plan",
+    )
+    p_sdd.add_argument("--sf-dir", required=True, help="testdata directory")
+    p_sdd.add_argument("--output", required=True, help="destination root dir")
+
     args = parser.parse_args(argv)
     spark = get_spark(f"job-{args.cmd}")
 
@@ -753,6 +761,43 @@ def main(argv: list[str] | None = None) -> int:
                     "touches": sum(r.touches for r in rows),
                     "linear_credit_micro": sum(r.linear_credit_micro for r in rows),
                     "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "substring-dedup":
+        import pyspark.sql.functions as F
+
+        from .operators.dedup import (
+            corpus_exact_substring_dedup,
+            corpus_span_removal_plan,
+            substring_index_build,
+        )
+
+        root = args.output.rstrip("/")
+        substring_index_build(spark, args.sf_dir, f"{root}/fingerprints")
+        spans = corpus_exact_substring_dedup(spark, args.sf_dir)
+        spans.write.mode("overwrite").parquet(f"{root}/spans")
+        plan = corpus_span_removal_plan(spark, args.sf_dir)
+        plan.write.mode("overwrite").parquet(f"{root}/removal_plan")
+        pstats = spark.read.parquet(f"{root}/removal_plan").agg(
+            F.count("*").alias("docs_touched"),
+            F.sum("removable_tokens").alias("removable_tokens"),
+            F.sum("n_tokens").alias("tokens_in_touched_docs"),
+        ).collect()[0]
+        n_spans = spark.read.parquet(f"{root}/spans").count()
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "spans": int(n_spans),
+                    "docs_touched": int(pstats.docs_touched or 0),
+                    "removable_tokens": int(pstats.removable_tokens or 0),
+                    "tokens_in_touched_docs": int(
+                        pstats.tokens_in_touched_docs or 0
+                    ),
+                    "output": root,
                 }
             )
         )

@@ -778,3 +778,28 @@ def test_cli_bpe_encode_writes_id_sequences(spark, tmp_path, capsys):
         assert len(r.token_ids) == r.n_bpe_tokens > 0
         assert all(t >= 1 for t in r.token_ids)
     assert st["tokens"] == sum(r.n_bpe_tokens for r in rows.values())
+
+
+def test_cli_substring_dedup_pipeline(spark, tmp_path, capsys):
+    shared = " ".join(f"sh{i}" for i in range(20))
+    docs = tmp_path / "sdd_corpus"
+    spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(10)) + " " + shared, "en", "s", 1),
+         (2, shared + " " + " ".join(f"x{i}" for i in range(12)), "en", "s", 1),
+         (3, " ".join(f"nv{i}" for i in range(30)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{docs}/documents.parquet")
+
+    out = str(tmp_path / "sdd_out")
+    rc = jobs.main(["substring-dedup", "--sf-dir", str(docs), "--output", out])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["statusCode"] == 200
+    assert st["spans"] == 2 and st["docs_touched"] == 2
+    # only the non-canonical copy's paragraph is removable
+    assert st["removable_tokens"] == 20
+
+    # all three artifacts readable; removal plan consistent with the summary
+    assert spark.read.parquet(f"{out}/fingerprints").count() > 0
+    assert spark.read.parquet(f"{out}/spans").count() == 2
+    plan = {r.doc_id: r for r in spark.read.parquet(f"{out}/removal_plan").collect()}
+    assert plan[1].removable_tokens == 0 and plan[2].removable_tokens == 20
