@@ -770,14 +770,17 @@ def main(argv: list[str] | None = None) -> int:
         import pyspark.sql.functions as F
 
         from .operators.dedup import (
-            corpus_exact_substring_dedup,
             corpus_span_removal_plan,
+            exact_substring_dedup_indexed,
             substring_index_build,
         )
 
         root = args.output.rstrip("/")
         substring_index_build(spark, args.sf_dir, f"{root}/fingerprints")
-        spans = corpus_exact_substring_dedup(spark, args.sf_dir)
+        # span manifest served FROM the index just built (result-equal to
+        # the inline query by test) — the tokenize scan runs once, in the
+        # index build; the manifest reads ints.
+        spans = exact_substring_dedup_indexed(spark, f"{root}/fingerprints")
         spans.write.mode("overwrite").parquet(f"{root}/spans")
         plan = corpus_span_removal_plan(spark, args.sf_dir)
         plan.write.mode("overwrite").parquet(f"{root}/removal_plan")
