@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the remaining slots re-verify the float-adjacent ANN/retrieval
 #     family and a sample of every tier (dedup, text/corpus, embedding,
 #     multimodal, TPC-H perf-weak set, events analytics).
-# Round-9 window: the 14 round-9 debuts lead (debut-window rule), then the
+# Round-9 window: the 16 round-9 debuts lead (debut-window rule), then the
 # OLDEST never-re-verified driver rows — the round-1 cohort (last
 # driver-green in CORRECTNESS_r01) and the round-2-era events/streaming
 # tier — so driver re-verification keeps cycling the whole registry
@@ -72,6 +72,8 @@ _PRIORITY = (
     "corpus_source_js_divergence",
     "events_cusum_changepoint",
     "events_mad_outliers",
+    "dedup_winnowing",
+    "retrieval_ndcg_report",
     # -- round-1 cohort: driver-green only in CORRECTNESS_r01 until now
     "count_total",
     "customer_order_gaps",
@@ -84,7 +86,6 @@ _PRIORITY = (
     "partition_filter",
     "phone_patterns",
     "q14_promo_revenue",
-    "q16_parts_supplier_counts",
     "q18_large_volume_customers",
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -93,7 +94,6 @@ _PRIORITY = (
     "top_customers_by_revenue",
     "unique_locations",
     "users_by_city",
-    "users_with_websites",
     "window_running_revenue",
     # -- round-2-era events/streaming tier (the class VERDICT r8 named)
     "events_asof_purchase",
@@ -112,7 +112,8 @@ _PRIORITY = (
     "streaming_user_stats",
     # (lang_id / pii_redact / multimodal_resize / sample_rows /
     #  catchphrase_usage / same_city_diff_company / company_employees /
-    #  user_profiles / top_segments rotate in next round —
+    #  user_profiles / top_segments / q16_parts_supplier_counts /
+    #  users_with_websites rotate in next round —
     #  each holds an r01/r02 driver green + local greens at HEAD, and each
     #  dropped key's plan CLASS stays sampled by an in-window sibling)
 )

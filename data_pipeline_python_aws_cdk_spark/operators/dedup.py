@@ -3813,3 +3813,102 @@ def exact_substring_dedup_indexed(
         .select("doc_id", "span_start", "span_len", "n_windows", "n_other_docs")
         .orderBy("doc_id", "span_start")
     )
+
+
+# --- winnowing fingerprint selection (round 9) ------------------------------
+
+WINNOW_K = 4  # k-gram width (tokens)
+WINNOW_W = 4  # winnow window (hashes)
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
+
+def _winnowing_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=WINNOW_K - 1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS i
+            FROM t WHERE len(toks) >= {WINNOW_K}),
+    g AS (SELECT doc_id, i, {gram} AS h FROM idx),
+    sel AS (
+      SELECT doc_id, i, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                   AND {WINNOW_W - 1} FOLLOWING) AS wmin
+      FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE h = wmin)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS common_fingerprints
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("dedup_winnowing", oracle=_winnowing_oracle())
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint pair discovery (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03 "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS scheme; public method): sample each doc's
+    {WINNOW_K}-gram hash stream down to its window-local minima and join
+    ONLY the samples — the third fingerprint-selection discipline in the
+    family, between CDC boundary sampling (doc_rolling_fingerprint:
+    expected-size chunks, no guarantee) and exhaustive shingles
+    (dedup_ngram_jaccard: lossless, heaviest). Selection here is the
+    symmetric-window local-min variant: position i survives iff h_i
+    equals the min over the centered 2W-1 window — chosen over the
+    classic per-window-rightmost rule because it needs NO tie-break (all
+    positions achieving the min are kept, identically in both engines),
+    while keeping the guarantee that any sufficiently long shared run
+    (>= 2W-1 consecutive equal-hash positions) contributes at least one
+    common selected fingerprint to BOTH documents. Pairs sharing >=
+    {WINNOW_MIN_SHARED} fingerprints are candidates for the exact
+    verification tiers (Jaccard / span manifest).
+
+    Scale shape: selection is ONE bounded-frame window pass riding the
+    per-doc ordering (no cross-doc key until after sampling); the
+    inverted-index self-join then runs on the WINNOWED stream — ~2/(W+1)
+    of the shingle volume, the whole point of the scheme — and the usual
+    skew guard applies (cap fingerprint DF before the self-join at
+    production scale, the minhash header's discipline). Exchanges carry
+    (doc_id, hash) ints only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= WINNOW_K
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
+        f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), WINNOW_W - 1)
+    )
+    fp = (
+        g.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("common_fingerprints"))
+        .filter(F.col("common_fingerprints") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -4696,3 +4696,109 @@ def corpus_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+NDCG_SCALE = 1_000_000  # micro-unit discounted gains: exact int64 sums
+
+
+def _ndcg_oracle() -> str:
+    from .similarity import ORACLES as SIM_ORACLES
+
+    g = BM25_TOP_K + 1
+    return f"""
+    WITH lex AS ({_bm25_oracle()}),
+    sem AS ({SIM_ORACLES["similarity_topk"]}),
+    j AS (
+      SELECT l.query_id, l.rank AS lr, s.rank AS sr
+      FROM lex l LEFT JOIN sem s
+        ON s.query_id = l.query_id AND s.neighbor_id = l.neighbor_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN sr IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS overlap,
+             CAST(SUM(COALESCE(
+               CAST(ROUND({NDCG_SCALE} * ({g} - sr) / log2(lr + 1))
+                    AS BIGINT), 0)) AS BIGINT) AS dcg_micro
+      FROM j GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT CAST(SUM(CAST(ROUND({NDCG_SCALE} * ({g} - r) / log2(r + 1))
+                           AS BIGINT)) AS BIGINT) AS idcg_micro
+      FROM generate_series(1, {BM25_TOP_K}) t(r)
+    )
+    SELECT query_id, overlap, dcg_micro, idcg_micro,
+           ROUND(dcg_micro * 1.0 / idcg_micro, 6) AS ndcg
+    FROM dcg CROSS JOIN ideal
+    ORDER BY query_id
+    """
+
+
+@_register("retrieval_ndcg_report", oracle=_ndcg_oracle())
+def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system rank agreement as nDCG: score each query's BM25
+    ranking against GRADED relevance derived from the semantic top-10
+    (gain {BM25_TOP_K}+1-minus-semantic-rank, so the embedding system's
+    first pick is worth 10 and its tenth is worth 1), discounted by
+    1/log2(rank+1) — the standard nDCG the hybrid tier needs BEFORE
+    choosing fusion weights: near-1 queries are ones where lexical alone
+    suffices (fusion adds little), near-0 queries are where the two
+    systems disagree and RRF earns its keep. Read with
+    retrieval_hybrid_rrf's in_lexical/in_semantic flags: this quantifies
+    per-query what those flags show per-neighbor.
+
+    Float discipline: every discounted gain is ONE double expression over
+    exact integers (gain/log2(rank+1)) quantized to micro-units before
+    the int64 sum; the ideal normalizer is the same formula over ranks
+    1..{BM25_TOP_K} — a constant computed identically in both engines,
+    not hardcoded. Shape: both inputs are the bounded top-k tables; the
+    join, rollup, and output are query-set-sized.
+    """
+    from .similarity import similarity_topk
+
+    g = BM25_TOP_K + 1
+    lex = text_bm25_retrieval(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lr")
+    )
+    sem = similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("sr")
+    )
+    j = lex.join(sem, ["query_id", "neighbor_id"], "left")
+    term = F.coalesce(
+        F.round(
+            F.lit(NDCG_SCALE) * (F.lit(g) - F.col("sr")) / F.log2(F.col("lr") + 1)
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    dcg = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("sr").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("overlap"),
+        F.sum(term).cast("bigint").alias("dcg_micro"),
+    )
+    ideal = (
+        spark.range(1, BM25_TOP_K + 1)
+        .select(
+            F.round(
+                F.lit(NDCG_SCALE)
+                * (F.lit(g) - F.col("id"))
+                / F.log2(F.col("id") + 1)
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("idcg_micro"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            "query_id",
+            "overlap",
+            "dcg_micro",
+            "idcg_micro",
+            F.round(F.col("dcg_micro") * F.lit(1.0) / F.col("idcg_micro"), 6).alias(
+                "ndcg"
+            ),
+        )
+        .orderBy("query_id")
+    )

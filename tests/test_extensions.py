@@ -2974,3 +2974,59 @@ def test_bpe_encode_ids_roundtrip_reconstructs_words(spark, tmp_path):
     for r in enc:
         decoded = "".join(id_to_sym[t] for t in r.token_ids)
         assert decoded == "".join(originals[r.doc_id])
+
+
+def test_winnowing_finds_planted_pair_and_samples_subset(spark, tmp_path):
+    """A shared 20-token paragraph must surface the pair with multiple
+    common fingerprints; an unrelated doc must pair with nobody; and every
+    selected fingerprint is by construction one of the doc's own 4-gram
+    hashes (sampling, never synthesis)."""
+    shared = " ".join(f"sh{i}" for i in range(20))
+    out = tmp_path / "winnow"
+    spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(8)) + " " + shared, "en", "s", 1),
+         (2, shared + " " + " ".join(f"x{i}" for i in range(9)), "en", "s", 1),
+         (3, " ".join(f"nv{i}" for i in range(25)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    pairs = dedup.dedup_winnowing(spark, str(out)).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].common_fingerprints >= 2
+
+
+def test_ndcg_report_matches_pure_python_recompute(spark):
+    """The nDCG table must equal a pure-Python recomputation from the two
+    component rankings (same graded gains, same micro quantization)."""
+    import math
+
+    from data_pipeline_python_aws_cdk_spark.operators.text import (
+        BM25_TOP_K,
+        NDCG_SCALE,
+        retrieval_ndcg_report,
+        text_bm25_retrieval,
+    )
+
+    lex = text_bm25_retrieval(spark, SF_SMOKE).collect()
+    sem = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in similarity.similarity_topk(spark, SF_SMOKE).collect()
+    }
+    g = BM25_TOP_K + 1
+    exp = {}
+    for r in lex:
+        sr = sem.get((r.query_id, r.neighbor_id))
+        d, o = exp.get(r.query_id, (0, 0))
+        if sr is not None:
+            d += round(NDCG_SCALE * (g - sr) / math.log2(r.rank + 1))
+            o += 1
+        exp[r.query_id] = (d, o)
+    idcg = sum(
+        round(NDCG_SCALE * (g - r) / math.log2(r + 1))
+        for r in range(1, BM25_TOP_K + 1)
+    )
+    got = {r.query_id: r for r in retrieval_ndcg_report(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for qid, (d, o) in exp.items():
+        assert (got[qid].dcg_micro, got[qid].overlap) == (d, o)
+        assert got[qid].idcg_micro == idcg
+        assert 0.0 <= got[qid].ndcg <= 1.0

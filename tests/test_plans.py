@@ -237,6 +237,9 @@ QUADRATIC_BY_DESIGN = {
     "events_mad_outliers",      # two ONE-ROW median/MAD scalars cross-
     #                             joined back onto the |days| series
     #                             (dedup_family_compare's class)
+    "retrieval_ndcg_report",    # composes bm25's ONE-ROW corpus stats +
+    #                             the ONE-ROW ideal-DCG normalizer
+    #                             (text_lm_score's scalar class)
     "events_forecast_backtest",   # cross joins against the ONE-ROW train/eval cut
     "corpus_token_budget_curve",  # inherits text_lm_score's ONE-ROW total join
     "orders_basket_lift",         # cross join against the ONE-ROW order total
