@@ -3912,3 +3912,73 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("common_fingerprints") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def substring_screen_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Screen a batch of ARRIVING documents against a persisted standing-
+    corpus fingerprint index (substring_index_build's (doc_id, i, h)
+    stream): per new doc, how many of its {SUBSTR_NGRAM}-token windows
+    already exist verbatim in the standing corpus, the token mass those
+    hits cover, and a route — ``dup`` (>= half the doc's token mass is
+    standing text, the integer 2*cov >= n form), ``partial_dup`` (>= 1
+    hit), ``new``. The exact-substring family's INCREMENTAL entry point:
+    the standing corpus is never rescanned (its text was tokenized once,
+    at index build), arriving docs join the int stream on the hash.
+
+    Shared frame discipline (quality_verdicts' rule): the streaming
+    screen and any batch backfill call THIS function, so they cannot
+    disagree.
+    """
+    toks = lower_ws_tokens("text")
+    t = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SUBSTR_NGRAM
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM - 1}),"
+        f" i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    standing = index.select("h").distinct()
+    hits = g.join(standing, "h", "left_semi")
+    nh = hits.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_NGRAM - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("standing_tokens"))
+    )
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - (SUBSTR_NGRAM - 1)).cast("bigint").alias("n_windows"),
+    )
+    j = (
+        base.join(nh, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("standing_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("standing_tokens"),
+        )
+    )
+    verdict = (
+        F.when(2 * F.col("standing_tokens") >= F.col("n_tokens"), "dup")
+        .when(F.col("n_hits") >= 1, "partial_dup")
+        .otherwise("new")
+    )
+    return j.select(
+        "doc_id", "n_tokens", "n_windows", "n_hits", "standing_tokens",
+        verdict.alias("verdict"),
+    )

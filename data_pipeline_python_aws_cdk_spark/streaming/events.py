@@ -962,3 +962,52 @@ def streaming_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, _stream_dir(sf_dir))
     out = _drain(spark, scd2_stream(stream), "update")
     return out.orderBy("user_id", "run_id")
+
+
+def run_stream_substring_screen(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    verdict_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous exact-substring dedup screening: every micro-batch of
+    arriving documents is screened against the PERSISTED standing-corpus
+    fingerprint index (operators.dedup.substring_index_build) and routed
+    dup / partial_dup / new seconds after arrival — the incremental entry
+    point of the exact-substring family, mirroring run_stream_quality_
+    screen's shape. The standing corpus is never rescanned: its text was
+    tokenized once at index build; each batch joins its own window hashes
+    against the int stream.
+
+    Shared-frame discipline: the per-batch verdict IS
+    operators.dedup.substring_screen_against_index — the same frame a
+    batch backfill calls, so stream and backfill cannot disagree. Same
+    effectively-once discipline as the other screens: each batch
+    OVERWRITES its own batch_id partition (dynamic partition overwrite),
+    so a replayed batch replaces its partial output.
+    """
+    from ..operators.dedup import substring_screen_against_index
+
+    static_schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(static_schema).parquet(docs_dir)
+    index = spark.read.parquet(index_dir)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        verdicts = substring_screen_against_index(batch_df, index).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

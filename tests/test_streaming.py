@@ -472,3 +472,63 @@ def test_streaming_scd2_incremental_across_triggers(spark, tmp_path):
         (7, 2): ("click", "2026-01-01 10:00:02", "2026-01-01 10:00:03", 1, False),
         (7, 3): ("view", "2026-01-01 10:00:03", None, 1, True),
     }
+
+
+def test_stream_substring_screen_routes_against_standing_index(spark, tmp_path):
+    """Arriving docs are screened against the persisted standing-corpus
+    fingerprint index: a verbatim copy routes dup, a doc embedding a
+    standing paragraph routes partial_dup, a novel doc routes new; the
+    stream frame equals the batch frame and a checkpointed replay adds
+    nothing."""
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        substring_index_build,
+        substring_screen_against_index,
+    )
+    from data_pipeline_python_aws_cdk_spark.streaming.events import (
+        run_stream_substring_screen,
+    )
+
+    standing_text = " ".join(f"st{i}" for i in range(30))
+    standing_dir = str(tmp_path / "standing")
+    spark.createDataFrame(
+        [(1, standing_text, "en", "s", 1),
+         (2, " ".join(f"other{i}" for i in range(20)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{standing_dir}/documents.parquet")
+    index_dir = str(tmp_path / "substr_idx")
+    substring_index_build(spark, standing_dir, index_dir)
+
+    shared = " ".join(f"st{i}" for i in range(10, 20))  # 10 standing tokens
+    arriving = spark.createDataFrame(
+        [(100, standing_text, "en", "s", 1),
+         (101, " ".join(f"pre{i}" for i in range(15)) + " " + shared, "en", "s", 1),
+         (102, " ".join(f"nv{i}" for i in range(25)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs_dir = str(tmp_path / "incoming_sdd")
+    arriving.write.parquet(docs_dir)
+
+    verdicts = str(tmp_path / "sdd_verdicts")
+    ckpt = str(tmp_path / "sdd_ckpt")
+    run_stream_substring_screen(spark, docs_dir, index_dir, verdicts, ckpt)
+    got = {r.doc_id: r for r in spark.read.parquet(verdicts).collect()}
+    assert {d: got[d].verdict for d in got} == {
+        100: "dup", 101: "partial_dup", 102: "new"
+    }
+    assert got[100].standing_tokens == 30
+    assert got[101].standing_tokens == 10 and got[101].n_hits == 3
+    assert got[102].n_hits == 0
+
+    # stream frame == batch frame (shared-frame discipline)
+    want = {
+        (r.doc_id, r.n_hits, r.standing_tokens, r.verdict)
+        for r in substring_screen_against_index(
+            spark.read.parquet(docs_dir), spark.read.parquet(index_dir)
+        ).collect()
+    }
+    assert {
+        (r.doc_id, r.n_hits, r.standing_tokens, r.verdict) for r in got.values()
+    } == want
+
+    run_stream_substring_screen(spark, docs_dir, index_dir, verdicts, ckpt)
+    assert spark.read.parquet(verdicts).count() == 3
