@@ -264,6 +264,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_surv.add_argument("--output", default=None, help="optional parquet destination")
 
+    p_sscr = sub.add_parser(
+        "substring-screen",
+        help="streaming exact-substring screen: dup/partial_dup/new routes"
+        " per micro-batch against a persisted fingerprint index",
+    )
+    p_sscr.add_argument("--source", required=True, help="parquet directory to stream")
+    p_sscr.add_argument("--index", required=True, help="fingerprint index dir")
+    p_sscr.add_argument("--output", required=True, help="verdict table path")
+    p_sscr.add_argument("--checkpoint", required=True)
+
     p_sdd = sub.add_parser(
         "substring-dedup",
         help="exact-substring pipeline: fingerprint index + span manifest"
@@ -760,6 +770,29 @@ def main(argv: list[str] | None = None) -> int:
                     "campaigns": len(rows),
                     "touches": sum(r.touches for r in rows),
                     "linear_credit_micro": sum(r.linear_credit_micro for r in rows),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "substring-screen":
+        from .streaming.events import run_stream_substring_screen
+
+        run_stream_substring_screen(
+            spark, args.source, args.index, args.output, args.checkpoint
+        )
+        verdicts = spark.read.parquet(args.output)
+        routes = {
+            r["verdict"]: r["count"]
+            for r in verdicts.groupBy("verdict").count().collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "docs": sum(routes.values()),
+                    "routes": routes,
                     "output": args.output,
                 }
             )

@@ -803,3 +803,34 @@ def test_cli_substring_dedup_pipeline(spark, tmp_path, capsys):
     assert spark.read.parquet(f"{out}/spans").count() == 2
     plan = {r.doc_id: r for r in spark.read.parquet(f"{out}/removal_plan").collect()}
     assert plan[1].removable_tokens == 0 and plan[2].removable_tokens == 20
+
+
+def test_cli_substring_screen_routes_micro_batches(spark, tmp_path, capsys):
+    standing_text = " ".join(f"st{i}" for i in range(30))
+    standing = tmp_path / "sscr_standing"
+    spark.createDataFrame(
+        [(1, standing_text, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{standing}/documents.parquet")
+    idx = str(tmp_path / "sscr_idx")
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        substring_index_build,
+    )
+
+    substring_index_build(spark, str(standing), idx)
+
+    source = str(tmp_path / "sscr_incoming")
+    spark.createDataFrame(
+        [(100, standing_text, "en", "s", 1),
+         (101, " ".join(f"nv{i}" for i in range(20)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(source)
+
+    out = str(tmp_path / "sscr_out")
+    rc = jobs.main([
+        "substring-screen", "--source", source, "--index", idx,
+        "--output", out, "--checkpoint", str(tmp_path / "sscr_ckpt"),
+    ])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["statusCode"] == 200
+    assert st["docs"] == 2 and st["routes"] == {"dup": 1, "new": 1}
