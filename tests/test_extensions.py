@@ -3030,3 +3030,81 @@ def test_ndcg_report_matches_pure_python_recompute(spark):
         assert (got[qid].dcg_micro, got[qid].overlap) == (d, o)
         assert got[qid].idcg_micro == idcg
         assert 0.0 <= got[qid].ndcg <= 1.0
+
+
+def test_winnowing_selection_law_property(spark, tmp_path):
+    """Property: the distributed fingerprint selection equals a pure-Python
+    replay of the law — position i survives iff h_i equals the min over
+    the centered 2W-1 hash window (all min-achieving positions kept)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import hash60_py
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        dedup_winnowing,
+    )
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=WINNOW_K, max_size=24).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=4)
+    case = [0]
+
+    def ref_pairs(texts):
+        fps = {}
+        for d, t in enumerate(texts, start=1):
+            toks = t.lower().split()
+            hs = [
+                hash60_py(" ".join(toks[i:i + WINNOW_K]))
+                for i in range(len(toks) - WINNOW_K + 1)
+            ]
+            sel = set()
+            for i, h in enumerate(hs):
+                lo, hi = max(0, i - WINNOW_W + 1), min(len(hs), i + WINNOW_W)
+                if h == min(hs[lo:hi]):
+                    sel.add(h)
+            fps[d] = sel
+        out = []
+        docs_ids = sorted(fps)
+        for x in docs_ids:
+            for y in docs_ids:
+                if x < y:
+                    c = len(fps[x] & fps[y])
+                    if c >= WINNOW_MIN_SHARED:
+                        out.append((x, y, c))
+        return sorted(out)
+
+    @given(texts=corpus)
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(texts):
+        case[0] += 1
+        out = tmp_path / f"winnow_prop_{case[0]}"
+        spark.createDataFrame(
+            [(i + 1, t, "en", "s", 1) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{out}/documents.parquet")
+        got = sorted(
+            (r.doc_a, r.doc_b, r.common_fingerprints)
+            for r in dedup_winnowing(spark, str(out)).collect()
+        )
+        assert got == ref_pairs(texts)
+
+    check()
+
+
+def test_substring_screen_empty_index_routes_all_new(spark, tmp_path):
+    """Against an EMPTY standing index every arriving doc routes 'new'
+    with zero hits — the cold-start contract."""
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        substring_screen_against_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    empty_index = spark.createDataFrame([], "doc_id long, i long, h long")
+    rows = substring_screen_against_index(docs, empty_index).collect()
+    assert [(r.doc_id, r.n_hits, r.verdict) for r in rows] == [(1, 0, "new")]
