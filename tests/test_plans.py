@@ -682,3 +682,27 @@ def test_sla_latency_aggregates_lineitem_inside_join(spark):
     with partial aggregation (map-side combine below the exchange)."""
     plan = _plan(analytics.orders_sla_latency_percentiles(spark, SF_SMOKE))
     assert "partial_min" in plan
+
+
+def test_substring_family_scan_counts_pinned(spark):
+    """The exact-substring family's corpus-pass budget is pinned: the gram
+    stream's consumers each re-run the tokenize scan in the inline form
+    (the documented trade — substring_index_build is the amortization),
+    so a stray extra consumer shows up here as a scan-count regression
+    long before it shows up as 100 TB wall time. Winnowing must stay at
+    ONE scan (its self-join reuses the selection exchange); the doc-
+    fraction op must hold the fused-aggregation count (4 -> 3, round 9)."""
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+
+    budgets = {
+        dedup.corpus_exact_substring_dedup: 2,
+        dedup.corpus_doc_duplication_fraction: 3,
+        dedup.doc_self_repetition_spans: 2,
+        dedup.dedup_winnowing: 1,
+    }
+    for fn, expected in budgets.items():
+        df = fn(spark, SF_SMOKE)
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        got = final.count("Scan parquet")
+        assert got == expected, f"{fn.__name__}: {got} scans, expected {expected}"
