@@ -4655,10 +4655,16 @@ def corpus_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     NANO-units (terms are O(1e-6); micro would truncate the signal) —
     per-source sums are then exact int64.
 
-    Shape: one exploded token pass -> (source, bucket) and (bucket)
-    map-side-combined rollups; the term table is the BOUNDED
-    |sources| x {FEAT_BUCKETS} grid (built by cross join of two tiny
-    sets, never corpus-scale); the final rollup is |sources| rows.
+    Shape: ONE exploded token pass ends at the (source, bucket) rollup —
+    a PROVABLY bounded table (|sources| x {FEAT_BUCKETS} rows), so it
+    takes a localCheckpoint cut per the SURVEY §8.3 rule and every other
+    statistic (per-bucket corpus counts, per-source totals, the grand
+    total, the source list for the grid) derives from it as a bounded
+    rollup — the corpus is tokenized exactly once (the inline form
+    originally re-scanned it three times, once per independent
+    aggregation; scan budget pinned by plan gate). The term table is the
+    bounded grid (cross join of two tiny sets, never corpus-scale); the
+    final rollup is |sources| rows.
     """
     b = FEAT_BUCKETS
     d = load_table(spark, sf_dir, "documents")
@@ -4667,10 +4673,14 @@ def corpus_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .select("source", (hash60("word") % b).alias("bucket"))
     )
-    sb = w.groupBy("source", "bucket").agg(F.count("*").alias("cnt_s"))
+    sb = (
+        w.groupBy("source", "bucket")
+        .agg(F.count("*").alias("cnt_s"))
+        .localCheckpoint(eager=True)
+    )
     st = sb.groupBy("source").agg(F.sum("cnt_s").alias("t_s"))
-    cb = w.groupBy("bucket").agg(F.count("*").alias("cnt_c"))
-    tot = w.agg(F.count("*").alias("t_c"))
+    cb = sb.groupBy("bucket").agg(F.sum("cnt_s").alias("cnt_c"))
+    tot = sb.agg(F.sum("cnt_s").alias("t_c"))
     buckets = spark.range(b).select(F.col("id").cast("bigint").alias("bucket"))
     grid = sb.select("source").distinct().crossJoin(F.broadcast(buckets))
     p = (F.coalesce("cnt_s", F.lit(0)) + 1.0) / (F.col("t_s") + b)

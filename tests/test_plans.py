@@ -692,13 +692,20 @@ def test_substring_family_scan_counts_pinned(spark):
     long before it shows up as 100 TB wall time. Winnowing must stay at
     ONE scan (its self-join reuses the selection exchange); the doc-
     fraction op must hold the fused-aggregation count (4 -> 3, round 9)."""
-    from data_pipeline_python_aws_cdk_spark.operators import dedup
+    from data_pipeline_python_aws_cdk_spark.operators import dedup, text
 
     budgets = {
         dedup.corpus_exact_substring_dedup: 2,
         dedup.corpus_doc_duplication_fraction: 3,
         dedup.doc_self_repetition_spans: 2,
         dedup.dedup_winnowing: 1,
+        # JS divergence tokenizes ONCE into the bounded (source, bucket)
+        # localCheckpoint; everything downstream is rollups of that cut,
+        # so the final plan must contain ZERO parquet scans — any scan
+        # here means a consumer escaped the checkpoint and re-reads the
+        # corpus (the 3-scan shape this op shipped with before round 9's
+        # closing fix).
+        text.corpus_source_js_divergence: 0,
     }
     for fn, expected in budgets.items():
         df = fn(spark, SF_SMOKE)
