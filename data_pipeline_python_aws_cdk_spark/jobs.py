@@ -803,19 +803,20 @@ def main(argv: list[str] | None = None) -> int:
         import pyspark.sql.functions as F
 
         from .operators.dedup import (
-            corpus_span_removal_plan,
             exact_substring_dedup_indexed,
+            span_removal_plan_indexed,
             substring_index_build,
         )
 
         root = args.output.rstrip("/")
         substring_index_build(spark, args.sf_dir, f"{root}/fingerprints")
-        # span manifest served FROM the index just built (result-equal to
-        # the inline query by test) — the tokenize scan runs once, in the
-        # index build; the manifest reads ints.
+        # span manifest AND removal plan served FROM the index just built
+        # (each result-equal to its inline query by test) — the tokenize
+        # scan runs exactly once, in the index build; everything after
+        # reads three ints per window.
         spans = exact_substring_dedup_indexed(spark, f"{root}/fingerprints")
         spans.write.mode("overwrite").parquet(f"{root}/spans")
-        plan = corpus_span_removal_plan(spark, args.sf_dir)
+        plan = span_removal_plan_indexed(spark, f"{root}/fingerprints")
         plan.write.mode("overwrite").parquet(f"{root}/removal_plan")
         pstats = spark.read.parquet(f"{root}/removal_plan").agg(
             F.count("*").alias("docs_touched"),

@@ -3789,6 +3789,13 @@ def substring_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> N
         hash60(F.col("gram")).alias("h"),
     )
     g.repartition(F.col("h")).write.mode("overwrite").parquet(index_dir)
+    # The fingerprint column IS hash60(window): pin the build's hash family
+    # (the BM25/LSH index discipline) so a probe under the other family —
+    # computing different window hashes — fails loudly instead of matching
+    # nothing and silently routing every arriving document 'new'.
+    from ..functions.hashing import write_hash_mode_meta
+
+    write_hash_mode_meta(spark, index_dir)
 
 
 def exact_substring_dedup_indexed(
@@ -3799,6 +3806,9 @@ def exact_substring_dedup_indexed(
     text reads — both gram consumers scan the int parquet. The inline
     query's 100 TB upgrade path, executable.
     """
+    from ..functions.hashing import assert_hash_mode_meta
+
+    assert_hash_mode_meta(spark, index_dir)
     g = spark.read.parquet(index_dir)
     shared = (
         g.groupBy("h")
@@ -3819,6 +3829,65 @@ def exact_substring_dedup_indexed(
         .filter(F.col("span_len") >= SUBSTR_MIN_SPAN)
         .select("doc_id", "span_start", "span_len", "n_windows", "n_other_docs")
         .orderBy("doc_id", "span_start")
+    )
+
+
+def span_removal_plan_indexed(spark: SparkSession, index_dir: str) -> DataFrame:
+    """corpus_span_removal_plan served from the PERSISTED fingerprint
+    stream (result-equal gated by test), with ZERO text reads — including
+    the per-doc token count, which the index already encodes: windows run
+    i = 1 .. n_tokens - {SUBSTR_NGRAM} + 1, so n_tokens = max(i) +
+    {SUBSTR_NGRAM} - 1 exactly, and only docs with >= 1 window can appear
+    in the plan (the inline query's own inner join drops the rest).
+    Completes the ``jobs substring-dedup`` pipeline's one-tokenize
+    promise: after the index build, manifest AND removal plan both read
+    three ints per window.
+    """
+    from ..functions.hashing import assert_hash_mode_meta
+
+    assert_hash_mode_meta(spark, index_dir)
+    g = spark.read.parquet(index_dir)
+    shared = (
+        g.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("c_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("h", "c_doc")
+    )
+    hits = g.join(shared, "h").select(
+        "doc_id", "i", (F.col("doc_id") == F.col("c_doc")).alias("keep")
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            "keep",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_NGRAM - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(F.when(~F.col("keep"), F.col("p"))).alias("removable"),
+            F.countDistinct(F.when(F.col("keep"), F.col("p"))).alias("kept"),
+        )
+    )
+    nt = g.groupBy("doc_id").agg(
+        (F.max("i") + F.lit(SUBSTR_NGRAM - 1)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        cov.join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("removable").cast("bigint").alias("removable_tokens"),
+            F.col("kept").cast("bigint").alias("kept_dup_tokens"),
+            (F.col("n_tokens") - F.col("removable"))
+            .cast("bigint")
+            .alias("remaining_tokens"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -987,8 +987,13 @@ def run_stream_substring_screen(
     OVERWRITES its own batch_id partition (dynamic partition overwrite),
     so a replayed batch replaces its partial output.
     """
+    from ..functions.hashing import assert_hash_mode_meta
     from ..operators.dedup import substring_screen_against_index
 
+    # Window hashes are hash60-derived: a screen under a different hash
+    # family than the build would match nothing and route every document
+    # 'new' with no error — assert the index's pinned mode up front.
+    assert_hash_mode_meta(spark, index_dir)
     static_schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(static_schema).parquet(docs_dir)
     index = spark.read.parquet(index_dir)

@@ -1406,18 +1406,34 @@ def test_index_probe_rejects_hash_mode_mismatch(spark, tmp_path, monkeypatch):
         bm25_probe_indexed,
     )
 
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        exact_substring_dedup_indexed,
+        span_removal_plan_indexed,
+        substring_index_build,
+    )
+
     bm25_dir = str(tmp_path / "bm25_modecheck")
     lsh_dir = str(tmp_path / "lsh_modecheck")
+    sub_dir = str(tmp_path / "substring_modecheck")
     bm25_build_index(spark, SF_SMOKE, bm25_dir)  # built under default: oracle
     lsh_build_index(spark, SF_SMOKE, lsh_dir)
+    substring_index_build(spark, SF_SMOKE, sub_dir)
     monkeypatch.setenv(HASH_MODE_ENV, "production")
     with pytest.raises(ValueError, match="hash"):
         bm25_probe_indexed(spark, bm25_dir, SF_SMOKE)
     with pytest.raises(ValueError, match="hash"):
         lsh_probe_indexed(spark, lsh_dir, SF_SMOKE)
+    # the substring-family consumers guard the same way: a cross-mode
+    # probe computes different window hashes and would match NOTHING —
+    # every doc silently routed 'new' — so it must refuse loudly instead
+    with pytest.raises(ValueError, match="hash"):
+        exact_substring_dedup_indexed(spark, sub_dir)
+    with pytest.raises(ValueError, match="hash"):
+        span_removal_plan_indexed(spark, sub_dir)
     # matching mode still probes fine
     monkeypatch.setenv(HASH_MODE_ENV, "oracle")
     assert bm25_probe_indexed(spark, bm25_dir, SF_SMOKE).count() > 0
+    assert exact_substring_dedup_indexed(spark, sub_dir).count() >= 0
 
 
 # --- round-6 curation/audit tier ----------------------------------------------
@@ -2781,6 +2797,12 @@ def test_substring_index_probe_equals_inline(spark, tmp_path):
     probed = dedup.exact_substring_dedup_indexed(spark, idx).collect()
     assert {tuple(r) for r in probed} == {tuple(r) for r in inline}
     assert len(inline) == 2
+    # the removal plan is served from the same index — result-equal too,
+    # including the n_tokens column it derives from max(i) alone
+    plan_inline = dedup.corpus_span_removal_plan(spark, str(out)).collect()
+    plan_probed = dedup.span_removal_plan_indexed(spark, idx).collect()
+    assert {tuple(r) for r in plan_probed} == {tuple(r) for r in plan_inline}
+    assert len(plan_inline) == 2
 
 
 def test_js_divergence_zero_for_single_source_and_ranks_disjoint_higher(spark, tmp_path):
