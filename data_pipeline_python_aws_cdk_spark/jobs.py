@@ -114,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     p_idx = sub.add_parser(
         "index", help="build (and optionally probe) a persisted ANN/LSH index"
     )
-    p_idx.add_argument("--kind", choices=("ivf", "lsh", "pq", "bm25"), required=True)
+    p_idx.add_argument(
+        "--kind",
+        choices=("ivf", "ivfpq", "lsh", "pq", "bm25", "winnow"),
+        required=True,
+    )
     p_idx.add_argument("--sf-dir", required=True, help="testdata directory")
     p_idx.add_argument("--output", required=True, help="index directory")
     p_idx.add_argument(
@@ -693,6 +697,14 @@ def main(argv: list[str] | None = None) -> int:
 
             ivf_build_index(spark, args.sf_dir, args.output)
             probe = ivf_probe_indexed if args.probe else None
+        elif args.kind == "ivfpq":
+            from .operators.similarity import (
+                ivfpq_build_index,
+                ivfpq_probe_indexed,
+            )
+
+            ivfpq_build_index(spark, args.sf_dir, args.output)
+            probe = ivfpq_probe_indexed if args.probe else None
         elif args.kind == "pq":
             from .operators.similarity import pq_build_index, pq_probe_indexed
 
@@ -703,6 +715,20 @@ def main(argv: list[str] | None = None) -> int:
 
             bm25_build_index(spark, args.sf_dir, args.output)
             probe = bm25_probe_indexed if args.probe else None
+        elif args.kind == "winnow":
+            from .operators.dedup import (
+                dedup_winnowing_indexed,
+                winnow_index_build,
+            )
+
+            winnow_index_build(spark, args.sf_dir, args.output)
+            # the pair probe reads only the persisted stream; sf_dir is
+            # accepted for the shared CLI probe signature and unused
+            probe = (
+                (lambda s, out, _sf: dedup_winnowing_indexed(s, out))
+                if args.probe
+                else None
+            )
         else:
             from .operators.dedup import lsh_build_index, lsh_probe_indexed
 

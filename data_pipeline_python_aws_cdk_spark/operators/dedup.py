@@ -3896,14 +3896,22 @@ def span_removal_plan_indexed(spark: SparkSession, index_dir: str) -> DataFrame:
 WINNOW_K = 4  # k-gram width (tokens)
 WINNOW_W = 4  # winnow window (hashes)
 WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+# Skew guard on the fingerprint self-join: a fingerprint selected in more
+# than this many documents (a boilerplate header sampled as a local min
+# corpus-wide) is a stop-shingle, not a duplication signal — joining it
+# would cost df^2 pairs per hot key. Applied identically in both engines,
+# so the oracle comparison stays lossless at any corpus.
+WINNOW_DF_CAP = 128
 
 
-def _winnowing_oracle() -> str:
+def _winnow_fp_ctes() -> str:
+    """The winnowed-fingerprint CTE chain (t -> idx -> g -> sel -> fp0 ->
+    fp), shared by the pair oracle and the recall-report oracle so the
+    selection + DF-cap semantics cannot drift between them."""
     gram = hash60_sql(
         "array_to_string(toks[i:i+{m}], ' ')".format(m=WINNOW_K - 1)
     )
-    return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     idx AS (SELECT doc_id, toks,
                    unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS i
             FROM t WHERE len(toks) >= {WINNOW_K}),
@@ -3915,7 +3923,14 @@ def _winnowing_oracle() -> str:
                                    AND {WINNOW_W - 1} FOLLOWING) AS wmin
       FROM g
     ),
-    fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE h = wmin)
+    fp0 AS (SELECT DISTINCT doc_id, h FROM sel WHERE h = wmin),
+    fdf AS (SELECT h FROM fp0 GROUP BY h HAVING COUNT(*) <= {WINNOW_DF_CAP}),
+    fp AS (SELECT fp0.doc_id, fp0.h FROM fp0 JOIN fdf USING (h))"""
+
+
+def _winnowing_oracle() -> str:
+    return f"""
+    WITH {_winnow_fp_ctes()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS common_fingerprints
     FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -3925,8 +3940,61 @@ def _winnowing_oracle() -> str:
     """
 
 
+def _winnow_fingerprints(d: DataFrame, df_cap: int = WINNOW_DF_CAP) -> DataFrame:
+    """The winnowed, DF-capped fingerprint stream (doc_id, h) — the shared
+    front of the inline pair query, the persisted index build, and the
+    recall report's candidate arm. The cap is a WINDOW over h, not a
+    groupBy+join, so the stream stays ONE pass: distinct shuffles
+    (doc_id, h), the count-over-h rides the h exchange the self-join
+    needs anyway."""
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= WINNOW_K
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
+        f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), WINNOW_W - 1)
+    )
+    return (
+        g.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+        .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+
+
+def _winnow_pairs(fp: DataFrame) -> DataFrame:
+    """Inverted-index self-join over a winnowed fingerprint stream — the
+    shared tail of the inline query and the persisted-index probe."""
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("common_fingerprints"))
+        .filter(F.col("common_fingerprints") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @_register("dedup_winnowing", oracle=_winnowing_oracle())
-def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_winnowing(
+    spark: SparkSession, sf_dir: str, df_cap: int = WINNOW_DF_CAP
+) -> DataFrame:
     """Winnowing-style fingerprint pair discovery (Schleimer, Wilkerson &
     Aiken, SIGMOD'03 "Winnowing: Local Algorithms for Document
     Fingerprinting" — the MOSS scheme; public method): sample each doc's
@@ -3948,10 +4016,104 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: selection is ONE bounded-frame window pass riding the
     per-doc ordering (no cross-doc key until after sampling); the
     inverted-index self-join then runs on the WINNOWED stream — ~2/(W+1)
-    of the shingle volume, the whole point of the scheme — and the usual
-    skew guard applies (cap fingerprint DF before the self-join at
-    production scale, the minhash header's discipline). Exchanges carry
-    (doc_id, hash) ints only.
+    of the shingle volume, the whole point of the scheme — behind the
+    {WINNOW_DF_CAP}-doc fingerprint-DF cap (the minhash header's skew
+    discipline, applied in BOTH engines so the comparison stays
+    lossless): a corpus-wide boilerplate fingerprint would otherwise
+    cost df^2 pairs on one key. The cap is a count-over-h window, not a
+    groupBy+join, so the corpus is still scanned once (gate-pinned).
+    Exchanges carry (doc_id, hash) ints only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return _winnow_pairs(_winnow_fingerprints(d, df_cap=df_cap))
+
+
+def winnow_index_build(
+    spark: SparkSession, sf_dir: str, index_dir: str, df_cap: int = WINNOW_DF_CAP
+) -> None:
+    """Materialize the winnowed, DF-capped fingerprint stream — one
+    (doc_id, h) row per selected local-min window, ~2/(W+1) of the
+    shingle volume the substring index stores — mirroring
+    substring_index_build for the MOSS rung of the ladder. Build pays
+    the tokenize + selection pass ONCE; the pair probe then self-joins
+    two ints per fingerprint, and an arriving batch can screen against
+    the standing stream without re-reading corpus text. Written
+    hash-bucketed (repartition on h) so the probe's self-join starts
+    from the partitioning it needs; the _meta sidecar pins the hash
+    family (fingerprints ARE hash60 values)."""
+    from ..functions.hashing import write_hash_mode_meta
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = _winnow_fingerprints(d, df_cap=df_cap)
+    fp.repartition(F.col("h")).write.mode("overwrite").parquet(index_dir)
+    write_hash_mode_meta(spark, index_dir)
+
+
+def dedup_winnowing_indexed(spark: SparkSession, index_dir: str) -> DataFrame:
+    """dedup_winnowing's candidate pairs served from the PERSISTED
+    fingerprint stream (result-equal gated by test): zero text reads —
+    the probe is the _winnow_pairs self-join over the int parquet, the
+    same write-once/probe-many amortization as the substring index."""
+    from ..functions.hashing import assert_hash_mode_meta
+
+    assert_hash_mode_meta(spark, index_dir)
+    return _winnow_pairs(spark.read.parquet(index_dir))
+
+
+def _winnow_recall_oracle() -> str:
+    return f"""
+    WITH {_winnow_fp_ctes()},
+    fullset AS (SELECT DISTINCT doc_id, h FROM g),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM fullset GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      COUNT(*) AS common
+               FROM fullset a JOIN fullset b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b
+              FROM common JOIN cnt ca ON ca.doc_id = doc_a
+                          JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE 3 * common >= ca.n + cb.n),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+             HAVING COUNT(*) >= {WINNOW_MIN_SHARED}),
+    m AS (SELECT
+            (SELECT COUNT(*) FROM truth) AS n_truth,
+            (SELECT COUNT(*) FROM cand) AS n_candidates,
+            (SELECT COUNT(*) FROM cand c JOIN truth t
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_verified)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           ROUND(n_verified * 1.0 / NULLIF(n_truth, 0), 6) AS recall,
+           ROUND(n_verified * 1.0 / NULLIF(n_candidates, 0), 6)
+             AS candidate_precision
+    FROM m
+    """
+
+
+@_register("dedup_winnowing_recall_report", oracle=_winnow_recall_oracle())
+def dedup_winnowing_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing-quality scoreboard — the missing half of the MOSS
+    rung: dedup_winnowing emits CANDIDATE pairs "for the exact
+    verification tiers", and this report runs that verification and
+    grades the sampling against the exact all-pairs truth, exactly as
+    dedup_lsh_recall_report grades the minhash banding. Truth is
+    Jaccard >= 1/2 over each doc's FULL distinct {WINNOW_K}-gram hash
+    set, in the integer-exact spelling 3*common >= n_a + n_b (no float
+    boundary can flip a pair cross-engine). n_verified — candidates
+    that pass the exact-Jaccard verifier — is both the true-positive
+    count (recall numerator) and the wired candidates->verifier path;
+    candidate_precision is the verification-cost dial (low precision =
+    the {WINNOW_MIN_SHARED}-fingerprint screen passes too much junk to
+    the exact tier).
+
+    Shape: the truth arm is the quadratic-by-design verification path
+    (all-pairs on the full gram sets — at 100 TB you'd grade a sampled
+    panel, same as the ANN scoreboard); the candidate arm is the gated
+    one-scan winnowing plan; the three counts are ONE-ROW aggregates
+    crossed into the single report row (the lsh report's class).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = lower_ws_tokens("text")
@@ -3962,31 +4124,58 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
         f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
     )
-    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("i"),
-        hash60(F.col("gram")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(WINNOW_W - 1), WINNOW_W - 1)
-    )
-    fp = (
-        g.withColumn("wmin", F.min("h").over(w))
-        .filter(F.col("h") == F.col("wmin"))
-        .select("doc_id", "h")
+    # Set size rides each fingerprint row as a count-over-doc window, so
+    # BOTH self-join sides read one identical subplan (exchange-reuse
+    # canonicalizes) instead of a separate groupBy(doc_id) consumer
+    # re-running the tokenize scan — truth arm = ONE corpus pass
+    # (scan-budget gate pins the report at 2 with the candidate arm).
+    fullset = (
+        t.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", hash60(F.col("gram")).alias("h"))
         .distinct()
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
-    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
-    return (
+    a = fullset.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("na")
+    )
+    b = fullset.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("n").alias("nb")
+    )
+    truth = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("common_fingerprints"))
-        .filter(F.col("common_fingerprints") >= WINNOW_MIN_SHARED)
-        .orderBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(3 * F.col("common") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b")
+    )
+    cand = dedup_winnowing(spark, sf_dir).select("doc_a", "doc_b")
+    nt = truth.groupBy().agg(F.count("*").cast("bigint").alias("n_truth"))
+    nc = cand.groupBy().agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nv = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_verified"))
+    )
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nv)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified") * F.lit(1.0) / F.nullif("n_truth", F.lit(0)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_verified") * F.lit(1.0) / F.nullif("n_candidates", F.lit(0)),
+                6,
+            ).alias("candidate_precision"),
+        )
     )
 
 

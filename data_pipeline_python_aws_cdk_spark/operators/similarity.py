@@ -2180,12 +2180,95 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH icent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    iac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    iranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM iac
+    ),
+    iassign AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
+    iprobes AS (
+      SELECT vec_id AS query_id, centroid_id FROM iranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ),
+    icand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM iprobes p JOIN iassign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    ),
+    cb AS (
+      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, s.sub, cb.k,
+             CAST(ROUND(ROUND(SUM(
+               (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)
+               * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                  - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
+               * 1000000) AS BIGINT) AS dmic
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY e.vec_id, s.sub, cb.k
+    ),
+    best AS (
+      SELECT vec_id, sub, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dmic, k) AS rn
+      FROM d
+    ),
+    codes AS (SELECT vec_id, sub, k FROM best WHERE rn = 1),
+    adc AS (
+      SELECT ic.query_id, ic.neighbor_id, SUM(t.dmic) AS adc_micro
+      FROM icand ic
+      JOIN codes c ON c.vec_id = ic.neighbor_id
+      JOIN d t ON t.vec_id = ic.query_id AND t.sub = c.sub AND t.k = c.k
+      GROUP BY ic.query_id, ic.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_micro, neighbor_id) AS srn
+      FROM adc
+    ),
+    p2 AS (
+      SELECT s.query_id, s.neighbor_id, a.embedding AS qe, b.embedding AS ne
+      FROM short s JOIN embeddings a ON a.vec_id = s.query_id
+                   JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.srn <= {PQ_SHORTLIST}
+    ),
+    ex AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+           FROM p2, generate_series(1, {DIM}) g(i)
+           GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM ex)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+    """
+
+
 def _recall_oracle() -> str:
     topk = ORACLES["similarity_topk"]
     methods = {
         "ann_lsh": _ann_oracle(),
         "ann_ivf": _ivf_oracle(),
         "ann_ivf_nprobe3": _ivf_oracle(3),
+        "ann_ivfpq": _ivfpq_oracle(),
         "ann_quantized": _ann_quantized_oracle(),
         "ann_pq_adc": _pq_adc_oracle(),
     }
@@ -2207,14 +2290,24 @@ def _recall_oracle() -> str:
 
 
 @_register("similarity_ann_recall_report", oracle=_recall_oracle())
-def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_recall_report(
+    spark: SparkSession, sf_dir: str, ivfpq_index_dir: str | None = None
+) -> DataFrame:
     """The ANN quality scoreboard: recall@{TOP_K} of every approximate
-    method (hyperplane LSH, IVF probing, int8 quantized-rerank, PQ-ADC)
-    against the exact brute-force top-k, averaged over the query set —
-    the one table an operator reads before choosing an index type, and
-    the regression alarm that catches a silently mis-tuned bucket/probe/
-    codebook parameter (recall collapses long before results look
-    obviously wrong).
+    method (hyperplane LSH, IVF probing, IVF+PQ serving composition,
+    int8 quantized-rerank, PQ-ADC) against the exact brute-force top-k,
+    averaged over the query set — the one table an operator reads before
+    choosing an index type, and the regression alarm that catches a
+    silently mis-tuned bucket/probe/codebook parameter (recall collapses
+    long before results look obviously wrong).
+
+    ``ivfpq_index_dir``: when given, an ``ann_ivfpq_indexed`` row is
+    appended — the SAME composition probed from the persisted IVF+PQ
+    index (ivfpq_build_index) instead of computed inline; the indexed
+    probe is result-equal to the inline query by test, so this row
+    asserts the serving artifact's recall in the same table that graded
+    the inline plan. The registered query omits it (no index on disk in
+    the differential harness); the oracle covers the inline rows.
 
     Shape: each method's candidate generation runs its own already-gated
     plan; the comparison is a per-query left join of two {TOP_K}-row
@@ -2228,9 +2321,14 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_lsh": similarity_ann_lsh,
         "ann_ivf": similarity_ann_ivf,
         "ann_ivf_nprobe3": lambda s, d: similarity_ann_ivf(s, d, nprobe=3),
+        "ann_ivfpq": similarity_ann_ivfpq,
         "ann_quantized": similarity_ann_quantized,
         "ann_pq_adc": similarity_ann_pq_adc,
     }
+    if ivfpq_index_dir is not None:
+        methods["ann_ivfpq_indexed"] = (
+            lambda s, d: ivfpq_probe_indexed(s, ivfpq_index_dir, d)
+        )
     per = None
     for name, fn in methods.items():
         approx = fn(spark, sf_dir).select(
@@ -3308,88 +3406,6 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
-    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
-    return f"""
-    WITH icent AS (
-      SELECT vec_id AS centroid_id, embedding AS ce
-      FROM embeddings WHERE vec_id < {IVF_NLIST}
-    ),
-    iac AS (
-      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
-      FROM embeddings e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
-      GROUP BY e.vec_id, c.centroid_id
-    ),
-    iranked AS (
-      SELECT vec_id, centroid_id,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY c6 DESC, centroid_id) AS rn
-      FROM iac
-    ),
-    iassign AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
-    iprobes AS (
-      SELECT vec_id AS query_id, centroid_id FROM iranked
-      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
-    ),
-    icand AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id
-      FROM iprobes p JOIN iassign a ON a.centroid_id = p.centroid_id
-      WHERE a.vec_id != p.query_id
-    ),
-    cb AS (
-      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
-    ),
-    d AS (
-      SELECT e.vec_id, s.sub, cb.k,
-             CAST(ROUND(ROUND(SUM(
-               (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
-                - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)
-               * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
-                  - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
-               * 1000000) AS BIGINT) AS dmic
-      FROM embeddings e
-      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
-      CROSS JOIN cb
-      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
-      GROUP BY e.vec_id, s.sub, cb.k
-    ),
-    best AS (
-      SELECT vec_id, sub, k,
-             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                ORDER BY dmic, k) AS rn
-      FROM d
-    ),
-    codes AS (SELECT vec_id, sub, k FROM best WHERE rn = 1),
-    adc AS (
-      SELECT ic.query_id, ic.neighbor_id, SUM(t.dmic) AS adc_micro
-      FROM icand ic
-      JOIN codes c ON c.vec_id = ic.neighbor_id
-      JOIN d t ON t.vec_id = ic.query_id AND t.sub = c.sub AND t.k = c.k
-      GROUP BY ic.query_id, ic.neighbor_id
-    ),
-    short AS (
-      SELECT query_id, neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adc_micro, neighbor_id) AS srn
-      FROM adc
-    ),
-    p2 AS (
-      SELECT s.query_id, s.neighbor_id, a.embedding AS qe, b.embedding AS ne
-      FROM short s JOIN embeddings a ON a.vec_id = s.query_id
-                   JOIN embeddings b ON b.vec_id = s.neighbor_id
-      WHERE s.srn <= {PQ_SHORTLIST}
-    ),
-    ex AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
-           FROM p2, generate_series(1, {DIM}) g(i)
-           GROUP BY query_id, neighbor_id),
-    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY c DESC, neighbor_id) AS rank
-          FROM ex)
-    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
-    """
-
-
 @_register("similarity_ann_ivfpq", oracle=_ivfpq_oracle())
 def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ — the FAISS IVFPQ serving composition, and the one the two
@@ -3485,6 +3501,178 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     scored = (
         short.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def ivfpq_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the FAISS-style IVF+PQ serving artifact: the IVF
+    partition layout (Hive-partitioned by assigned centroid_id, so probes
+    prune at the FILE level) with the PQ codes RESIDENT in it — one
+    (vec_id, pq_code) row per corpus vector inside its inverted list.
+    This is the index similarity_ann_ivfpq's docstring promises: a probe
+    reads nprobe/NLIST of the DIRECTORIES, and inside them touches 32-bit
+    codes instead of float vectors — the multiplicative IO saving that
+    serves billion-vector corpora. ivf_build_index still stores full
+    embeddings per list; pq_build_index still stores codes unpartitioned;
+    this composes both halves.
+
+    Codes come from the gated embedding_pq_codes plan (identical codeword
+    assignment, 6-dp-rounded distances, min-(d6, k) tie rule) and join the
+    map-only centroid assignment on vec_id — an int-row shuffle paid once
+    at build. Both codebooks ride WITH the index (``_centroids``,
+    ``_codebook`` — underscore-prefixed, invisible to list readers), so a
+    probe always ranks and ADC-scores against exactly the codebooks the
+    lists and codes were built from.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = centroids
+    if cent is None:
+        cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+    # Same float32 cast the probe applies on read (ivf_build_index's rule):
+    # build-time assignment and probe-time ranking see identical centroids.
+    cent = cent.select(
+        "centroid_id", F.col("ce").cast("array<float>").alias("ce")
+    ).localCheckpoint(eager=True)
+    assign = _assign_nearest_centroid(e, cent).select("vec_id", "centroid_id")
+    codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "pq_code")
+    assign.join(codes, "vec_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(index_dir)
+    # Sidecars written after the wholesale overwrite above replaces index_dir.
+    cent.write.mode("overwrite").parquet(f"{index_dir}/_centroids")
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
+    )
+    cb.write.mode("overwrite").parquet(f"{index_dir}/_codebook")
+
+
+def ivfpq_probe_indexed(
+    spark: SparkSession, index_dir: str, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Probe the persisted IVF+PQ index: rank the query batch against the
+    index's own centroid codebook, read ONLY the nprobe probed lists
+    (partition-path pruning, same contract as ivf_probe_indexed — gated),
+    ADC-score their resident 32-bit codes with {PQ_M} nibble lookups per
+    candidate against the broadcast per-query distance tables, and
+    exactly rerank the {PQ_SHORTLIST}-row shortlist — the only step that
+    touches float vectors, and only for queries + shortlisted candidates.
+    Result-equal to the inline similarity_ann_ivfpq when the index was
+    built from the seed codebooks (gated by test).
+
+    At 100 TB the two parents' costs multiply out: (1 - nprobe/NLIST) of
+    the index is never LISTED, and what is read is 12 bytes/vector, not
+    256 — the serving plan FAISS IVFPQ runs, in Spark partition terms.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    try:
+        cent = spark.read.parquet(f"{index_dir}/_centroids").select(
+            "centroid_id", F.col("ce").cast("array<float>").alias("ce")
+        )
+    except Exception:  # noqa: BLE001 — pre-codebook index: seed fallback
+        cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        F.round(cosine_arrow(F.col("qe"), F.col("ce")), 6).alias("c6"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "centroid_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    # Bounded driver materialization (N_QUERIES x nprobe rows) feeding both
+    # the partition filter and the literal broadcast side — the
+    # ivf_probe_indexed discipline: the ranking lineage executes once.
+    probe_rows = probes.collect()
+    probed_ids = sorted({r.centroid_id for r in probe_rows})
+    probes_lit = spark.createDataFrame(probe_rows, probes.schema)
+    index = spark.read.parquet(index_dir).filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    cand = (
+        F.broadcast(probes_lit)
+        .join(index, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "pq_code")
+    )
+    # Per-query ADC lookup tables against the codebook stored with the
+    # index — |queries| x PQ_M x PQ_K integer rows, broadcast.
+    cb = spark.read.parquet(f"{index_dir}/_codebook").select(
+        "k", F.col("ce").cast("array<float>").alias("ce")
+    )
+    sq_micro = F.round(
+        F.round(
+            F.expr(
+                f"aggregate(zip_with("
+                f" slice(qe, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" slice(ce, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f" (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+                f"        * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        )
+        * 1_000_000
+    ).cast("bigint")
+    qsubs = q.select(
+        "query_id", "qe", F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub")
+    )
+    qtable = qsubs.join(F.broadcast(cb)).select(
+        "query_id", "sub", "k", sq_micro.alias("dmic")
+    )
+    nibbles = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+        "pq_code",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "sub",
+        F.expr("CAST(shiftright(pq_code, 4 * sub) & 15 AS BIGINT)").alias("k"),
+    )
+    adc = (
+        nibbles.join(F.broadcast(qtable), ["query_id", "sub", "k"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dmic").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        short.join(F.broadcast(q), "query_id")
         .join(ne, "neighbor_id")
         .select(
             "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")

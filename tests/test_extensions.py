@@ -1226,6 +1226,51 @@ def test_pq_persisted_index_matches_inline_adc(spark, tmp_path):
     assert probed == inline
 
 
+def test_ivfpq_persisted_index_matches_inline_prunes_and_scoreboards(
+    spark, tmp_path
+):
+    """The composed IVF+PQ serving artifact: codes RESIDENT in the IVF
+    partition layout, both codebooks riding along, probe partition-pruned
+    (centroid INSET in PartitionFilters), result-equal to the inline
+    similarity_ann_ivfpq, and surfaced as the ann_ivfpq_indexed row of
+    the recall scoreboard with recall identical to the inline row."""
+    import re
+
+    idx = str(tmp_path / "ivfpq_idx")
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx)
+    rows = spark.read.parquet(idx)
+    assert set(rows.columns) == {"vec_id", "pq_code", "centroid_id"}
+    assert spark.read.parquet(f"{idx}/_centroids").count() == similarity.IVF_NLIST
+    assert spark.read.parquet(f"{idx}/_codebook").count() == similarity.PQ_K
+    # resident codes are exactly the gated embedding_pq_codes assignment
+    expect = {
+        (r.vec_id, r.pq_code)
+        for r in similarity.embedding_pq_codes(spark, SF_SMOKE)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert {(r.vec_id, r.pq_code) for r in rows.collect()} == expect
+
+    probed = similarity.ivfpq_probe_indexed(spark, idx, SF_SMOKE)
+    inline = similarity.similarity_ann_ivfpq(spark, SF_SMOKE)
+    assert {tuple(r) for r in probed.collect()} == {
+        tuple(r) for r in inline.collect()
+    }
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*INSET", plan)
+    assert m is not None, "centroid INSET missing from index scan PartitionFilters"
+
+    rep = {
+        r.method: r
+        for r in similarity.similarity_ann_recall_report(
+            spark, SF_SMOKE, ivfpq_index_dir=idx
+        ).collect()
+    }
+    assert "ann_ivfpq" in rep and "ann_ivfpq_indexed" in rep
+    col = f"recall_at_{similarity.TOP_K}"
+    assert getattr(rep["ann_ivfpq_indexed"], col) == getattr(rep["ann_ivfpq"], col)
+
+
 def test_pca_whitening_unit_variance_components(spark, tmp_path):
     """Whitened projections must have ~unit variance on every kept
     component (that is the definition); unwhitened variances must echo
@@ -1419,16 +1464,16 @@ def test_index_probe_rejects_hash_mode_mismatch(spark, tmp_path, monkeypatch):
     lsh_build_index(spark, SF_SMOKE, lsh_dir)
     substring_index_build(spark, SF_SMOKE, sub_dir)
     monkeypatch.setenv(HASH_MODE_ENV, "production")
-    with pytest.raises(ValueError, match="hash"):
+    with pytest.raises(ValueError, match="HASH_MODE"):
         bm25_probe_indexed(spark, bm25_dir, SF_SMOKE)
-    with pytest.raises(ValueError, match="hash"):
+    with pytest.raises(ValueError, match="HASH_MODE"):
         lsh_probe_indexed(spark, lsh_dir, SF_SMOKE)
     # the substring-family consumers guard the same way: a cross-mode
     # probe computes different window hashes and would match NOTHING —
     # every doc silently routed 'new' — so it must refuse loudly instead
-    with pytest.raises(ValueError, match="hash"):
+    with pytest.raises(ValueError, match="HASH_MODE"):
         exact_substring_dedup_indexed(spark, sub_dir)
-    with pytest.raises(ValueError, match="hash"):
+    with pytest.raises(ValueError, match="HASH_MODE"):
         span_removal_plan_indexed(spark, sub_dir)
     # matching mode still probes fine
     monkeypatch.setenv(HASH_MODE_ENV, "oracle")
@@ -3014,6 +3059,85 @@ def test_winnowing_finds_planted_pair_and_samples_subset(spark, tmp_path):
     pairs = dedup.dedup_winnowing(spark, str(out)).collect()
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
     assert pairs[0].common_fingerprints >= 2
+
+
+def test_winnowing_df_cap_drops_boilerplate_fingerprints(spark, tmp_path):
+    """The skew guard: a boilerplate paragraph shared by FOUR docs puts
+    its fingerprints at df=4; with df_cap=3 those hot keys are dropped
+    before the self-join, so boilerplate-only pairs vanish while a pair
+    sharing a RARE paragraph (df=2) survives. The default cap (128)
+    keeps everything here — planted behavior, both regimes."""
+    boiler = " ".join(f"bp{i}" for i in range(30))
+    rare = " ".join(f"rr{i}" for i in range(30))
+    out = tmp_path / "winnow_cap"
+    spark.createDataFrame(
+        [(1, boiler + " " + rare, "en", "s", 1),
+         (2, rare + " " + boiler, "en", "s", 1),
+         (3, boiler + " " + " ".join(f"x{i}" for i in range(10)), "en", "s", 1),
+         (4, " ".join(f"y{i}" for i in range(10)) + " " + boiler, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    # default cap: all six pairs collide via the boilerplate run
+    full = {(r.doc_a, r.doc_b) for r in dedup.dedup_winnowing(spark, str(out)).collect()}
+    assert full == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    # capped at 3: boilerplate fingerprints (df=4) die; only the rare-
+    # paragraph pair (df=2 fingerprints) survives
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_winnowing(spark, str(out), df_cap=3).collect()
+    }
+    assert capped == {(1, 2)}
+
+
+def test_winnow_index_probe_equals_inline_and_pins_hash_mode(
+    spark, tmp_path, monkeypatch
+):
+    """The persisted winnowed-fingerprint stream must reproduce the inline
+    candidate pairs exactly, and — fingerprints being hash60 values —
+    must refuse a probe under the other hash family."""
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import HASH_MODE_ENV
+
+    shared = " ".join(f"sh{i}" for i in range(20))
+    out = tmp_path / "winnow_idx_docs"
+    spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(8)) + " " + shared, "en", "s", 1),
+         (2, shared + " " + " ".join(f"x{i}" for i in range(9)), "en", "s", 1),
+         (3, " ".join(f"nv{i}" for i in range(25)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    idx = str(tmp_path / "winnow_index")
+    dedup.winnow_index_build(spark, str(out), idx)
+    inline = dedup.dedup_winnowing(spark, str(out)).collect()
+    probed = dedup.dedup_winnowing_indexed(spark, idx).collect()
+    assert {tuple(r) for r in probed} == {tuple(r) for r in inline}
+    assert len(inline) == 1
+    monkeypatch.setenv(HASH_MODE_ENV, "production")
+    with pytest.raises(ValueError, match="HASH_MODE"):
+        dedup.dedup_winnowing_indexed(spark, idx)
+
+
+def test_winnowing_recall_report_planted_counts(spark, tmp_path):
+    """Two near-identical docs (truth AND candidate), one contained-copy
+    pair below the Jaccard-1/2 truth bar that winnowing still surfaces
+    (candidate, not verified), one unrelated doc: n_truth=1,
+    n_candidates=2, n_verified=1, recall=1.0, precision=0.5."""
+    para = " ".join(f"p{i}" for i in range(24))
+    out = tmp_path / "winnow_recall"
+    spark.createDataFrame(
+        [(1, para + " a1 a2", "en", "s", 1),
+         (2, para + " b1 b2", "en", "s", 1),
+         # doc 3 shares the paragraph but is 3x longer: Jaccard < 1/2
+         (3, para + " " + " ".join(f"z{i}" for i in range(50)), "en", "s", 1),
+         (4, " ".join(f"nv{i}" for i in range(30)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out}/documents.parquet")
+    rows = dedup.dedup_winnowing_recall_report(spark, str(out)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_truth, r.n_verified) == (1, 1)
+    assert r.n_candidates >= 2  # (1,2) verified + at least one (·,3) pair
+    assert r.recall == 1.0
+    assert r.candidate_precision == round(1.0 / r.n_candidates, 6)
 
 
 def test_ndcg_report_matches_pure_python_recompute(spark):

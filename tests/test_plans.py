@@ -265,6 +265,9 @@ QUADRATIC_BY_DESIGN = {
     "dedup_lsh_recall_report",        # four ONE-ROW count aggregates joined
                                       # (dedup_family_compare's class), over
                                       # the quadratic-by-design truth path
+    "dedup_winnowing_recall_report",  # same class: three ONE-ROW counts
+                                      # crossed, all-pairs truth arm is the
+                                      # verification path by design
     "corpus_dsir_weights",      # cross join against the ONE-ROW target/raw
                                 # hashed-bucket mass totals (text_lm_score's
                                 # class: scalar broadcast, constant build side)
@@ -699,6 +702,9 @@ def test_substring_family_scan_counts_pinned(spark):
         dedup.corpus_doc_duplication_fraction: 3,
         dedup.doc_self_repetition_spans: 2,
         dedup.dedup_winnowing: 1,
+        # recall report = truth arm (one full-gram-set scan) + the gated
+        # one-scan candidate arm — 2 total; a third means an arm escaped
+        dedup.dedup_winnowing_recall_report: 2,
         # JS divergence tokenizes ONCE into the bounded (source, bucket)
         # localCheckpoint; everything downstream is rollups of that cut,
         # so the final plan must contain ZERO parquet scans — any scan
