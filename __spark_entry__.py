@@ -49,73 +49,80 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the remaining slots re-verify the float-adjacent ANN/retrieval
 #     family and a sample of every tier (dedup, text/corpus, embedding,
 #     multimodal, TPC-H perf-weak set, events analytics).
-# Round-9 window: the 16 round-9 debuts lead (debut-window rule), then the
-# OLDEST never-re-verified driver rows — the round-1 cohort (last
-# driver-green in CORRECTNESS_r01) and the round-2-era events/streaming
-# tier — so driver re-verification keeps cycling the whole registry
-# (VERDICT r8 item 5).  Every key outside this window holds a driver-green
-# row from r01-r08 plus the local full-registry differential at HEAD
-# (sf0.01, hostile, SPARK_GRAFT_SHUFFLE=7, sf0.1, vanilla foreign-cwd).
+# Round-10 window (VERDICT r9 item 4): the 3 round-10 debuts lead, then
+# the 5 registered queries round 10 CHANGED (the recall scoreboard's new
+# ann_ivfpq row, winnowing's DF cap, and the BM25 family's window-form
+# scan fusion — results re-proven equal locally, re-greened here), then
+# the OLDEST driver-green rows by round: the 9 keys whose latest green is
+# still CORRECTNESS_r01 (the set dropped from the r9 window, as that
+# window's closing comment promised), the full latest=r02 cohort (19),
+# and the oldest 14 of the latest=r03 cohort — 50 exactly, so driver
+# re-verification keeps cycling the whole registry. Every key outside
+# this window holds a driver-green row from r01-r09 plus the local
+# full-registry differential at HEAD (sf0.01, hostile,
+# SPARK_GRAFT_SHUFFLE=7, sf0.1, vanilla foreign-cwd).
 _PRIORITY = (
-    # -- NEW round-9 debuts: must be driver-evaluated in their debut window
-    "corpus_exact_substring_dedup",
-    "corpus_bpe_encode",
-    "corpus_bpe_fertility",
-    "similarity_ann_ivf_nprobe_sweep",
-    "corpus_doc_duplication_fraction",
-    "doc_self_repetition_spans",
-    "corpus_bpe_merge_curve",
-    "corpus_bpe_pack_sequences",
-    "corpus_duplication_by_source",
-    "similarity_ann_ivfpq",
-    "corpus_span_removal_plan",
-    "corpus_source_js_divergence",
-    "events_cusum_changepoint",
-    "events_mad_outliers",
+    # -- NEW round-10 debuts: driver-evaluated in their debut window
+    "dedup_winnowing_recall_report",
+    "events_type_trend_ols",
+    "doc_js_novelty",
+    # -- registered queries CHANGED in round 10
+    "similarity_ann_recall_report",
     "dedup_winnowing",
+    "text_bm25_retrieval",
+    "retrieval_hybrid_rrf",
     "retrieval_ndcg_report",
-    # -- round-1 cohort: driver-green only in CORRECTNESS_r01 until now
-    "count_total",
-    "customer_order_gaps",
-    "customer_spend_quartiles",
-    "customers_without_orders",
-    "duplicate_emails",
-    "email_domains",
-    "lineitem_grouping_sets",
-    "orders_status_cube",
-    "partition_filter",
-    "phone_patterns",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "segment_revenue_salted",
-    "suppliers_with_large_lines",
-    "top_customers_by_revenue",
-    "unique_locations",
-    "users_by_city",
-    "window_running_revenue",
-    # -- round-2-era events/streaming tier (the class VERDICT r8 named)
-    "events_asof_purchase",
-    "events_conversion_funnel",
-    "events_daily_pivot",
-    "events_distinct_users",
-    "events_hourly_windows",
-    "events_props_extract",
-    "events_range_join",
-    "events_time_rollup",
-    "events_value_percentiles",
-    "streaming_click_purchase_join",
-    "streaming_distinct_pairs",
-    "streaming_hourly_counts",
-    "streaming_sessionize",
-    "streaming_user_stats",
-    # (lang_id / pii_redact / multimodal_resize / sample_rows /
-    #  catchphrase_usage / same_city_diff_company / company_employees /
-    #  user_profiles / top_segments / q16_parts_supplier_counts /
-    #  users_with_websites rotate in next round —
-    #  each holds an r01/r02 driver green + local greens at HEAD, and each
-    #  dropped key's plan CLASS stays sampled by an in-window sibling)
+    # -- latest driver green = r01 (the keys dropped from the r9 window)
+    "sample_rows",
+    "users_with_websites",
+    "company_employees",
+    "catchphrase_usage",
+    "business_types",
+    "user_profiles",
+    "same_city_diff_company",
+    "top_segments",
+    "q16_parts_supplier_counts",
+    # -- latest driver green = r02 (complete cohort)
+    "data_freshness",
+    "missing_fields",
+    "extraction_trends",
+    "users_click_and_purchase",
+    "users_click_not_purchase",
+    "orders_revenue_moving_avg",
+    "cheapest_line_per_part",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "text_token_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "documents_stratified_sample",
+    "corpus_bigram_stats",
+    "pii_redact",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "documents_profile",
+    # -- latest driver green = r03 (oldest 14)
+    "events_approx_sketch",
+    "events_hourly_gapfill",
+    "events_cohort_retention",
+    "events_key_skew_profile",
+    "events_anomaly_zscore",
+    "orders_rfm_segments",
+    "events_user_features",
+    "events_value_histogram",
+    "events_item_cooccurrence",
+    "events_top_paths",
+    "events_session_funnel",
+    "orders_backlog_asof",
+    "q4_priority_with_returns",
+    "q7_volume_shipping",
+    # (the rest of the r03 cohort — q8_market_share, q9_product_profit,
+    #  q12_priority_linestatus, q15_top_supplier, q19_disjunctive_revenue,
+    #  q22_idle_rich_customers, q2_min_cost_supplier, q11_important_stock —
+    #  rotates in next round; each holds an r03 driver green + local greens
+    #  at HEAD, and each dropped key's plan CLASS stays sampled by an
+    #  in-window sibling)
 )
 
 

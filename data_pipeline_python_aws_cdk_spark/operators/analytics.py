@@ -4215,6 +4215,112 @@ def lineitem_ship_latency_regression(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_TYPE_TREND_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x,
+         CAST(cnt AS BIGINT) AS y
+  FROM daily
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n >= 2 AND {_OLS_DENX} > 0
+            THEN CAST(ROUND(({_OLS_NUM} / {_OLS_DENX}) * 1000000) AS BIGINT)
+            ELSE NULL END AS slope_micro,
+       CASE WHEN n >= 2 AND {_OLS_DENX} > 0
+            THEN CAST(ROUND(((CAST(sy AS DOUBLE)
+                              - (({_OLS_NUM} / {_OLS_DENX}) * sx)) / n)
+                            * 1000000) AS BIGINT)
+            ELSE NULL END AS intercept_micro,
+       CASE WHEN n >= 2 AND {_OLS_DENX} > 0 AND {_OLS_DENY} > 0
+            THEN CAST(ROUND((({_OLS_NUM} * {_OLS_NUM})
+                             / ({_OLS_DENX} * {_OLS_DENY})) * 1000000) AS BIGINT)
+            ELSE NULL END AS r2_micro
+FROM m ORDER BY event_type
+"""
+
+
+@_register("events_type_trend_ols", oracle=_TYPE_TREND_ORACLE)
+def events_type_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED closed-form OLS: one trend line PER EVENT TYPE over its
+    daily volume — slope (events/day drift, micro-units), intercept, and
+    r² for every category in one pass, the grouped twin of
+    lineitem_ship_latency_regression (VERDICT r9's named growth
+    candidate). The question it answers is the ops staple "which event
+    types are growing/decaying, and how linearly": CUSUM finds WHERE one
+    series' level moved; this ranks ALL series by direction and fit.
+    x is the absolute epoch day, so slopes are comparable across types
+    whose active day ranges differ.
+
+    Scale shape: the corpus collapses to the bounded (|types| x |days|)
+    daily rollup in one map-side-combined aggregation; the five moment
+    sums are exact int64 aggregates OF that table grouped by type (the
+    group-by column simply rides the same closed-form machinery); doubles
+    enter only in the final per-group select, in the verbatim shared
+    sub-expressions, so engines agree bit-for-bit. Degenerate groups
+    (single active day -> zero x-variance) return NULL identically.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint").alias("x"),
+        F.col("cnt").cast("bigint").alias("y"),
+    )
+    m = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    ok = F.expr(f"n >= 2 AND {_OLS_DENX} > 0")
+    return (
+        m.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.when(
+                ok,
+                F.expr(
+                    f"CAST(ROUND(({_OLS_NUM} / {_OLS_DENX}) * 1000000) AS BIGINT)"
+                ),
+            ).alias("slope_micro"),
+            F.when(
+                ok,
+                F.expr(
+                    f"CAST(ROUND(((CAST(sy AS DOUBLE)"
+                    f" - (({_OLS_NUM} / {_OLS_DENX}) * sx)) / n) * 1000000)"
+                    f" AS BIGINT)"
+                ),
+            ).alias("intercept_micro"),
+            F.when(
+                ok & F.expr(f"{_OLS_DENY} > 0"),
+                F.expr(
+                    f"CAST(ROUND((({_OLS_NUM} * {_OLS_NUM})"
+                    f" / ({_OLS_DENX} * {_OLS_DENY})) * 1000000) AS BIGINT)"
+                ),
+            ).alias("r2_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- chi-square independence audit (round 8) ---------------------------------
 
 _CHI2_ORACLE = """

@@ -2881,6 +2881,86 @@ def test_js_divergence_zero_for_single_source_and_ranks_disjoint_higher(spark, t
     assert 0 < by_src["shared"] < by_src["disjoint"] <= ln2_nano
 
 
+def test_doc_js_novelty_zero_for_lone_doc_and_ranks_disjoint_higher(
+    spark, tmp_path
+):
+    """A corpus of ONE doc has doc distribution == corpus distribution
+    bucket-for-bucket, so its JS is EXACTLY zero; in a mixed corpus a
+    disjoint-vocabulary doc must out-diverge docs that share the corpus
+    vocabulary, all within [0, ln 2]; and doc scores must sit on the same
+    nano scale as the source table (comparability claim)."""
+    import math
+
+    one = tmp_path / "djs_one"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta", "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{one}/documents.parquet")
+    rows = text.doc_js_novelty(spark, str(one)).collect()
+    assert [(r.doc_id, r.js_nano) for r in rows] == [(1, 0)]
+
+    mixed = tmp_path / "djs_mixed"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 8, "en", "s", 1),
+         (2, "alpha beta gamma delta epsilon " * 8, "en", "s", 1),
+         (3, "zulu yankee xray whiskey " * 8, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{mixed}/documents.parquet")
+    by_doc = {
+        r.doc_id: r.js_nano for r in text.doc_js_novelty(spark, str(mixed)).collect()
+    }
+    assert set(by_doc) == {1, 2, 3}
+    ln2_nano = math.log(2) * 1e9
+    assert max(by_doc[1], by_doc[2]) < by_doc[3] <= ln2_nano
+    assert all(v >= 0 for v in by_doc.values())
+
+
+def test_events_type_trend_ols_recovers_planted_line(spark, tmp_path):
+    """A type whose daily count is exactly y = 2x + 3 must come back with
+    slope_micro = 2_000_000, intercept_micro = 3_000_000, r2 = 1_000_000;
+    a single-active-day type has zero x-variance -> all-NULL fit."""
+    import datetime
+
+    from data_pipeline_python_aws_cdk_spark.operators import (
+        analytics as analyticsmod,
+    )
+
+    base = datetime.date(2024, 3, 1)
+    epoch = datetime.date(1970, 1, 1)
+    rows, eid = [], 0
+    for d in range(6):
+        day = base + datetime.timedelta(days=d)
+        x = (day - epoch).days
+        for _ in range(2 * x + 3):
+            eid += 1
+            rows.append(
+                (eid, 1, "linear", datetime.datetime.combine(day, datetime.time(9)), 1.0, "{}")
+            )
+    for _ in range(7):
+        eid += 1
+        rows.append(
+            (eid, 2, "oneday", datetime.datetime.combine(base, datetime.time(9)), 1.0, "{}")
+        )
+    out = tmp_path / "trend_ols"
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(f"{out}/events.parquet")
+    got = {
+        r.event_type: r
+        for r in analyticsmod.events_type_trend_ols(spark, str(out)).collect()
+    }
+    lin = got["linear"]
+    assert lin.n_days == 6
+    assert lin.slope_micro == 2_000_000
+    assert lin.intercept_micro == 3_000_000
+    assert lin.r2_micro == 1_000_000
+    one = got["oneday"]
+    assert one.n_days == 1
+    assert (one.slope_micro, one.intercept_micro, one.r2_micro) == (None, None, None)
+
+
 def test_cusum_changepoint_finds_planted_level_shift(spark, tmp_path):
     """10 days at 10 events/day then 10 days at 30/day: the scaled CUSUM
     is exactly 200d-400d on the left and 200d-4000 on the right, so the

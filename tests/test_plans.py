@@ -234,6 +234,10 @@ QUADRATIC_BY_DESIGN = {
     "corpus_source_js_divergence",  # BOUNDED |sources| x 512-bucket grid
     #                             (two tiny sets cross-joined) + the
     #                             ONE-ROW token grand total
+    "doc_js_novelty",           # ONE-ROW token grand total crossed onto
+    #                             the per-doc term stream (each doc
+    #                             explodes its own bucket grid in-row —
+    #                             linear in docs, never a data cross)
     "events_mad_outliers",      # two ONE-ROW median/MAD scalars cross-
     #                             joined back onto the |days| series
     #                             (dedup_family_compare's class)
@@ -688,13 +692,16 @@ def test_sla_latency_aggregates_lineitem_inside_join(spark):
 
 
 def test_substring_family_scan_counts_pinned(spark):
-    """The exact-substring family's corpus-pass budget is pinned: the gram
-    stream's consumers each re-run the tokenize scan in the inline form
-    (the documented trade — substring_index_build is the amortization),
-    so a stray extra consumer shows up here as a scan-count regression
-    long before it shows up as 100 TB wall time. Winnowing must stay at
-    ONE scan (its self-join reuses the selection exchange); the doc-
-    fraction op must hold the fused-aggregation count (4 -> 3, round 9)."""
+    """Corpus-pass budgets pinned per multi-consumer operator: a stray
+    extra consumer of a shared stream (the §8.3 pruning-defeats-exchange-
+    reuse class) shows up here as a scan-count regression long before it
+    shows up as 100 TB wall time. The exact-substring family's gram
+    consumers each re-run the tokenize scan in the inline form (the
+    documented trade — substring_index_build is the amortization);
+    winnowing must stay at ONE scan (its self-join reuses the selection
+    exchange); the doc-fraction op must hold the fused-aggregation count
+    (4 -> 3, round 9). Round 10 extends the gate to the older
+    multi-consumer ops audited per VERDICT r9 item 3."""
     from data_pipeline_python_aws_cdk_spark.operators import dedup, text
 
     budgets = {
@@ -712,6 +719,25 @@ def test_substring_family_scan_counts_pinned(spark):
         # corpus (the 3-scan shape this op shipped with before round 9's
         # closing fix).
         text.corpus_source_js_divergence: 0,
+        # doc-level twin: per-doc arm is ONE lineage (in-row bucket map),
+        # corpus-bucket arm sits behind the bounded checkpoint (its scan
+        # is paid at build, invisible in the final plan) — ONE scan left
+        text.doc_js_novelty: 1,
+        # BM25: dl/df ride the count table as window columns (round-10
+        # fusion, 6 -> 2): one postings pipeline + the one-row stats
+        # rollup; the query-side read is a doc_id-pruned 8-doc scan.
+        text.text_bm25_retrieval: 2,
+        # fusions of the two retriever budgets (2 + similarity_topk's 2)
+        text.retrieval_hybrid_rrf: 4,
+        text.retrieval_ndcg_report: 4,
+        # one scan per method arm — exact fp rollup, the minhash cluster
+        # pipeline, the ungrouped corpus count — each needs a different
+        # projection of the corpus by nature
+        dedup.corpus_dedup_cascade_report: 3,
+        dedup.dedup_family_compare: 3,
+        # already-optimal single-scan shapes, pinned against regression
+        dedup.source_overlap_matrix: 1,
+        dedup.corpus_ngram_novelty: 1,
     }
     for fn, expected in budgets.items():
         df = fn(spark, SF_SMOKE)
