@@ -4179,6 +4179,116 @@ def dedup_winnowing_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _winnow_verified_oracle() -> str:
+    return f"""
+    WITH {_winnow_fp_ctes()},
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(COUNT(*) AS BIGINT) AS common_fingerprints
+             FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+             HAVING COUNT(*) >= {WINNOW_MIN_SHARED}),
+    cdocs AS (SELECT doc_a AS doc_id FROM cand
+              UNION SELECT doc_b FROM cand),
+    fullset AS (SELECT DISTINCT doc_id, h FROM g
+                WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM fullset GROUP BY doc_id),
+    pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           FROM fullset a JOIN fullset b
+             ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b, c.common_fingerprints,
+           CAST(pc.common AS BIGINT) AS common_grams,
+           CAST(ca.n AS BIGINT) AS n_a,
+           CAST(cb.n AS BIGINT) AS n_b,
+           CAST(ROUND(pc.common * 1000000.0 / (ca.n + cb.n - pc.common))
+                AS BIGINT) AS jaccard_micro,
+           3 * pc.common >= ca.n + cb.n AS is_dup
+    FROM cand c
+    JOIN pc ON pc.doc_a = c.doc_a AND pc.doc_b = c.doc_b
+    JOIN cnt ca ON ca.doc_id = c.doc_a
+    JOIN cnt cb ON cb.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """
+
+
+@_register("dedup_winnowing_verified", oracle=_winnow_verified_oracle())
+def dedup_winnowing_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing rung's CONSUMABLE output: every candidate pair the
+    fingerprint screen surfaced, verified by exact Jaccard over the FULL
+    distinct {WINNOW_K}-gram sets — what dedup_minhash_lsh emits for the
+    banding path, emitted here for the MOSS path (the recall report
+    grades the screen in aggregate; this is the pair table a dedup policy
+    actually consumes). jaccard_micro is one double division of exact
+    integers rounded to micro-units; is_dup is the integer-exact
+    3*common >= n_a + n_b spelling of Jaccard >= 1/2 — no float boundary
+    can flip a verdict cross-engine.
+
+    Scale discipline (the minhash rule): the exact-verification gram sets
+    are CANDIDATE-PRUNED — full sets are built only for documents that
+    appear in some candidate pair (left-semi on the candidate doc list),
+    so verification cost scales with candidate volume, never the corpus;
+    the pairwise overlap join runs on those pruned sets and is grouped
+    straight onto the candidate pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cand = _winnow_pairs(_winnow_fingerprints(d))
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= WINNOW_K
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
+        f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
+    )
+    fullset = (
+        t.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", hash60(F.col("gram")).alias("h"))
+        .distinct()
+        .join(cdocs, "doc_id", "left_semi")
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    a = fullset.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("n_a")
+    )
+    b = fullset.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("n").alias("n_b")
+    )
+    pc = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return (
+        cand.join(pc, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_fingerprints",
+            F.col("common").cast("bigint").alias("common_grams"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("common") * 1000000.0
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+            (3 * F.col("common") >= F.col("n_a") + F.col("n_b")).alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def substring_screen_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
     """Screen a batch of ARRIVING documents against a persisted standing-
     corpus fingerprint index (substring_index_build's (doc_id, i, h)

@@ -2173,6 +2173,15 @@ def bpe_train(
     loop. Pair counting and the merge rewrite are both dictionary-sized,
     corpus-size-independent work.
 
+    Merge-budget envelope (measured round 10, BASELINE.md): ~0.18-0.31 s
+    per round on sf0.1/local[32] — the per-round cost is the driver-loop
+    scheduling floor, not data volume. A production 32k-merge vocabulary
+    is therefore ~1.8 h of serial rounds; if that matters, the scale path
+    is batching each round's top-k NON-OVERLAPPING pairs (no shared
+    symbol between any two selected pairs — their rewrites commute, so
+    greedy order is preserved) into one rewrite pass, cutting round count
+    by roughly the batch factor at identical results.
+
     Returns {"merges": [(pair, count), ...], "vocab_size": int,
     "total_symbols": int} — merges in learned order.
     """

@@ -3218,6 +3218,22 @@ def test_winnowing_recall_report_planted_counts(spark, tmp_path):
     assert r.n_candidates >= 2  # (1,2) verified + at least one (·,3) pair
     assert r.recall == 1.0
     assert r.candidate_precision == round(1.0 / r.n_candidates, 6)
+    # the pair-level verified table agrees with the aggregate report:
+    # every candidate appears, exactly the (1,2) pair passes the bar,
+    # and its exact-Jaccard micro value is the recomputable ratio
+    ver = {
+        (v.doc_a, v.doc_b): v
+        for v in dedup.dedup_winnowing_verified(spark, str(out)).collect()
+    }
+    assert len(ver) == r.n_candidates
+    assert ver[(1, 2)].is_dup and sum(v.is_dup for v in ver.values()) == 1
+    v12 = ver[(1, 2)]
+    assert v12.jaccard_micro == round(
+        v12.common_grams * 1_000_000 / (v12.n_a + v12.n_b - v12.common_grams)
+    )
+    assert all(
+        v.common_fingerprints >= dedup.WINNOW_MIN_SHARED for v in ver.values()
+    )
 
 
 def test_ndcg_report_matches_pure_python_recompute(spark):

@@ -712,6 +712,10 @@ def test_substring_family_scan_counts_pinned(spark):
         # recall report = truth arm (one full-gram-set scan) + the gated
         # one-scan candidate arm — 2 total; a third means an arm escaped
         dedup.dedup_winnowing_recall_report: 2,
+        # verified pairs = candidate arm + the candidate-pruned gram-set
+        # arm (the candidate subplan's two consumers canonicalize to one
+        # exchange) — 2 total
+        dedup.dedup_winnowing_verified: 2,
         # JS divergence tokenizes ONCE into the bounded (source, bucket)
         # localCheckpoint; everything downstream is rollups of that cut,
         # so the final plan must contain ZERO parquet scans — any scan
