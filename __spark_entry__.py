@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the remaining slots re-verify the float-adjacent ANN/retrieval
 #     family and a sample of every tier (dedup, text/corpus, embedding,
 #     multimodal, TPC-H perf-weak set, events analytics).
-# Round-10 window (VERDICT r9 item 4): the 4 round-10 debuts lead, then
+# Round-10 window (VERDICT r9 item 4): the 5 round-10 debuts lead, then
 # the 5 registered queries round 10 CHANGED (the recall scoreboard's new
 # ann_ivfpq row, winnowing's DF cap, and the BM25 family's window-form
 # scan fusion — results re-proven equal locally, re-greened here), then
@@ -65,6 +65,7 @@ _PRIORITY = (
     # -- NEW round-10 debuts: driver-evaluated in their debut window
     "dedup_winnowing_recall_report",
     "dedup_winnowing_verified",
+    "similarity_ann_ivfpq_residual",
     "events_type_trend_ols",
     "doc_js_novelty",
     # -- registered queries CHANGED in round 10
@@ -116,8 +117,8 @@ _PRIORITY = (
     "events_top_paths",
     "events_session_funnel",
     "orders_backlog_asof",
-    "q4_priority_with_returns",
-    # (the rest of the r03 cohort — q7_volume_shipping, q8_market_share,
+    # (the rest of the r03 cohort — q4_priority_with_returns,
+    #  q7_volume_shipping, q8_market_share,
     #  q9_product_profit,
     #  q12_priority_linestatus, q15_top_supplier, q19_disjunctive_revenue,
     #  q22_idle_rich_customers, q2_min_cost_supplier, q11_important_stock —

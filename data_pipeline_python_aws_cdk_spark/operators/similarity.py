@@ -2262,6 +2262,122 @@ def _ivfpq_oracle() -> str:
     """
 
 
+CB_BASE = IVF_NLIST  # residual-codebook seeds: vec_ids [CB_BASE, CB_BASE+PQ_K)
+
+
+def _res_sq_sql(vec: str, cvec: str) -> str:
+    """Residual-space squared subdistance in micro-units, as shared SQL:
+    sum over the subspace of ((v - v_centroid) - (b - b_centroid))^2,
+    rounded to 6dp then scaled — the per-(row, sub, codeword) kernel both
+    the corpus-code CTE and the query-table CTE replay verbatim. ``vec``/
+    ``cvec``: the row vector and ITS centroid vector (assigned for corpus
+    rows, probed for query rows); the codebook residual is always
+    cb.bv - cb.bcv."""
+    idx = f"s.sub * {PQ_SUBDIM} + j.j"
+    t = (
+        f"(({vec}[{idx}]::DOUBLE - {cvec}[{idx}]::DOUBLE)"
+        f" - (cb.bv[{idx}]::DOUBLE - cb.bcv[{idx}]::DOUBLE))"
+    )
+    return f"CAST(ROUND(ROUND(SUM({t} * {t}), 6) * 1000000) AS BIGINT)"
+
+
+def _ivfpq_res_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH icent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    iac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    iranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM iac
+    ),
+    iassign AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
+    iprobes AS (
+      SELECT vec_id AS query_id, centroid_id FROM iranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ),
+    icand AS (
+      SELECT p.query_id, p.centroid_id, a.vec_id AS neighbor_id
+      FROM iprobes p JOIN iassign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    ),
+    cb AS (
+      SELECT sv.vec_id - {CB_BASE} AS k, sv.embedding AS bv,
+             cc.embedding AS bcv
+      FROM embeddings sv
+      JOIN iassign sa ON sa.vec_id = sv.vec_id
+      JOIN embeddings cc ON cc.vec_id = sa.centroid_id
+      WHERE sv.vec_id >= {CB_BASE} AND sv.vec_id < {CB_BASE + PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, s.sub, cb.k,
+             {_res_sq_sql('e.embedding', 'ca.embedding')} AS dmic
+      FROM embeddings e
+      JOIN iassign ia ON ia.vec_id = e.vec_id
+      JOIN embeddings ca ON ca.vec_id = ia.centroid_id
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY e.vec_id, s.sub, cb.k
+    ),
+    best AS (
+      SELECT vec_id, sub, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dmic, k) AS rn
+      FROM d
+    ),
+    codes AS (SELECT vec_id, sub, k FROM best WHERE rn = 1),
+    qd AS (
+      SELECT p.query_id, p.centroid_id, s.sub, cb.k,
+             {_res_sq_sql('q.embedding', 'cp.embedding')} AS dmic
+      FROM iprobes p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings cp ON cp.vec_id = p.centroid_id
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY p.query_id, p.centroid_id, s.sub, cb.k
+    ),
+    adc AS (
+      SELECT ic.query_id, ic.neighbor_id, SUM(t.dmic) AS adc_micro
+      FROM icand ic
+      JOIN codes c ON c.vec_id = ic.neighbor_id
+      JOIN qd t ON t.query_id = ic.query_id
+               AND t.centroid_id = ic.centroid_id
+               AND t.sub = c.sub AND t.k = c.k
+      GROUP BY ic.query_id, ic.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_micro, neighbor_id) AS srn
+      FROM adc
+    ),
+    p2 AS (
+      SELECT s.query_id, s.neighbor_id, a.embedding AS qe, b.embedding AS ne
+      FROM short s JOIN embeddings a ON a.vec_id = s.query_id
+                   JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.srn <= {PQ_SHORTLIST}
+    ),
+    ex AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
+           FROM p2, generate_series(1, {DIM}) g(i)
+           GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rank
+          FROM ex)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+    """
+
+
 def _recall_oracle() -> str:
     topk = ORACLES["similarity_topk"]
     methods = {
@@ -2269,6 +2385,7 @@ def _recall_oracle() -> str:
         "ann_ivf": _ivf_oracle(),
         "ann_ivf_nprobe3": _ivf_oracle(3),
         "ann_ivfpq": _ivfpq_oracle(),
+        "ann_ivfpq_res": _ivfpq_res_oracle(),
         "ann_quantized": _ann_quantized_oracle(),
         "ann_pq_adc": _pq_adc_oracle(),
     }
@@ -2322,6 +2439,7 @@ def similarity_ann_recall_report(
         "ann_ivf": similarity_ann_ivf,
         "ann_ivf_nprobe3": lambda s, d: similarity_ann_ivf(s, d, nprobe=3),
         "ann_ivfpq": similarity_ann_ivfpq,
+        "ann_ivfpq_res": similarity_ann_ivfpq_residual,
         "ann_quantized": similarity_ann_quantized,
         "ann_pq_adc": similarity_ann_pq_adc,
     }
@@ -3661,6 +3779,193 @@ def ivfpq_probe_indexed(
     )
     adc = (
         nibbles.join(F.broadcast(qtable), ["query_id", "sub", "k"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dmic").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ne")).alias("c")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _res_sq_expr() -> "F.Column":
+    """Residual-space squared subdistance in micro-units, Spark side —
+    the verbatim twin of _res_sq_sql over in-row arrays named
+    (embedding-side) ``v``/``cv`` and (codebook-side) ``bv``/``bcv``:
+    per element j, ((v - cv) - (bv - bcv))^2, left-fold summed in j
+    order (the same order DuckDB's SUM scans its 8-element groups),
+    rounded to 6dp then scaled to exact int64 micro-units."""
+    idx = f"sub * {PQ_SUBDIM} + j"
+    t = (
+        f"((CAST(element_at(v, {idx}) AS DOUBLE)"
+        f" - CAST(element_at(cv, {idx}) AS DOUBLE))"
+        f" - (CAST(element_at(bv, {idx}) AS DOUBLE)"
+        f"    - CAST(element_at(bcv, {idx}) AS DOUBLE)))"
+    )
+    sq = (
+        f"aggregate(transform(sequence(1, {PQ_SUBDIM}), j -> {t} * {t}),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return F.round(F.round(F.expr(sq), 6) * 1_000_000).cast("bigint")
+
+
+def _residual_codebook_rows(e: DataFrame, cent_rows: list) -> list:
+    """Driver-side residual codebook: the {PQ_K} seed vectors at vec_id
+    [CB_BASE, CB_BASE+PQ_K) with the vector of their ASSIGNED centroid —
+    a bounded collect + the _probe_lists top-1 ranking (bit-identical to
+    the distributed assignment), so no extra corpus pass is spent
+    assigning 16 rows. Raw seed vectors ride along (bv, bcv); residual
+    arithmetic happens in the shared kernel expression."""
+    seed_rows = sorted(
+        e.filter(
+            (F.col("vec_id") >= CB_BASE) & (F.col("vec_id") < CB_BASE + PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assigned = dict(_probe_lists(cent_rows, seed_rows, 1))
+    cent_by_id = {r["centroid_id"]: r["ce"] for r in cent_rows}
+    return [
+        (
+            int(r["vec_id"]) - CB_BASE,
+            r["embedding"],
+            cent_by_id.get(assigned.get(int(r["vec_id"]))),
+        )
+        for r in seed_rows
+    ]
+
+
+@_register("similarity_ann_ivfpq_residual", oracle=_ivfpq_res_oracle())
+def similarity_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding — the composition FAISS actually
+    ships as IndexIVFPQ: codes quantize v - centroid(v), not v. Inside
+    one inverted list every member shares its centroid, so the residual
+    distribution is centered and much tighter than the raw vectors';
+    the same {PQ_K}-codeword budget therefore spends its resolution on
+    the part of the vector the IVF assignment has NOT already explained
+    — the standard accuracy win of residual PQ over raw-vector PQ at
+    identical bits (compare this row with ann_ivfpq in the recall
+    scoreboard: the gap IS what residual encoding buys on this corpus).
+
+    The cost asymmetry residual encoding introduces is the interesting
+    part, and it is modeled faithfully: the ADC lookup table becomes
+    per-(query, PROBED LIST) — |queries| x nprobe x {PQ_M} x {PQ_K}
+    integer rows instead of |queries| x {PQ_M} x {PQ_K} — because the
+    query's residual differs per probed centroid. Still bounded, still
+    broadcast; candidates join their list's table on (query, centroid,
+    sub, nibble). Codebook: residuals of the {PQ_K} seed vectors at
+    vec_id [{CB_BASE}, {CB_BASE}+{PQ_K}) — deterministic and
+    oracle-replayable (the PQ_K lowest ids are the IVF centroids
+    themselves, whose residuals are identically zero: a degenerate
+    codebook, so the NEXT {PQ_K} ids seed instead). Null-safe argmin via
+    the coalesce-to-+inf ordering key (embedding_pq_codes' rule: Spark's
+    struct-min sorts NULL first, the oracle's ORDER BY sorts it last).
+
+    Scale shape: assignment is the gated map-only Arrow pass; corpus
+    codes are one bounded-codebook broadcast join (allowlisted class) at
+    {PQ_M} rows per vector; everything query-side is bounded-broadcast;
+    only the {PQ_SHORTLIST}-row shortlist reads float vectors again.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    cent_rows, query_rows = _seed_codebook_and_queries(e)
+    assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    probes = spark.createDataFrame(
+        _probe_lists(cent_rows, query_rows, IVF_NPROBE) or [],
+        "query_id long, centroid_id long",
+    )
+    cb_lit = spark.createDataFrame(
+        _residual_codebook_rows(e, cent_rows) or [],
+        f"k long, bv array<float>, bcv array<float>",
+    )
+    # --- corpus codes over residuals: vector + ITS centroid ride in-row
+    av = assign.join(F.broadcast(cent), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.col("embedding").alias("v"),
+        F.col("ce").alias("cv"),
+    )
+    subs = av.select(
+        "vec_id", "v", "cv",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+    )
+    dist = subs.join(F.broadcast(cb_lit)).select(
+        "vec_id", "sub", "k", _res_sq_expr().alias("dmic")
+    )
+    codes = (
+        dist.groupBy("vec_id", "sub")
+        .agg(
+            F.min(
+                F.struct(
+                    F.coalesce(
+                        F.col("dmic").cast("double"), F.lit(float("inf"))
+                    ).alias("ord"),
+                    F.col("k"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "sub", F.col("b.k").alias("k")
+        )
+    )
+    # --- per-(query, probed list) ADC tables: bounded, broadcast
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qp = (
+        F.broadcast(probes)
+        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "query_id",
+            "centroid_id",
+            F.col("qe").alias("v"),
+            F.col("ce").alias("cv"),
+        )
+    )
+    qsubs = qp.select(
+        "query_id", "centroid_id", "v", "cv",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+    )
+    qd = qsubs.join(F.broadcast(cb_lit)).select(
+        "query_id", "centroid_id", "sub", "k", _res_sq_expr().alias("dmic")
+    )
+    # --- candidates carry their list id; ADC joins the list's table
+    cand = (
+        F.broadcast(probes)
+        .join(assign.select("vec_id", "centroid_id"), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "centroid_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "centroid_id", "sub", "k"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("dmic").alias("adc_micro"))
     )

@@ -2803,6 +2803,45 @@ def test_ann_ivfpq_finds_planted_near_duplicate_and_respects_probes(spark, tmp_p
         assert ivf[(r.query_id, r.rank)] >= r.cosine
 
 
+def test_ann_ivfpq_residual_finds_planted_near_dup_and_self_codes_exact(
+    spark, tmp_path
+):
+    """Residual IVFPQ must surface a 0.999-cosine copy at rank 1, never
+    emit a self-pair, and stay IVF-cosine-dominated at equal rank (same
+    candidate universe, shortlist-only rescoring — PQ can only drop
+    candidates before the exact rerank, never add or re-score them up)."""
+    import random
+
+    rnd = random.Random(17)
+    dim = similarity.DIM
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    q = vec()
+    near = [x + rnd.gauss(0, 0.01) for x in q]
+    # contiguous ids: the residual codebook seeds are vec_ids
+    # [CB_BASE, CB_BASE + PQ_K) and must exist in the corpus
+    rows = [(0, q, 0), (100, near, 0)] + [
+        (i, vec(), 1) for i in range(1, 300) if i != 100
+    ]
+    out = tmp_path / "emb_ivfpq_res"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+
+    res = similarity.similarity_ann_ivfpq_residual(spark, str(out)).collect()
+    top = {r.query_id: r.neighbor_id for r in res if r.rank == 1}
+    assert top.get(0) == 100
+    assert all(r.query_id != r.neighbor_id for r in res)
+    ivf = {
+        (r.query_id, r.rank): r.cosine
+        for r in similarity.similarity_ann_ivf(spark, str(out)).collect()
+    }
+    for r in res:
+        assert ivf[(r.query_id, r.rank)] >= r.cosine
+
+
 def test_span_removal_plan_keeps_one_copy(spark, tmp_path):
     """Under the min-id canon, the lower doc of a planted shared paragraph
     keeps its copy (removable 0, kept = paragraph mass) and the higher doc

@@ -231,6 +231,10 @@ QUADRATIC_BY_DESIGN = {
     "similarity_ann_ivfpq",     # corpus x 16-row PQ codebook broadcast
     #                             (embedding_pq_codes' class) feeding the
     #                             IVF-candidate-restricted ADC join
+    "similarity_ann_ivfpq_residual",  # same class: corpus x 16-row
+    #                             residual-codebook broadcast; query
+    #                             tables are queries x nprobe x codebook
+    #                             bounded broadcasts
     "corpus_source_js_divergence",  # BOUNDED |sources| x 512-bucket grid
     #                             (two tiny sets cross-joined) + the
     #                             ONE-ROW token grand total
