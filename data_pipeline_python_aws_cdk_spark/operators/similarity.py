@@ -2546,6 +2546,12 @@ def similarity_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFra
             .select(F.lit(np_).cast("bigint").alias("nprobe"), "r", "hits")
         )
         per = hit if per is None else per.unionByName(hit)
+    return _nprobe_sweep_rollup(per)
+
+
+def _nprobe_sweep_rollup(per: DataFrame) -> DataFrame:
+    """Shared sweep tail (per-point per-query hit rows -> the curve), so
+    the inline and indexed sweeps cannot drift in their rollup."""
     return (
         per.groupBy("nprobe")
         .agg(
@@ -2555,6 +2561,42 @@ def similarity_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("nprobe")
     )
+
+
+def ivf_nprobe_sweep_indexed(
+    spark: SparkSession, index_dir: str, sf_dir: str
+) -> DataFrame:
+    """The nprobe recall curve over the PERSISTED IVF index — the exact
+    plan the inline sweep's docstring prescribes for 100 TB, executable:
+    the assignment pass is paid ONCE at ivf_build_index, and each sweep
+    point is a partition-pruned read of nprobe/NLIST of the index
+    (ivf_probe_indexed, gated), so sweeping the dial costs probes, not
+    rebuilds. Result-equal to the inline sweep when the index was built
+    from the seed codebook (pinned by test via the shared rollup tail).
+    """
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    per = None
+    for np_ in IVF_NPROBE_SWEEP:
+        approx = ivf_probe_indexed(spark, index_dir, sf_dir, nprobe=np_).select(
+            "query_id", F.col("neighbor_id").alias("a_neighbor")
+        )
+        hit = (
+            exact.join(
+                approx,
+                (exact.query_id == approx.query_id)
+                & (exact.neighbor_id == approx.a_neighbor),
+                "left",
+            )
+            .select(
+                exact.query_id.alias("qid"),
+                F.col("a_neighbor").isNotNull().cast("double").alias("hit"),
+            )
+            .groupBy("qid")
+            .agg(F.avg("hit").alias("r"), F.sum("hit").alias("hits"))
+            .select(F.lit(np_).cast("bigint").alias("nprobe"), "r", "hits")
+        )
+        per = hit if per is None else per.unionByName(hit)
+    return _nprobe_sweep_rollup(per)
 
 
 @_register(

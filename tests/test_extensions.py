@@ -587,11 +587,25 @@ def test_ivf_persisted_index_prunes_partitions_and_matches_inline(spark, tmp_pat
         similarity_ann_ivf,
     )
 
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        ivf_nprobe_sweep_indexed,
+        similarity_ann_ivf_nprobe_sweep,
+    )
+
     index_dir = str(tmp_path / "ivf_index")
     ivf_build_index(spark, SF_SMOKE, index_dir)
     probed = ivf_probe_indexed(spark, index_dir, SF_SMOKE)
     inline = similarity_ann_ivf(spark, SF_SMOKE)
     assert {tuple(r) for r in probed.collect()} == {tuple(r) for r in inline.collect()}
+    # the nprobe sweep over the SAME persisted index reproduces the
+    # inline sweep's curve — one build amortized across all sweep points
+    sweep_idx = {
+        tuple(r) for r in ivf_nprobe_sweep_indexed(spark, index_dir, SF_SMOKE).collect()
+    }
+    sweep_inline = {
+        tuple(r) for r in similarity_ann_ivf_nprobe_sweep(spark, SF_SMOKE).collect()
+    }
+    assert sweep_idx == sweep_inline
     # The probe filter must land in the index scan's PartitionFilters (an
     # INSET over centroid_id) — that is the file-level pruning mechanism.
     # At smoke scale 8 queries x 4 probes touch most of the 16 lists, so
