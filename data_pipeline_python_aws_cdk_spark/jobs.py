@@ -116,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_idx.add_argument(
         "--kind",
-        choices=("ivf", "ivfpq", "lsh", "pq", "bm25", "winnow"),
+        choices=("ivf", "ivfpq", "ivfpq-residual", "lsh", "pq", "bm25", "winnow"),
         required=True,
     )
     p_idx.add_argument("--sf-dir", required=True, help="testdata directory")
@@ -705,6 +705,14 @@ def main(argv: list[str] | None = None) -> int:
 
             ivfpq_build_index(spark, args.sf_dir, args.output)
             probe = ivfpq_probe_indexed if args.probe else None
+        elif args.kind == "ivfpq-residual":
+            from .operators.similarity import (
+                ivfpq_residual_build_index,
+                ivfpq_residual_probe_indexed,
+            )
+
+            ivfpq_residual_build_index(spark, args.sf_dir, args.output)
+            probe = ivfpq_residual_probe_indexed if args.probe else None
         elif args.kind == "pq":
             from .operators.similarity import pq_build_index, pq_probe_indexed
 

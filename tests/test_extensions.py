@@ -1284,6 +1284,24 @@ def test_ivfpq_persisted_index_matches_inline_prunes_and_scoreboards(
     col = f"recall_at_{similarity.TOP_K}"
     assert getattr(rep["ann_ivfpq_indexed"], col) == getattr(rep["ann_ivfpq"], col)
 
+    # the RESIDUAL artifact: residual codes resident per list, probe
+    # partition-pruned and result-equal to the inline residual query
+    ridx = str(tmp_path / "ivfpq_res_idx")
+    similarity.ivfpq_residual_build_index(spark, SF_SMOKE, ridx)
+    rrows = spark.read.parquet(ridx)
+    assert set(rrows.columns) == {"vec_id", "pq_code", "centroid_id"}
+    assert set(spark.read.parquet(f"{ridx}/_codebook").columns) == {
+        "k", "bv", "bcv",
+    }
+    rprobed = similarity.ivfpq_residual_probe_indexed(spark, ridx, SF_SMOKE)
+    rinline = similarity.similarity_ann_ivfpq_residual(spark, SF_SMOKE)
+    assert {tuple(r) for r in rprobed.collect()} == {
+        tuple(r) for r in rinline.collect()
+    }
+    rplan = rprobed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*INSET", rplan)
+    assert m is not None, "residual index scan lost its partition pruning"
+
 
 def test_pca_whitening_unit_variance_components(spark, tmp_path):
     """Whitened projections must have ~unit variance on every kept

@@ -334,7 +334,7 @@ def test_cli_index_build_and_probe(spark, tmp_path, capsys):
 
     from tests.conftest import SF_SMOKE
 
-    for kind in ("ivf", "ivfpq", "lsh", "bm25", "winnow"):
+    for kind in ("ivf", "ivfpq", "ivfpq-residual", "lsh", "bm25", "winnow"):
         out = str(tmp_path / f"{kind}_index")
         rc = jobs.main(
             ["index", "--kind", kind, "--sf-dir", SF_SMOKE, "--output", out, "--probe"]
