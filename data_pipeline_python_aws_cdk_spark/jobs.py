@@ -278,6 +278,16 @@ def main(argv: list[str] | None = None) -> int:
     p_sscr.add_argument("--output", required=True, help="verdict table path")
     p_sscr.add_argument("--checkpoint", required=True)
 
+    p_wscr = sub.add_parser(
+        "winnow-screen",
+        help="streaming winnowing near-dup screen: near_dup_candidate/new"
+        " routes per micro-batch against a persisted winnow index",
+    )
+    p_wscr.add_argument("--source", required=True, help="parquet directory to stream")
+    p_wscr.add_argument("--index", required=True, help="winnow index dir")
+    p_wscr.add_argument("--output", required=True, help="verdict table path")
+    p_wscr.add_argument("--checkpoint", required=True)
+
     p_sdd = sub.add_parser(
         "substring-dedup",
         help="exact-substring pipeline: fingerprint index + span manifest"
@@ -804,6 +814,29 @@ def main(argv: list[str] | None = None) -> int:
                     "campaigns": len(rows),
                     "touches": sum(r.touches for r in rows),
                     "linear_credit_micro": sum(r.linear_credit_micro for r in rows),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "winnow-screen":
+        from .streaming.events import run_stream_winnow_screen
+
+        run_stream_winnow_screen(
+            spark, args.source, args.index, args.output, args.checkpoint
+        )
+        verdicts = spark.read.parquet(args.output)
+        routes = {
+            r["verdict"]: r["count"]
+            for r in verdicts.groupBy("verdict").count().collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "docs": sum(routes.values()),
+                    "routes": routes,
                     "output": args.output,
                 }
             )

@@ -4357,3 +4357,58 @@ def substring_screen_against_index(docs: DataFrame, index: DataFrame) -> DataFra
         "doc_id", "n_tokens", "n_windows", "n_hits", "standing_tokens",
         verdict.alias("verdict"),
     )
+
+
+def winnow_screen_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Screen a batch of ARRIVING documents against a persisted
+    standing-corpus winnowed-fingerprint index (winnow_index_build's
+    (doc_id, h) stream): per new doc, its selected fingerprint count, how
+    many standing documents share >= {WINNOW_MIN_SHARED} fingerprints
+    with it, the strongest such candidate (most shared fingerprints,
+    min-id tie-break — the ladder's canon), and a route —
+    ``near_dup_candidate`` (>= 1 standing candidate; send to the exact
+    verification tier) or ``new``. The MOSS rung's INCREMENTAL entry
+    point, mirroring substring_screen_against_index: the standing corpus
+    is never re-tokenized (its selection ran once, at index build);
+    arriving docs join the int stream on the fingerprint hash at
+    ~2/(W+1) of their shingle volume.
+
+    Shared-frame discipline (quality_verdicts' rule): the streaming
+    screen and any batch backfill call THIS function, so they cannot
+    disagree.
+    """
+    fp_new = _winnow_fingerprints(docs)
+    hits = fp_new.join(
+        index.select(F.col("doc_id").alias("standing_doc"), "h"), "h"
+    )
+    cand = (
+        hits.groupBy("doc_id", "standing_doc")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= WINNOW_MIN_SHARED)
+    )
+    best = cand.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        # strongest candidate: most shared fingerprints, lowest id on ties
+        F.min(
+            F.struct(
+                (-F.col("common")).alias("neg_common"),
+                F.col("standing_doc").alias("sd"),
+            )
+        ).alias("b"),
+    )
+    nf = fp_new.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fingerprints")
+    )
+    j = nf.join(best, "doc_id", "left")
+    verdict = (
+        F.when(F.col("n_candidates") >= 1, "near_dup_candidate")
+        .otherwise("new")
+    )
+    return j.select(
+        "doc_id",
+        "n_fingerprints",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.col("b.sd").cast("bigint").alias("best_standing_doc"),
+        (-F.col("b.neg_common")).cast("bigint").alias("best_common"),
+        verdict.alias("verdict"),
+    )

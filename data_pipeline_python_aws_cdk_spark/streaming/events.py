@@ -1016,3 +1016,60 @@ def run_stream_substring_screen(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_winnow_screen(
+    spark,
+    docs_dir: str,
+    index_dir: str,
+    verdict_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous winnowing near-dup screening: every micro-batch of
+    arriving documents is winnow-fingerprinted and screened against the
+    PERSISTED standing-corpus fingerprint index
+    (operators.dedup.winnow_index_build), routing each doc
+    near_dup_candidate / new seconds after arrival — the MOSS rung's
+    incremental entry point, the third member of the screen family
+    (LSH bands, exact-substring windows, now winnowed fingerprints).
+    The standing corpus is never re-tokenized: its selection ran once at
+    index build; each batch joins its own sampled fingerprints against
+    the int stream, at ~2/(W+1) of the shingle volume the substring
+    screen would touch for the same text.
+
+    Shared-frame discipline: the per-batch verdict IS
+    operators.dedup.winnow_screen_against_index — the same frame a batch
+    backfill calls, so stream and backfill cannot disagree. Same
+    effectively-once discipline as the other screens: each batch
+    OVERWRITES its own batch_id partition, so a replayed batch replaces
+    its partial output.
+    """
+    from ..functions.hashing import assert_hash_mode_meta
+    from ..operators.dedup import winnow_screen_against_index
+
+    # Fingerprints are hash60-derived: a screen under a different hash
+    # family than the build would match nothing and route everything
+    # 'new' with no error — assert the index's pinned mode up front.
+    assert_hash_mode_meta(spark, index_dir)
+    static_schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(static_schema).parquet(docs_dir)
+    index = spark.read.parquet(index_dir)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        verdicts = winnow_screen_against_index(batch_df, index).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -834,3 +834,34 @@ def test_cli_substring_screen_routes_micro_batches(spark, tmp_path, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and st["statusCode"] == 200
     assert st["docs"] == 2 and st["routes"] == {"dup": 1, "new": 1}
+
+
+def test_cli_winnow_screen_routes_micro_batches(spark, tmp_path, capsys):
+    standing_text = " ".join(f"st{i}" for i in range(30))
+    standing = tmp_path / "wscr_standing"
+    spark.createDataFrame(
+        [(1, standing_text, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{standing}/documents.parquet")
+    idx = str(tmp_path / "wscr_idx")
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        winnow_index_build,
+    )
+
+    winnow_index_build(spark, str(standing), idx)
+
+    source = str(tmp_path / "wscr_incoming")
+    spark.createDataFrame(
+        [(100, standing_text, "en", "s", 1),
+         (101, " ".join(f"nv{i}" for i in range(20)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(source)
+
+    out = str(tmp_path / "wscr_out")
+    rc = jobs.main([
+        "winnow-screen", "--source", source, "--index", idx,
+        "--output", out, "--checkpoint", str(tmp_path / "wscr_ckpt"),
+    ])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["statusCode"] == 200
+    assert st["docs"] == 2 and st["routes"] == {"near_dup_candidate": 1, "new": 1}

@@ -532,3 +532,81 @@ def test_stream_substring_screen_routes_against_standing_index(spark, tmp_path):
 
     run_stream_substring_screen(spark, docs_dir, index_dir, verdicts, ckpt)
     assert spark.read.parquet(verdicts).count() == 3
+
+
+def test_stream_winnow_screen_routes_against_standing_index(spark, tmp_path):
+    """Arriving docs are screened against the persisted winnowed-
+    fingerprint index: a verbatim copy of a standing doc routes
+    near_dup_candidate with that doc as its best candidate; a novel doc
+    routes new; the stream frame equals the batch frame and a
+    checkpointed replay adds nothing. Cross-mode probing refuses."""
+    import pytest
+
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import HASH_MODE_ENV
+    from data_pipeline_python_aws_cdk_spark.operators.dedup import (
+        winnow_index_build,
+        winnow_screen_against_index,
+    )
+    from data_pipeline_python_aws_cdk_spark.streaming.events import (
+        run_stream_winnow_screen,
+    )
+
+    standing_text = " ".join(f"st{i}" for i in range(30))
+    standing_dir = str(tmp_path / "w_standing")
+    spark.createDataFrame(
+        [(1, standing_text, "en", "s", 1),
+         (2, " ".join(f"other{i}" for i in range(20)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{standing_dir}/documents.parquet")
+    index_dir = str(tmp_path / "winnow_idx")
+    winnow_index_build(spark, standing_dir, index_dir)
+
+    arriving = spark.createDataFrame(
+        [(100, standing_text, "en", "s", 1),
+         (102, " ".join(f"nv{i}" for i in range(25)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs_dir = str(tmp_path / "incoming_wscr")
+    arriving.write.parquet(docs_dir)
+
+    verdicts = str(tmp_path / "wscr_verdicts")
+    ckpt = str(tmp_path / "wscr_ckpt")
+    run_stream_winnow_screen(spark, docs_dir, index_dir, verdicts, ckpt)
+    got = {r.doc_id: r for r in spark.read.parquet(verdicts).collect()}
+    assert {d: got[d].verdict for d in got} == {
+        100: "near_dup_candidate", 102: "new"
+    }
+    # the verbatim copy's strongest candidate is the standing original,
+    # sharing its full winnowed fingerprint set (identical text selects
+    # identical local minima)
+    assert got[100].best_standing_doc == 1
+    assert got[100].best_common == got[100].n_fingerprints
+    assert got[102].n_candidates == 0 and got[102].best_standing_doc is None
+
+    # stream frame == batch frame (shared-frame discipline)
+    want = {
+        (r.doc_id, r.n_fingerprints, r.n_candidates, r.verdict)
+        for r in winnow_screen_against_index(
+            spark.read.parquet(docs_dir), spark.read.parquet(index_dir)
+        ).collect()
+    }
+    assert {
+        (r.doc_id, r.n_fingerprints, r.n_candidates, r.verdict)
+        for r in got.values()
+    } == want
+
+    # replay idempotence: the same batch overwrites its own partition
+    run_stream_winnow_screen(spark, docs_dir, index_dir, verdicts, ckpt)
+    assert spark.read.parquet(verdicts).count() == 2
+
+    # hash-mode pinning: a cross-mode screen must refuse loudly
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setenv(HASH_MODE_ENV, "production")
+        with pytest.raises(ValueError, match="HASH_MODE"):
+            run_stream_winnow_screen(
+                spark, docs_dir, index_dir,
+                str(tmp_path / "v2"), str(tmp_path / "c2"),
+            )
+    finally:
+        mp.undo()
