@@ -3421,3 +3421,39 @@ def test_substring_screen_empty_index_routes_all_new(spark, tmp_path):
     empty_index = spark.createDataFrame([], "doc_id long, i long, h long")
     rows = substring_screen_against_index(docs, empty_index).collect()
     assert [(r.doc_id, r.n_hits, r.verdict) for r in rows] == [(1, 0, "new")]
+
+
+def test_ivfpq_index_accepts_refined_codebook(spark, tmp_path):
+    """The pluggable-codebook contract extends to the composed IVF+PQ
+    index: a k-means-refined centroid set round-trips through
+    _centroids, the probe ranks against it (self-consistent: TOP_K rows
+    per query, no self-pairs, every shortlist survivor exact-reranked),
+    and the PQ codes are unchanged (the code table quantizes vectors
+    against the PQ codebook, which is independent of the IVF layout)."""
+    sf = SF_SMOKE
+    ref_dir = str(tmp_path / "ivfpq_refined")
+    cent = similarity.ivf_train_centroids(spark, sf)
+    similarity.ivfpq_build_index(spark, sf, ref_dir, centroids=cent)
+    persisted = spark.read.parquet(f"{ref_dir}/_centroids").collect()
+    assert len(persisted) == similarity.IVF_NLIST
+    res = similarity.ivfpq_probe_indexed(spark, ref_dir, sf).collect()
+    by_q = {}
+    for r in res:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(similarity.N_QUERIES))
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= similarity.TOP_K
+    # codes identical to the seed-codebook build: PQ quantization does
+    # not depend on which IVF cell a vector landed in (raw-vector PQ)
+    seed_dir = str(tmp_path / "ivfpq_seed")
+    similarity.ivfpq_build_index(spark, sf, seed_dir)
+    codes_ref = {
+        (r.vec_id, r.pq_code) for r in spark.read.parquet(ref_dir).collect()
+    }
+    codes_seed = {
+        (r.vec_id, r.pq_code) for r in spark.read.parquet(seed_dir).collect()
+    }
+    assert codes_ref == codes_seed
