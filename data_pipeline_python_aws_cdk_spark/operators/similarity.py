@@ -4039,7 +4039,10 @@ def similarity_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def ivfpq_residual_build_index(
-    spark: SparkSession, sf_dir: str, index_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the RESIDUAL IVF+PQ serving artifact — byte-for-byte
     the layout FAISS IndexIVFPQ persists: inverted lists partitioned by
@@ -4055,12 +4058,31 @@ def ivfpq_residual_build_index(
     residual-codebook broadcast join packed per vector by one groupBy —
     int-row shuffles only; the write is scan -> assign -> code ->
     partitioned write.
+
+    ``centroids``: optional (centroid_id, ce) codebook (e.g. from
+    ivf_train_centroids), defaulting to the deterministic seed set —
+    the ivf/ivfpq pluggable-codebook contract. NOTE residual codes DO
+    depend on the IVF codebook (each vector quantizes v - ITS centroid),
+    so unlike the raw-vector index a refined-codebook build re-derives
+    both the residual codebook (seeds re-assigned against the refined
+    centers) and every code; the probe always ranks and ADC-scores
+    against the sidecars persisted WITH the index, so the pairing cannot
+    drift.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
-    )
-    cent_rows, _ = _seed_codebook_and_queries(e)
+    if centroids is None:
+        cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+        cent_rows, _ = _seed_codebook_and_queries(e)
+    else:
+        cent = centroids.select(
+            "centroid_id", F.col("ce").cast("array<float>").alias("ce")
+        ).localCheckpoint(eager=True)
+        cent_rows = [
+            {"centroid_id": r["centroid_id"], "ce": r["ce"]}
+            for r in sorted(cent.collect(), key=lambda r: r["centroid_id"])
+        ]
     assign = _assign_nearest_centroid(e, cent, cent_rows=cent_rows).select(
         "vec_id", "embedding", "centroid_id"
     )

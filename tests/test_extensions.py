@@ -3457,3 +3457,23 @@ def test_ivfpq_index_accepts_refined_codebook(spark, tmp_path):
         (r.vec_id, r.pq_code) for r in spark.read.parquet(seed_dir).collect()
     }
     assert codes_ref == codes_seed
+
+    # the RESIDUAL index under a refined codebook: residual codes DO
+    # depend on the IVF codebook, so only self-consistency is asserted —
+    # the probe ranks against the refined sidecar and returns a full,
+    # self-pair-free ranking per query
+    rref_dir = str(tmp_path / "ivfpq_res_refined")
+    similarity.ivfpq_residual_build_index(spark, sf, rref_dir, centroids=cent)
+    assert (
+        spark.read.parquet(f"{rref_dir}/_centroids").count()
+        == similarity.IVF_NLIST
+    )
+    assert spark.read.parquet(f"{rref_dir}/_codebook").count() == similarity.PQ_K
+    rres = similarity.ivfpq_residual_probe_indexed(spark, rref_dir, sf).collect()
+    rby_q = {}
+    for r in rres:
+        assert r.query_id != r.neighbor_id
+        rby_q.setdefault(r.query_id, []).append(r)
+    assert set(rby_q) == set(range(similarity.N_QUERIES))
+    for rows in rby_q.values():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
