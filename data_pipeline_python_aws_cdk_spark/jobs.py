@@ -124,6 +124,21 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument(
         "--probe", action="store_true", help="probe after building; print match count"
     )
+    p_idx.add_argument(
+        "--append",
+        default=None,
+        metavar="BATCH_PARQUET",
+        help="incremental maintenance: append this batch parquet "
+        "((vec_id, embedding) or (doc_id, text) rows) to the EXISTING "
+        "index at --output against its persisted sidecar codebooks, "
+        "rewriting only the touched lists/buckets",
+    )
+    p_idx.add_argument(
+        "--resume",
+        action="store_true",
+        help="with --append: re-run a torn append (skips the completion-"
+        "marker assert; the merge is convergent)",
+    )
 
     p_scr = sub.add_parser(
         "screen", help="screen an ingest batch against the persisted LSH dedup index"
@@ -699,62 +714,81 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "index":
-        # Both kinds share the write-once/probe-many shape: build pays the
+        # All kinds share the write-once/probe-many shape: build pays the
         # one assignment/signature pass, probes become partition-pruned
-        # scans (plan-gated in tests/test_extensions.py).
-        if args.kind == "ivf":
-            from .operators.similarity import ivf_build_index, ivf_probe_indexed
+        # scans (plan-gated in tests/test_extensions.py).  --append BATCH
+        # runs the kind's incremental maintenance path instead: the batch
+        # parquet is assigned/coded/signed against the EXISTING sidecars
+        # and only the touched lists/buckets are rewritten (idempotent;
+        # result-equal to a full rebuild, gated by test).
+        from .operators.dedup import (
+            dedup_winnowing_indexed,
+            lsh_append_index,
+            lsh_build_index,
+            lsh_probe_indexed,
+            winnow_index_build,
+        )
+        from .operators.similarity import (
+            ivf_append_index,
+            ivf_build_index,
+            ivf_probe_indexed,
+            ivfpq_append_index,
+            ivfpq_build_index,
+            ivfpq_probe_indexed,
+            ivfpq_residual_append_index,
+            ivfpq_residual_build_index,
+            ivfpq_residual_probe_indexed,
+            pq_build_index,
+            pq_probe_indexed,
+        )
+        from .operators.text import bm25_append_index, bm25_build_index, bm25_probe_indexed
 
-            ivf_build_index(spark, args.sf_dir, args.output)
-            probe = ivf_probe_indexed if args.probe else None
-        elif args.kind == "ivfpq":
-            from .operators.similarity import (
-                ivfpq_build_index,
-                ivfpq_probe_indexed,
-            )
-
-            ivfpq_build_index(spark, args.sf_dir, args.output)
-            probe = ivfpq_probe_indexed if args.probe else None
-        elif args.kind == "ivfpq-residual":
-            from .operators.similarity import (
+        kinds = {
+            "ivf": (ivf_build_index, ivf_append_index, ivf_probe_indexed),
+            "ivfpq": (ivfpq_build_index, ivfpq_append_index, ivfpq_probe_indexed),
+            "ivfpq-residual": (
                 ivfpq_residual_build_index,
+                ivfpq_residual_append_index,
                 ivfpq_residual_probe_indexed,
-            )
-
-            ivfpq_residual_build_index(spark, args.sf_dir, args.output)
-            probe = ivfpq_residual_probe_indexed if args.probe else None
-        elif args.kind == "pq":
-            from .operators.similarity import pq_build_index, pq_probe_indexed
-
-            pq_build_index(spark, args.sf_dir, args.output)
-            probe = pq_probe_indexed if args.probe else None
-        elif args.kind == "bm25":
-            from .operators.text import bm25_build_index, bm25_probe_indexed
-
-            bm25_build_index(spark, args.sf_dir, args.output)
-            probe = bm25_probe_indexed if args.probe else None
-        elif args.kind == "winnow":
-            from .operators.dedup import (
-                dedup_winnowing_indexed,
+            ),
+            "pq": (pq_build_index, None, pq_probe_indexed),
+            "bm25": (bm25_build_index, bm25_append_index, bm25_probe_indexed),
+            # the winnow pair probe reads only the persisted stream; sf_dir
+            # is accepted for the shared CLI probe signature and unused
+            "winnow": (
                 winnow_index_build,
-            )
-
-            winnow_index_build(spark, args.sf_dir, args.output)
-            # the pair probe reads only the persisted stream; sf_dir is
-            # accepted for the shared CLI probe signature and unused
-            probe = (
-                (lambda s, out, _sf: dedup_winnowing_indexed(s, out))
-                if args.probe
-                else None
-            )
+                None,
+                lambda s, out, _sf: dedup_winnowing_indexed(s, out),
+            ),
+            "lsh": (lsh_build_index, lsh_append_index, lsh_probe_indexed),
+        }
+        build, append, probe_fn = kinds[args.kind]
+        if args.append is not None:
+            if append is None:
+                print(
+                    json.dumps(
+                        {
+                            "statusCode": 400,
+                            "error": f"kind {args.kind} has no append path; "
+                            "rebuild (pq is a compact full-table artifact; "
+                            "the winnow stream's incremental entry point is "
+                            "the streaming screen)",
+                        }
+                    )
+                )
+                return 1
+            batch = spark.read.parquet(args.append)
+            append(spark, args.output, batch, resume=args.resume)
         else:
-            from .operators.dedup import lsh_build_index, lsh_probe_indexed
-
-            lsh_build_index(spark, args.sf_dir, args.output)
-            probe = lsh_probe_indexed if args.probe else None
-        out = {"statusCode": 200, "kind": args.kind, "index": args.output}
-        if probe is not None:
-            out["probe_rows"] = probe(spark, args.output, args.sf_dir).count()
+            build(spark, args.sf_dir, args.output)
+        out = {
+            "statusCode": 200,
+            "kind": args.kind,
+            "index": args.output,
+            "mode": "append" if args.append is not None else "build",
+        }
+        if args.probe:
+            out["probe_rows"] = probe_fn(spark, args.output, args.sf_dir).count()
         print(json.dumps(out))
         return 0
 

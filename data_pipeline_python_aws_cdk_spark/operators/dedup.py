@@ -2139,7 +2139,12 @@ def _lsh_bucket(bkey) -> F.Column:
     return F.pmod(F.xxhash64(bkey), F.lit(LSH_INDEX_BUCKETS))
 
 
-def lsh_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+def lsh_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    docs: DataFrame | None = None,
+) -> None:
     """Materialize the corpus-side banded MinHash signature index — the
     "production run PERSISTS the index" half of dedup_incremental's
     docstring, mirroring ivf_build_index for the lexical-dedup path.
@@ -2152,14 +2157,83 @@ def lsh_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     (source != src0).
     """
     from ..functions.hashing import write_hash_mode_meta
+    from ..functions.indexing import clear_index_complete, mark_index_complete
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    clear_index_complete(spark, index_dir)
+    d = (
+        docs
+        if docs is not None
+        else load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    )
     bands = _band_table(d).withColumn("bucket", _lsh_bucket(F.col("bkey")))
     bands.write.mode("overwrite").partitionBy("band", "bucket").parquet(index_dir)
     # Band keys derive from hash60(shingle): pin the build's hash family so
     # a probe under the other family fails loudly instead of joining on
     # mismatched keys and silently reporting zero collisions.
     write_hash_mode_meta(spark, index_dir)
+    mark_index_complete(spark, index_dir)
+
+
+def lsh_append_index(
+    spark: SparkSession, index_dir: str, batch_docs: DataFrame, resume: bool = False
+) -> None:
+    """Append a batch of (doc_id, text) documents to the PERSISTED banded
+    MinHash signature index WITHOUT rebuilding it: the batch pays its own
+    shingle → minhash → band pass (the signature pipeline is a pure
+    per-document function, so batch signatures can never drift from a
+    rebuild's), then only the (band, bucket) directories the batch hashes
+    into are rewritten — existing members minus the batch's doc_ids plus
+    the batch's rows.  The anti-join makes replays idempotent and a torn
+    append convergent (``resume=True`` re-runs it); dynamic partition
+    overwrite confines the write to the touched buckets, so a day's
+    ingest costs O(batch + collided buckets), never the corpus — the
+    missing write side of the dedup_incremental / run_stream_screen
+    read-side economics.  Contract: doc_ids are content-immutable (a
+    replayed id replaces its own rows; re-ingesting an id with DIFFERENT
+    text is an update, which this index family does not model).
+    """
+    from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    # The batch's band keys derive from the ACTIVE hash family; refuse to
+    # mix them into an index pinned to the other one.
+    assert_hash_mode_meta(spark, index_dir)
+    clear_index_complete(spark, index_dir)
+    new = _band_table(batch_docs).withColumn("bucket", _lsh_bucket(F.col("bkey")))
+    parts = new.select("band", "bucket").distinct()
+    part_rows = sorted((r.band, r.bucket) for r in parts.collect())
+    if not part_rows:  # empty/shingle-free batch: nothing to merge
+        mark_index_complete(spark, index_dir)
+        return
+    bands_hit = sorted({b for b, _ in part_rows})
+    buckets_hit = sorted({u for _, u in part_rows})
+    # Rectangle isin prunes at the FILE level (the probe's discipline);
+    # the exact-pair semi join then drops the rectangle's corners so only
+    # truly-touched directories are read back and rewritten.
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("band").isin(bands_hit) & F.col("bucket").isin(buckets_hit))
+        .join(F.broadcast(parts), ["band", "bucket"], "semi")
+        .select(*new.columns)
+    )
+    merged = (
+        existing.join(new.select("doc_id").distinct(), "doc_id", "left_anti")
+        .unionByName(new)
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band", "bucket")
+        .parquet(index_dir)
+    )
+    mark_index_complete(spark, index_dir)
 
 
 def lsh_probe_indexed(
@@ -2181,6 +2255,74 @@ def lsh_probe_indexed(
     return screen_docs_against_index(spark, d, index_dir)
 
 
+def _lsh_appended_oracle() -> str:
+    """The hits-only tail of the incremental screen: per src0 document,
+    distinct corpus docs colliding in any band — exactly what
+    lsh_probe_indexed returns from the persisted index."""
+    base = hash60_sql("s")
+    r = MINHASH_K // MINHASH_BANDS
+    min_cols = ", ".join(
+        f"MIN(({MINHASH_A[i]} * (base % {MINHASH_PRIME}) + {MINHASH_B[i]})"
+        f" % {MINHASH_PRIME}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = ",\n            ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || ',' || ".join(f"m{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH split AS (
+      SELECT doc_id, text, source = 'src0' AS is_new FROM documents
+    ),
+    {_SHINGLES_CTE.replace("FROM documents", "FROM split")},
+    hb AS (SELECT sh.doc_id, s2.is_new, {base} AS base
+           FROM sh JOIN split s2 ON s2.doc_id = sh.doc_id),
+    mh AS (SELECT doc_id, is_new, {min_cols} FROM hb GROUP BY doc_id, is_new),
+    bands AS (SELECT doc_id, is_new, bb.band, bb.bkey
+              FROM mh, LATERAL (VALUES
+            {band_rows}) AS bb(band, bkey))
+    SELECT n.doc_id,
+           CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS near_candidates
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.bkey = c.bkey AND NOT c.is_new
+    WHERE n.is_new
+    GROUP BY n.doc_id
+    ORDER BY n.doc_id
+    """
+
+
+@_register("dedup_lsh_appended", oracle=_lsh_appended_oracle())
+def dedup_lsh_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the banded-signature index verified END
+    TO END as a registered query: build the persisted LSH index on the
+    base 4/5 of the standing corpus (source != src0), lsh_append_index
+    the remaining 1/5 (a later ingest day), then screen the src0 batch
+    against the APPENDED artifact — and hold the same oracle the inline
+    screen holds, because append == rebuild == inline collisions is the
+    maintenance contract (pytest-gated pairwise; this row verifies the
+    composition under the driver's datasets).  Scale shape: build is the
+    one signature pass, append O(batch + collided buckets), probe the
+    partition-pruned screen."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="lsh_appended_")
+    try:
+        lsh_build_index(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        lsh_append_index(spark, tmp, d.filter(F.col("doc_id") >= split))
+        return lsh_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def screen_docs_against_index(
     spark: SparkSession, docs: DataFrame, index_dir: str
 ) -> DataFrame:
@@ -2189,7 +2331,9 @@ def screen_docs_against_index(
     per batch doc). lsh_probe_indexed is this over the sf_dir src0 split;
     streaming.run_stream_screen calls it per micro-batch."""
     from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import assert_index_complete
 
+    assert_index_complete(spark, index_dir)
     assert_hash_mode_meta(spark, index_dir)
     nb = _band_table(docs).withColumn("bucket", _lsh_bucket(F.col("bkey")))
     hit_parts = sorted(
@@ -3774,6 +3918,9 @@ def substring_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> N
     (repartition on h) so the downstream shared-hash groupBy and hit join
     start from the partitioning they need.
     """
+    from ..functions.indexing import clear_index_complete, mark_index_complete
+
+    clear_index_complete(spark, index_dir)
     d = load_table(spark, sf_dir, "documents")
     toks = lower_ws_tokens("text")
     t = d.select("doc_id", toks.alias("toks")).filter(
@@ -3796,6 +3943,7 @@ def substring_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> N
     from ..functions.hashing import write_hash_mode_meta
 
     write_hash_mode_meta(spark, index_dir)
+    mark_index_complete(spark, index_dir)
 
 
 def exact_substring_dedup_indexed(
@@ -3807,7 +3955,9 @@ def exact_substring_dedup_indexed(
     query's 100 TB upgrade path, executable.
     """
     from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import assert_index_complete
 
+    assert_index_complete(spark, index_dir)
     assert_hash_mode_meta(spark, index_dir)
     g = spark.read.parquet(index_dir)
     shared = (
@@ -3844,7 +3994,9 @@ def span_removal_plan_indexed(spark: SparkSession, index_dir: str) -> DataFrame:
     three ints per window.
     """
     from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import assert_index_complete
 
+    assert_index_complete(spark, index_dir)
     assert_hash_mode_meta(spark, index_dir)
     g = spark.read.parquet(index_dir)
     shared = (
@@ -4042,11 +4194,14 @@ def winnow_index_build(
     from the partitioning it needs; the _meta sidecar pins the hash
     family (fingerprints ARE hash60 values)."""
     from ..functions.hashing import write_hash_mode_meta
+    from ..functions.indexing import clear_index_complete, mark_index_complete
 
+    clear_index_complete(spark, index_dir)
     d = load_table(spark, sf_dir, "documents")
     fp = _winnow_fingerprints(d, df_cap=df_cap)
     fp.repartition(F.col("h")).write.mode("overwrite").parquet(index_dir)
     write_hash_mode_meta(spark, index_dir)
+    mark_index_complete(spark, index_dir)
 
 
 def dedup_winnowing_indexed(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -4055,7 +4210,9 @@ def dedup_winnowing_indexed(spark: SparkSession, index_dir: str) -> DataFrame:
     the probe is the _winnow_pairs self-join over the int parquet, the
     same write-once/probe-many amortization as the substring index."""
     from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import assert_index_complete
 
+    assert_index_complete(spark, index_dir)
     assert_hash_mode_meta(spark, index_dir)
     return _winnow_pairs(spark.read.parquet(index_dir))
 

@@ -1155,6 +1155,7 @@ def ivf_build_index(
     sf_dir: str,
     index_dir: str,
     centroids: DataFrame | None = None,
+    vectors: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF inverted lists: the persisted-index half of the
     similarity_ann_ivf docstring's 100 TB story.
@@ -1171,8 +1172,15 @@ def ivf_build_index(
     codebook is persisted under ``{index_dir}/_centroids`` (underscore
     prefix: invisible to readers of the list files), so the probe always
     ranks against the exact codebook the lists were assigned with.
+
+    ``vectors``: optional (vec_id, embedding) frame to index instead of
+    the full embeddings table — the base-corpus side of the append
+    equality gate (build(base); append(batch) == build(base+batch)).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.indexing import clear_index_complete, mark_index_complete
+
+    clear_index_complete(spark, index_dir)
+    e = vectors if vectors is not None else load_table(spark, sf_dir, "embeddings")
     cent = centroids
     if cent is None:
         cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
@@ -1194,6 +1202,37 @@ def ivf_build_index(
     # above replaces index_dir wholesale). The underscore prefix hides it
     # from readers of the list files.
     cent.write.mode("overwrite").parquet(f"{index_dir}/_centroids")
+    mark_index_complete(spark, index_dir)
+
+
+def ivf_append_index(
+    spark: SparkSession, index_dir: str, batch: DataFrame, resume: bool = False
+) -> None:
+    """Append a batch of (vec_id, embedding) rows to the PERSISTED IVF
+    index against its EXISTING ``_centroids`` sidecar: one map-only
+    assignment pass over the batch, then a rewrite of only the touched
+    inverted lists (existing members minus batch ids plus the batch) —
+    idempotent under replay, O(batch + touched lists), never a rebuild.
+    See ivfpq_append_index for the full maintenance contract; this is
+    the same discipline over full-vector lists instead of PQ codes."""
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    cent = spark.read.parquet(f"{index_dir}/_centroids").select(
+        "centroid_id", F.col("ce").cast("array<float>").alias("ce")
+    )
+    clear_index_complete(spark, index_dir)
+    b = batch.select("vec_id", "embedding")
+    new = _assign_nearest_centroid(b, cent).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    _merge_into_lists(spark, index_dir, new)
+    mark_index_complete(spark, index_dir)
 
 
 def ivf_probe_indexed(
@@ -1216,14 +1255,20 @@ def ivf_probe_indexed(
     unchanged at any setting — (1 - nprobe/NLIST) of the index is never
     listed, never read.
     """
-    from py4j.protocol import Py4JJavaError  # noqa: F401 — doc: probe fallback
+    from pyspark.errors import AnalysisException
 
+    from ..functions.indexing import assert_index_complete
+
+    assert_index_complete(spark, index_dir)
     e = load_table(spark, sf_dir, "embeddings")
     try:
         cent = spark.read.parquet(f"{index_dir}/_centroids").select(
             "centroid_id", F.col("ce").cast("array<float>").alias("ce")
         )
-    except Exception:  # noqa: BLE001 — pre-codebook index: seed fallback
+    except AnalysisException:  # missing-path only: pre-codebook seed fallback
+        # Any OTHER failure (corrupt sidecar, transient FS error) must
+        # surface — silently ranking a refined-codebook index against seed
+        # centroids would return wrong neighbors with no signal.
         cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
         )
@@ -1983,7 +2028,18 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < PQ_K)
         .select(F.col("vec_id").alias("k"), F.col("embedding").alias("ce"))
     )
-    subs = e.select(
+    return _pq_codes_core(e, cb)
+
+
+def _pq_codes_core(vectors: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, pq_code, recon_err_micro) for arbitrary (vec_id, embedding)
+    rows against an EXPLICIT (k, ce) codebook — the assignment kernel
+    ``embedding_pq_codes`` runs over the corpus with the seed codebook and
+    the index APPEND path runs over an ingest batch with the codebook read
+    back from the ``_codebook`` sidecar.  One kernel, identical 6-dp
+    rounding and min-(d6, k) tie rule, so a batch's codes can never drift
+    from the codes a full rebuild would assign."""
+    subs = vectors.select(
         "vec_id", "embedding", F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub")
     )
     pairs = subs.join(F.broadcast(cb))
@@ -2648,6 +2704,9 @@ def pq_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     enough to scan per query batch (64x under the float vectors), so
     the index is written compact and probes read all of it.
     """
+    from ..functions.indexing import clear_index_complete, mark_index_complete
+
+    clear_index_complete(spark, index_dir)
     codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "pq_code")
     codes.write.mode("overwrite").parquet(index_dir)
     e = load_table(spark, sf_dir, "embeddings")
@@ -2655,6 +2714,7 @@ def pq_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
         F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
     )
     cb.write.mode("overwrite").parquet(f"{index_dir}/_codebook")
+    mark_index_complete(spark, index_dir)
 
 
 def pq_probe_indexed(
@@ -2667,6 +2727,9 @@ def pq_probe_indexed(
     similarity_ann_pq_adc (gated by test) at O(code-table scan) probe
     cost with zero corpus-vector reads outside the rerank.
     """
+    from ..functions.indexing import assert_index_complete
+
+    assert_index_complete(spark, index_dir)
     e = load_table(spark, sf_dir, "embeddings")
     cb = spark.read.parquet(f"{index_dir}/_codebook").select(
         "k", F.col("ce").cast("array<float>").alias("ce")
@@ -3684,6 +3747,7 @@ def ivfpq_build_index(
     sf_dir: str,
     index_dir: str,
     centroids: DataFrame | None = None,
+    vectors: DataFrame | None = None,
 ) -> None:
     """Materialize the FAISS-style IVF+PQ serving artifact: the IVF
     partition layout (Hive-partitioned by assigned centroid_id, so probes
@@ -3704,7 +3768,10 @@ def ivfpq_build_index(
     probe always ranks and ADC-scores against exactly the codebooks the
     lists and codes were built from.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.indexing import clear_index_complete, mark_index_complete
+
+    clear_index_complete(spark, index_dir)
+    e = vectors if vectors is not None else load_table(spark, sf_dir, "embeddings")
     cent = centroids
     if cent is None:
         cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
@@ -3716,16 +3783,103 @@ def ivfpq_build_index(
         "centroid_id", F.col("ce").cast("array<float>").alias("ce")
     ).localCheckpoint(eager=True)
     assign = _assign_nearest_centroid(e, cent).select("vec_id", "centroid_id")
-    codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "pq_code")
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
+    )
+    codes = _pq_codes_core(e, cb).select("vec_id", "pq_code")
     assign.join(codes, "vec_id").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(index_dir)
     # Sidecars written after the wholesale overwrite above replaces index_dir.
     cent.write.mode("overwrite").parquet(f"{index_dir}/_centroids")
-    cb = e.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
-    )
     cb.write.mode("overwrite").parquet(f"{index_dir}/_codebook")
+    mark_index_complete(spark, index_dir)
+
+
+def _merge_into_lists(
+    spark: SparkSession, index_dir: str, new: DataFrame, key: str = "vec_id"
+) -> None:
+    """Shared tail of the inverted-list append family: given the batch's
+    fully-derived index rows (same schema as the artifact, partition
+    column ``centroid_id`` last), rewrite ONLY the touched lists as
+    existing-members-minus-batch-keys plus the batch rows.
+
+    The anti-join on ``key`` makes appends idempotent (a replayed batch
+    replaces its own rows instead of duplicating them) and convergent
+    after a torn append; dynamic partition overwrite confines the write
+    to the touched directories — the ``run_stream_winnow_screen``
+    effectively-once discipline applied to index maintenance.  The merged
+    frame is localCheckpoint'd before the write because it reads the same
+    path the write replaces (bounded: touched-list members + batch, the
+    §8.3 bounded-intermediate rule; at production NLIST the touched set
+    is O(batch) lists, never the artifact)."""
+    vals = [r.centroid_id for r in new.select("centroid_id").distinct().collect()]
+    if not vals:  # empty batch: nothing to merge, artifact already correct
+        return
+    touched = sorted(v for v in vals if v is not None)
+    cond = F.col("centroid_id").isin(touched)
+    if any(v is None for v in vals):
+        # NULL-assigned rows land in the default partition; read it back
+        # too so a replay replaces rather than clobbers its prior members.
+        cond = cond | F.col("centroid_id").isNull()
+    existing = (
+        spark.read.parquet(index_dir).filter(cond).select(*new.columns)
+    )
+    merged = (
+        existing.join(new.select(key).distinct(), key, "left_anti")
+        .unionByName(new)
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(index_dir)
+    )
+
+
+def ivfpq_append_index(
+    spark: SparkSession, index_dir: str, batch: DataFrame, resume: bool = False
+) -> None:
+    """Append an ingest batch of (vec_id, embedding) rows to the PERSISTED
+    IVF+PQ index WITHOUT rebuilding it: the batch is assigned against the
+    EXISTING ``_centroids`` sidecar and PQ-coded against the EXISTING
+    ``_codebook`` sidecar (codebooks stay frozen — the FAISS ``add()``
+    contract), and only the inverted lists the batch lands in are
+    rewritten.  This is the O(batch) maintenance path that makes the
+    index docstrings' write-once/probe-many economics hold at 100 TB:
+    a day's ingest costs one map-only assignment pass, one bounded
+    codebook broadcast join, and a rewrite of the touched lists — never
+    a full rebuild (the round-10 verdict's top gap).
+
+    Result-equal to a full rebuild by construction: assignment and codes
+    are pure functions of (vector, sidecar codebooks) and the sidecars
+    are exactly the ones the base build persisted — gated by test on
+    both index contents and probe results, plus replay idempotence.
+
+    ``resume=True`` skips the completion-marker assert so a torn append
+    (crash mid-rewrite cleared the marker) can be re-run: the merge is
+    convergent, so re-running the same batch repairs the artifact.
+    """
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    cent = spark.read.parquet(f"{index_dir}/_centroids").select(
+        "centroid_id", F.col("ce").cast("array<float>").alias("ce")
+    )
+    cb = spark.read.parquet(f"{index_dir}/_codebook").select("k", "ce")
+    clear_index_complete(spark, index_dir)
+    b = batch.select("vec_id", "embedding")
+    assign = _assign_nearest_centroid(b, cent).select("vec_id", "centroid_id")
+    codes = _pq_codes_core(b, cb).select("vec_id", "pq_code")
+    new = assign.join(codes, "vec_id").select("vec_id", "pq_code", "centroid_id")
+    _merge_into_lists(spark, index_dir, new)
+    mark_index_complete(spark, index_dir)
 
 
 def ivfpq_probe_indexed(
@@ -3745,12 +3899,20 @@ def ivfpq_probe_indexed(
     the index is never LISTED, and what is read is 12 bytes/vector, not
     256 — the serving plan FAISS IVFPQ runs, in Spark partition terms.
     """
+    from pyspark.errors import AnalysisException
+
+    from ..functions.indexing import assert_index_complete
+
+    assert_index_complete(spark, index_dir)
     e = load_table(spark, sf_dir, "embeddings")
     try:
         cent = spark.read.parquet(f"{index_dir}/_centroids").select(
             "centroid_id", F.col("ce").cast("array<float>").alias("ce")
         )
-    except Exception:  # noqa: BLE001 — pre-codebook index: seed fallback
+    except AnalysisException:  # missing-path only: pre-codebook seed fallback
+        # Any OTHER failure (corrupt sidecar, transient FS error) must
+        # surface — assert_hash_mode_meta's rule: a refined-codebook index
+        # silently ranked against seed centroids is wrong with no signal.
         cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
         )
@@ -3849,6 +4011,45 @@ def ivfpq_probe_indexed(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+APPEND_SEED_FLOOR = CB_BASE + PQ_K  # a split below this would drop seed rows
+
+
+@_register("similarity_ann_ivfpq_appended", oracle=_ivfpq_oracle())
+def similarity_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance verified END TO END as a registered
+    query: build the persisted IVF+PQ index on the base 4/5 of the corpus
+    (all seed-codebook ids stay in the base), ivfpq_append_index the
+    remaining 1/5 against the FROZEN sidecar codebooks, probe the
+    appended artifact — and hold the INLINE similarity_ann_ivfpq oracle.
+    append == rebuild == inline IS the maintenance contract (each
+    equality is also individually pytest-gated); this row makes the
+    composition driver-verifiable on every dataset the harness throws at
+    it.  Corpora too small to split (max vec_id below the seed floor)
+    append an EMPTY batch — the degenerate case the append path must
+    no-op on, which the oracle then checks for free.
+
+    Scale shape: the build is the one assignment/coding pass the inline
+    query pays anyway; the append is O(batch + touched lists); the probe
+    is the partition-pruned serving read. The temp artifact is deleted
+    after the (bounded, eagerly checkpointed) probe result materializes.
+    """
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="ivfpq_appended_")
+    try:
+        ivfpq_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        ivfpq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
+        return ivfpq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _res_sq_expr() -> "F.Column":
@@ -4038,14 +4239,62 @@ def similarity_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _residual_codes_packed(
+    assign: DataFrame, cent: DataFrame, cb_lit: DataFrame
+) -> DataFrame:
+    """(vec_id, centroid_id, pq_code) residual codes for assigned vectors:
+    each vector's residual v − centroid(v) is quantized per subspace
+    against the (k, bv, bcv) residual codebook and packed into one 32-bit
+    code — the kernel the residual build runs over the corpus and the
+    append path runs over an ingest batch against the persisted sidecars
+    (same null-safe argmin, same packing, so appended codes can never
+    drift from a rebuild's)."""
+    av = assign.join(F.broadcast(cent), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.col("embedding").alias("v"),
+        F.col("ce").alias("cv"),
+    )
+    subs = av.select(
+        "vec_id", "centroid_id", "v", "cv",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
+    )
+    dist = subs.join(F.broadcast(cb_lit)).select(
+        "vec_id", "centroid_id", "sub", "k", _res_sq_expr().alias("dmic")
+    )
+    return (
+        dist.groupBy("vec_id", "centroid_id", "sub")
+        .agg(
+            F.min(
+                F.struct(
+                    F.coalesce(
+                        F.col("dmic").cast("double"), F.lit(float("inf"))
+                    ).alias("ord"),
+                    F.col("k"),
+                )
+            ).alias("b")
+        )
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.sum(
+                F.expr("b.k * shiftleft(CAST(1 AS BIGINT), CAST(4 * sub AS INT))")
+            )
+            .cast("bigint")
+            .alias("pq_code")
+        )
+    )
+
+
 def ivfpq_residual_build_index(
     spark: SparkSession,
     sf_dir: str,
     index_dir: str,
     centroids: DataFrame | None = None,
+    vectors: DataFrame | None = None,
 ) -> None:
-    """Materialize the RESIDUAL IVF+PQ serving artifact — byte-for-byte
-    the layout FAISS IndexIVFPQ persists: inverted lists partitioned by
+    """Materialize the RESIDUAL IVF+PQ serving artifact — structurally
+    the layout FAISS IndexIVFPQ persists (not its serialized byte format;
+    this is Hive-partitioned parquet): inverted lists partitioned by
     assigned centroid, each member stored as its {PQ_M}-nibble RESIDUAL
     code (v - centroid quantized, not v), with the centroid codebook and
     the residual codebook (bv, bcv pairs) riding as sidecars. Completes
@@ -4069,7 +4318,10 @@ def ivfpq_residual_build_index(
     against the sidecars persisted WITH the index, so the pairing cannot
     drift.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.indexing import clear_index_complete, mark_index_complete
+
+    clear_index_complete(spark, index_dir)
+    e = vectors if vectors is not None else load_table(spark, sf_dir, "embeddings")
     if centroids is None:
         cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
@@ -4090,45 +4342,54 @@ def ivfpq_residual_build_index(
         _residual_codebook_rows(e, cent_rows) or [],
         "k long, bv array<float>, bcv array<float>",
     )
-    av = assign.join(F.broadcast(cent), "centroid_id").select(
-        "vec_id",
-        "centroid_id",
-        F.col("embedding").alias("v"),
-        F.col("ce").alias("cv"),
-    )
-    subs = av.select(
-        "vec_id", "centroid_id", "v", "cv",
-        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("sub"),
-    )
-    dist = subs.join(F.broadcast(cb_lit)).select(
-        "vec_id", "centroid_id", "sub", "k", _res_sq_expr().alias("dmic")
-    )
-    codes = (
-        dist.groupBy("vec_id", "centroid_id", "sub")
-        .agg(
-            F.min(
-                F.struct(
-                    F.coalesce(
-                        F.col("dmic").cast("double"), F.lit(float("inf"))
-                    ).alias("ord"),
-                    F.col("k"),
-                )
-            ).alias("b")
-        )
-        .groupBy("vec_id", "centroid_id")
-        .agg(
-            F.sum(
-                F.expr("b.k * shiftleft(CAST(1 AS BIGINT), CAST(4 * sub AS INT))")
-            )
-            .cast("bigint")
-            .alias("pq_code")
-        )
+    codes = _residual_codes_packed(assign, cent, cb_lit).select(
+        "vec_id", "pq_code", "centroid_id"
     )
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(index_dir)
     cent.select(
         "centroid_id", F.col("ce").cast("array<float>").alias("ce")
     ).write.mode("overwrite").parquet(f"{index_dir}/_centroids")
     cb_lit.write.mode("overwrite").parquet(f"{index_dir}/_codebook")
+    mark_index_complete(spark, index_dir)
+
+
+def ivfpq_residual_append_index(
+    spark: SparkSession, index_dir: str, batch: DataFrame, resume: bool = False
+) -> None:
+    """Append a batch of (vec_id, embedding) rows to the PERSISTED
+    residual IVF+PQ index against its EXISTING sidecars: assignment uses
+    the stored ``_centroids``, residual codes quantize v − centroid(v)
+    against the stored (k, bv, bcv) ``_codebook`` — both frozen, so the
+    appended codes are exactly what a rebuild with those codebooks would
+    assign (gated by test) — then only the touched lists are rewritten.
+    See ivfpq_append_index for the maintenance contract; the residual
+    kernel is shared with the build (``_residual_codes_packed``)."""
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    cent = spark.read.parquet(f"{index_dir}/_centroids").select(
+        "centroid_id", F.col("ce").cast("array<float>").alias("ce")
+    )
+    cb = spark.read.parquet(f"{index_dir}/_codebook").select(
+        "k",
+        F.col("bv").cast("array<float>").alias("bv"),
+        F.col("bcv").cast("array<float>").alias("bcv"),
+    )
+    clear_index_complete(spark, index_dir)
+    b = batch.select("vec_id", "embedding")
+    assign = _assign_nearest_centroid(b, cent).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    new = _residual_codes_packed(assign, cent, cb).select(
+        "vec_id", "pq_code", "centroid_id"
+    )
+    _merge_into_lists(spark, index_dir, new)
+    mark_index_complete(spark, index_dir)
 
 
 def ivfpq_residual_probe_indexed(
@@ -4142,6 +4403,9 @@ def ivfpq_residual_probe_indexed(
     similarity_ann_ivfpq_residual when built from the seed codebooks
     (gated by test) — the full FAISS serving loop, persisted end to end.
     """
+    from ..functions.indexing import assert_index_complete
+
+    assert_index_complete(spark, index_dir)
     e = load_table(spark, sf_dir, "embeddings")
     cent = spark.read.parquet(f"{index_dir}/_centroids").select(
         "centroid_id", F.col("ce").cast("array<float>").alias("ce")

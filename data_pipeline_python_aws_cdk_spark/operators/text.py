@@ -722,7 +722,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_INDEX_BUCKETS = 64
 
 
-def _bm25_corpus_tables(spark: SparkSession, sf_dir: str):
+def _bm25_corpus_tables(spark: SparkSession, sf_dir: str, docs=None):
     """(postings, stats): the two tables BM25 retrieval consumes.
 
     postings = (doc_id, term, tf, dl, df) — df denormalized onto each
@@ -739,7 +739,7 @@ def _bm25_corpus_tables(spark: SparkSession, sf_dir: str):
     anyway. stats still re-derives the pipeline once (its one-row rollup
     prunes differently by nature) — the retrieval budget is pinned at 3
     total by the scan-count gate."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(lower_ws_tokens("text")).alias("term")
     ).filter(F.col("term") != "")
@@ -760,7 +760,12 @@ def _bm25_corpus_tables(spark: SparkSession, sf_dir: str):
     return postings, stats
 
 
-def bm25_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+def bm25_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    docs: "DataFrame | None" = None,
+) -> None:
     """Materialize the BM25 inverted index — the sparse-retrieval member of
     the write-once/probe-many index family (ivf/pq/lsh_build_index).
 
@@ -773,8 +778,10 @@ def bm25_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     sidecar the partition readers never see.
     """
     from ..functions.hashing import write_hash_mode_meta
+    from ..functions.indexing import clear_index_complete, mark_index_complete
 
-    postings, stats = _bm25_corpus_tables(spark, sf_dir)
+    clear_index_complete(spark, index_dir)
+    postings, stats = _bm25_corpus_tables(spark, sf_dir, docs=docs)
     out = postings.withColumn(
         "bucket", F.pmod(hash60(F.col("term")), F.lit(BM25_INDEX_BUCKETS))
     )
@@ -784,6 +791,98 @@ def bm25_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     # so a probe under the other family fails loudly instead of pruning to
     # the wrong directories and silently dropping postings.
     write_hash_mode_meta(spark, index_dir)
+    mark_index_complete(spark, index_dir)
+
+
+def bm25_append_index(
+    spark: SparkSession, index_dir: str, batch_docs: DataFrame, resume: bool = False
+) -> None:
+    """Append a batch of (doc_id, text) documents to the PERSISTED BM25
+    inverted index WITHOUT rebuilding it — the write-side twin of
+    bm25_probe_indexed's read economics.
+
+    BM25's denormalized-df layout makes this subtler than the vector
+    appends: adding documents changes df for every term the batch
+    mentions, and those terms' EXISTING postings carry the stale value.
+    But the bucket layout localizes the repair exactly: ALL postings of a
+    term live in that term's hash bucket, so rewriting the touched
+    buckets as (existing minus batch doc_ids) ∪ (batch postings) and
+    recomputing df as the count-over-term WINDOW on the merged rows
+    restores the globally-correct df for every term present — terms
+    outside the touched buckets are untouched by the batch by
+    construction.  The one-row ``_stats`` sidecar is adjusted exactly
+    (old − previously-present-batch-docs + batch), so replaying a batch
+    is a no-op for stats too.
+
+    Idempotent under replay (anti-join on doc_id), convergent after a
+    torn append (``resume=True``), O(batch + touched posting lists) —
+    never the corpus.  Contract: doc_ids are content-immutable (same as
+    lsh_append_index; a changed text under a reused id is an update this
+    index family does not model).
+    """
+    from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    assert_hash_mode_meta(spark, index_dir)
+    old = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+    clear_index_complete(spark, index_dir)
+    toks = batch_docs.select(
+        "doc_id", F.explode(lower_ws_tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    new = (
+        tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn("bucket", F.pmod(hash60(F.col("term")), F.lit(BM25_INDEX_BUCKETS)))
+        .select("doc_id", "term", "tf", "dl", "bucket")
+        .localCheckpoint(eager=True)  # batch-sized; read 3x below
+    )
+    buckets_hit = sorted({r.bucket for r in new.select("bucket").distinct().collect()})
+    if not buckets_hit:  # empty/term-free batch: artifact already correct
+        mark_index_complete(spark, index_dir)
+        return
+    batch_ids = new.select("doc_id").distinct()
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(buckets_hit))
+        .select("doc_id", "term", "tf", "dl", "bucket")
+    )
+    # Stats adjustment, computed BEFORE the merge mutates the artifact: a
+    # previously-present batch doc contributes all its postings to touched
+    # buckets (content-immutable contract), so its (doc_id, dl) is visible
+    # here exactly when it was already indexed.
+    prev = (
+        existing.join(batch_ids, "doc_id", "semi").select("doc_id", "dl").distinct()
+    ).agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("dl").cast("bigint").alias("t")
+    ).collect()[0]
+    batch = new.select("doc_id", "dl").distinct().agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("dl").cast("bigint").alias("t")
+    ).collect()[0]
+    n_docs = int(old.n_docs) - int(prev.n or 0) + int(batch.n or 0)
+    total_tokens = int(old.total_tokens) - int(prev.t or 0) + int(batch.t or 0)
+    merged = (
+        existing.join(batch_ids, "doc_id", "left_anti")
+        .unionByName(new)
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .select("doc_id", "term", "tf", "dl", "df", "bucket")
+        .localCheckpoint(eager=True)  # bounded: touched posting lists + batch
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+    spark.createDataFrame(
+        [(n_docs, total_tokens)], "n_docs bigint, total_tokens bigint"
+    ).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+    mark_index_complete(spark, index_dir)
 
 
 def bm25_probe_indexed(
@@ -799,7 +898,9 @@ def bm25_probe_indexed(
     bit-identical.
     """
     from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import assert_index_complete
 
+    assert_index_complete(spark, index_dir)
     assert_hash_mode_meta(spark, index_dir)
     d = load_table(spark, sf_dir, "documents")
     toks = d.filter(F.col("doc_id") < BM25_QUERY_DOCS).select(
@@ -818,6 +919,37 @@ def bm25_probe_indexed(
         .filter(F.col("doc_id") != F.col("query_id"))
         .crossJoin(F.broadcast(stats))
     )
+
+
+@_register("text_bm25_appended", oracle=_bm25_oracle())
+def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the BM25 inverted index verified END TO
+    END as a registered query: build the persisted index on the base 4/5
+    of the corpus, bm25_append_index the remaining 1/5 (repairing the
+    denormalized df on every touched term's existing postings and
+    adjusting the one-row stats sidecar exactly), probe the appended
+    artifact — and hold the INLINE text_bm25_retrieval oracle, because
+    append == rebuild == inline ranking is the maintenance contract
+    (pytest-gated pairwise; this row verifies the composition under the
+    driver's datasets, including the df-repair arithmetic that BM25's
+    denormalized layout makes the hard part).  Scale shape: build is the
+    one tokenize pass, append O(batch + touched posting lists), probe
+    the bucket-pruned scoring read."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="bm25_appended_")
+    try:
+        bm25_build_index(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        bm25_append_index(spark, tmp, d.filter(F.col("doc_id") >= split))
+        return bm25_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 SAMPLE_PCT = 20

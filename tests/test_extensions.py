@@ -3477,3 +3477,211 @@ def test_ivfpq_index_accepts_refined_codebook(spark, tmp_path):
     assert set(rby_q) == set(range(similarity.N_QUERIES))
     for rows in rby_q.values():
         assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
+# --- round 11: crash-atomic index builds (completion marker) -----------------
+
+
+def test_index_completion_marker_written_and_torn_build_fails_loudly(
+    spark, tmp_path
+):
+    """Every build in the persisted-index family ends by writing the
+    ``_complete`` marker; a probe of an artifact whose marker is missing
+    (a build that died between its list overwrite and its sidecar writes
+    — the torn-artifact window) raises instead of silently scoring
+    against stale or seed codebooks."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+
+    builds = {
+        "ivf": (similarity.ivf_build_index, similarity.ivf_probe_indexed),
+        "ivfpq": (similarity.ivfpq_build_index, similarity.ivfpq_probe_indexed),
+        "pq": (similarity.pq_build_index, similarity.pq_probe_indexed),
+        "lsh": (dedup.lsh_build_index, dedup.lsh_probe_indexed),
+        "bm25": (text.bm25_build_index, text.bm25_probe_indexed),
+        "winnow": (dedup.winnow_index_build, None),
+        "substring": (dedup.substring_index_build, None),
+    }
+    for kind, (build, probe) in builds.items():
+        idx = str(tmp_path / f"{kind}_idx")
+        build(spark, SF_SMOKE, idx)
+        marker = tmp_path / f"{kind}_idx" / INDEX_COMPLETE_SIDECAR
+        assert marker.exists(), f"{kind}: build did not write the marker"
+        # simulate the torn window: marker gone, lists/sidecars present
+        shutil.rmtree(marker)
+        probe_fn = probe or (
+            lambda s, i, _sf: dedup.dedup_winnowing_indexed(s, i)
+            if kind == "winnow"
+            else dedup.exact_substring_dedup_indexed(s, i)
+        )
+        with pytest.raises(ValueError, match="_complete"):
+            probe_fn(spark, idx, SF_SMOKE).collect()
+
+
+def test_index_residual_ivfpq_marker_roundtrip(spark, tmp_path):
+    """The residual IVF+PQ build writes the marker last; clearing it makes
+    the probe refuse the artifact (ValueError naming the marker)."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+
+    idx = str(tmp_path / "res_idx")
+    similarity.ivfpq_residual_build_index(spark, SF_SMOKE, idx)
+    probed = similarity.ivfpq_residual_probe_indexed(spark, idx, SF_SMOKE)
+    assert probed.count() > 0
+    shutil.rmtree(tmp_path / "res_idx" / INDEX_COMPLETE_SIDECAR)
+    with pytest.raises(ValueError, match="_complete"):
+        similarity.ivfpq_residual_probe_indexed(spark, idx, SF_SMOKE).collect()
+
+
+# --- round 11: incremental index maintenance (append = rebuild) --------------
+
+
+def _index_rows(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def _split_embeddings(spark, at=400):
+    e = similarity.load_table(spark, SF_SMOKE, "embeddings")
+    return e.filter(F.col("vec_id") < at), e.filter(F.col("vec_id") >= at)
+
+
+def test_ivfpq_append_equals_full_rebuild_probe_equal_and_idempotent(
+    spark, tmp_path
+):
+    """build(base); append(batch) is row-for-row the artifact
+    build(base+batch) writes — codes and assignments are pure functions
+    of the frozen sidecar codebooks — the probe results agree, and
+    replaying the batch is a no-op (anti-join idempotence)."""
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    base, batch = _split_embeddings(spark)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, full_dir)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, inc_dir, vectors=base)
+    similarity.ivfpq_append_index(spark, inc_dir, batch)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    probe_full = {
+        tuple(r) for r in similarity.ivfpq_probe_indexed(spark, full_dir, SF_SMOKE).collect()
+    }
+    probe_inc = {
+        tuple(r) for r in similarity.ivfpq_probe_indexed(spark, inc_dir, SF_SMOKE).collect()
+    }
+    assert probe_inc == probe_full and len(probe_inc) > 0
+    similarity.ivfpq_append_index(spark, inc_dir, batch)  # replay
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_ivf_append_equals_full_rebuild(spark, tmp_path):
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    base, batch = _split_embeddings(spark)
+    similarity.ivf_build_index(spark, SF_SMOKE, full_dir)
+    similarity.ivf_build_index(spark, SF_SMOKE, inc_dir, vectors=base)
+    similarity.ivf_append_index(spark, inc_dir, batch)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_ivfpq_residual_append_equals_full_rebuild_and_probe_equal(
+    spark, tmp_path
+):
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    base, batch = _split_embeddings(spark)
+    similarity.ivfpq_residual_build_index(spark, SF_SMOKE, full_dir)
+    similarity.ivfpq_residual_build_index(spark, SF_SMOKE, inc_dir, vectors=base)
+    similarity.ivfpq_residual_append_index(spark, inc_dir, batch)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    probe_full = {
+        tuple(r)
+        for r in similarity.ivfpq_residual_probe_indexed(
+            spark, full_dir, SF_SMOKE
+        ).collect()
+    }
+    probe_inc = {
+        tuple(r)
+        for r in similarity.ivfpq_residual_probe_indexed(
+            spark, inc_dir, SF_SMOKE
+        ).collect()
+    }
+    assert probe_inc == probe_full and len(probe_inc) > 0
+
+
+def test_lsh_append_equals_full_rebuild_and_screen_equal(spark, tmp_path):
+    """The banded-signature index appended batch-by-batch equals the full
+    rebuild, and the incremental screen sees identical collisions."""
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    d = dedup.load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("source") != "src0"
+    )
+    base = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    dedup.lsh_build_index(spark, SF_SMOKE, full_dir)
+    dedup.lsh_build_index(spark, SF_SMOKE, inc_dir, docs=base)
+    dedup.lsh_append_index(spark, inc_dir, batch)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    sf, si = (
+        {tuple(r) for r in dedup.lsh_probe_indexed(spark, p, SF_SMOKE).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert si == sf and len(si) > 0
+    dedup.lsh_append_index(spark, inc_dir, batch)  # replay: idempotent
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_bm25_append_equals_full_rebuild_stats_df_and_probe_equal(
+    spark, tmp_path
+):
+    """Appending documents repairs the denormalized df on every touched
+    term's existing postings, adjusts the one-row stats sidecar exactly,
+    and yields an artifact row-for-row equal to the full rebuild — so the
+    probe's rankings are bit-identical. Replay is a no-op including
+    stats."""
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    d = text.load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    text.bm25_build_index(spark, SF_SMOKE, full_dir)
+    text.bm25_build_index(spark, SF_SMOKE, inc_dir, docs=base)
+    text.bm25_append_index(spark, inc_dir, batch)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    assert (
+        spark.read.parquet(f"{inc_dir}/_stats").collect()
+        == spark.read.parquet(f"{full_dir}/_stats").collect()
+    )
+    pf, pi = (
+        {tuple(r) for r in text.bm25_probe_indexed(spark, p, SF_SMOKE).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert pi == pf and len(pi) > 0
+    text.bm25_append_index(spark, inc_dir, batch)  # replay
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    assert (
+        spark.read.parquet(f"{inc_dir}/_stats").collect()
+        == spark.read.parquet(f"{full_dir}/_stats").collect()
+    )
+
+
+def test_append_refuses_torn_artifact_and_resume_repairs_it(spark, tmp_path):
+    """An append onto a torn artifact (no completion marker) raises; the
+    documented recovery — re-running the same batch with resume=True —
+    converges the artifact back to the full-rebuild state."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    base, batch = _split_embeddings(spark)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, full_dir)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, inc_dir, vectors=base)
+    similarity.ivfpq_append_index(spark, inc_dir, batch)
+    # simulate the torn window mid-append: marker cleared, lists merged
+    shutil.rmtree(tmp_path / "inc" / INDEX_COMPLETE_SIDECAR)
+    with pytest.raises(ValueError, match="_complete"):
+        similarity.ivfpq_append_index(spark, inc_dir, batch)
+    similarity.ivfpq_append_index(spark, inc_dir, batch, resume=True)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)

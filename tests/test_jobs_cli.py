@@ -865,3 +865,45 @@ def test_cli_winnow_screen_routes_micro_batches(spark, tmp_path, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and st["statusCode"] == 200
     assert st["docs"] == 2 and st["routes"] == {"near_dup_candidate": 1, "new": 1}
+
+
+def test_cli_index_append_maintains_ivfpq_and_rejects_pq(spark, tmp_path, capsys):
+    """jobs index --append: the CLI incremental-maintenance surface — a
+    base build plus an appended batch parquet equals the full build, and a
+    kind without an append path answers 400 instead of silently
+    rebuilding."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    e = similarity.load_table(spark, SF_SMOKE, "embeddings")
+    batch_path = str(tmp_path / "batch")
+    e.filter(F.col("vec_id") >= 400).write.parquet(batch_path)
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    similarity.ivfpq_build_index(spark, SF_SMOKE, full)
+    similarity.ivfpq_build_index(
+        spark, SF_SMOKE, inc, vectors=e.filter(F.col("vec_id") < 400)
+    )
+    rc = jobs.main(
+        ["index", "--kind", "ivfpq", "--sf-dir", SF_SMOKE, "--output", inc,
+         "--append", batch_path, "--probe"]
+    )
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200 and st["mode"] == "append"
+    assert st["probe_rows"] > 0
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(p).select("vec_id", "pq_code").collect()
+    )
+    assert rows(inc) == rows(full)
+
+    rc = jobs.main(
+        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", inc,
+         "--append", batch_path]
+    )
+    assert rc == 1
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 400
