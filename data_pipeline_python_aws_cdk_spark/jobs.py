@@ -156,6 +156,24 @@ def main(argv: list[str] | None = None) -> int:
     p_ret.add_argument(
         "--mode", default="hybrid", choices=["bm25", "semantic", "hybrid"]
     )
+    p_ret.add_argument(
+        "--bm25-index",
+        default=None,
+        help="serve the lexical tower from this PERSISTED BM25 index "
+        "(with --ann-index: no corpus pass at query time)",
+    )
+    p_ret.add_argument(
+        "--ann-index",
+        default=None,
+        help="serve the semantic tower from this PERSISTED ANN index",
+    )
+    p_ret.add_argument(
+        "--ann-probe",
+        default="ivf",
+        choices=["ivf", "ivfpq", "ivfpq-residual"],
+        help="which probe the --ann-index artifact expects (ivf is exact "
+        "at full nprobe; the PQ kinds trade recall for 32-bit reads)",
+    )
 
     p_mine = sub.add_parser(
         "mine",
@@ -391,13 +409,48 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "retrieve":
-        if args.mode == "bm25":
-            from .operators.text import text_bm25_retrieval as _ret
-        elif args.mode == "semantic":
-            from .operators.similarity import similarity_topk as _ret
+        if (args.bm25_index is None) != (args.ann_index is None):
+            print(
+                json.dumps(
+                    {
+                        "statusCode": 400,
+                        "error": "indexed retrieval needs BOTH --bm25-index "
+                        "and --ann-index (build them with jobs index)",
+                    }
+                )
+            )
+            return 1
+        if args.bm25_index is not None:
+            # Serving path: probe the two PERSISTED indexes and fuse —
+            # no corpus pass at query time (both were paid at build).
+            from .operators.text import retrieval_hybrid_rrf_from_indexes
+
+            if args.mode != "hybrid":
+                print(
+                    json.dumps(
+                        {
+                            "statusCode": 400,
+                            "error": "indexed retrieval serves --mode hybrid; "
+                            "probe a single index with jobs index --probe",
+                        }
+                    )
+                )
+                return 1
+            result = retrieval_hybrid_rrf_from_indexes(
+                spark,
+                args.bm25_index,
+                args.ann_index,
+                args.sf_dir,
+                ann_probe=args.ann_probe,
+            )
         else:
-            from .operators.text import retrieval_hybrid_rrf as _ret
-        result = _ret(spark, args.sf_dir)
+            if args.mode == "bm25":
+                from .operators.text import text_bm25_retrieval as _ret
+            elif args.mode == "semantic":
+                from .operators.similarity import similarity_topk as _ret
+            else:
+                from .operators.text import retrieval_hybrid_rrf as _ret
+            result = _ret(spark, args.sf_dir)
         result.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(

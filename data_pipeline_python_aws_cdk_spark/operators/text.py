@@ -686,14 +686,23 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .similarity import similarity_topk
 
-    contrib = lambda r: F.coalesce(  # noqa: E731
-        F.round(F.lit(RRF_SCALE) / (F.lit(RRF_K) + r)).cast("bigint"), F.lit(0)
-    )
     lex = text_bm25_retrieval(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("lr")
     )
     sem = similarity_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("sr")
+    )
+    return _rrf_fuse(lex, sem)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Shared RRF fusion tail — (query_id, neighbor_id, lr) x (query_id,
+    neighbor_id, sr) → the fused top-{BM25_TOP_K} table — so the inline
+    hybrid and the indexed serving twin cannot drift in their fusion
+    arithmetic (integer nano-unit contributions, one int64 add, the
+    deterministic re-rank)."""
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(RRF_SCALE) / (F.lit(RRF_K) + r)).cast("bigint"), F.lit(0)
     )
     u = lex.join(sem, ["query_id", "neighbor_id"], "full_outer")
     sc = u.select(
@@ -717,6 +726,78 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def retrieval_hybrid_rrf_from_indexes(
+    spark: SparkSession,
+    bm25_index_dir: str,
+    ann_index_dir: str,
+    sf_dir: str,
+    nprobe: int | None = None,
+    ann_probe: str = "ivf",
+) -> DataFrame:
+    """The hybrid retrieval SERVING path: probe the two PERSISTED indexes
+    — the BM25 inverted index (bucket-pruned) and an ANN index
+    (partition-pruned inverted lists) — and fuse their ranks with the
+    same integer RRF tail the inline retrieval_hybrid_rrf uses.  This is
+    the composition a deployed two-tower retriever actually runs: both
+    corpus passes were paid at build time; a query batch costs two
+    pruned index reads and a query-set-sized fusion join.
+
+    ``ann_probe`` selects the semantic tower: ``ivf`` (full-vector lists;
+    at the default nprobe=NLIST it is EXACT, so the whole composition is
+    result-equal to the inline hybrid — gated by test), ``ivfpq`` or
+    ``ivfpq-residual`` (code-resident lists: cheaper reads, approximate —
+    the in_semantic flags expose what approximation dropped).  ``nprobe``
+    dials cost vs recall exactly as in the underlying probes.
+    """
+    from .similarity import (
+        IVF_NLIST,
+        ivf_probe_indexed,
+        ivfpq_probe_indexed,
+        ivfpq_residual_probe_indexed,
+    )
+
+    probes = {
+        "ivf": ivf_probe_indexed,
+        "ivfpq": ivfpq_probe_indexed,
+        "ivfpq-residual": ivfpq_residual_probe_indexed,
+    }
+    np_ = IVF_NLIST if nprobe is None else nprobe
+    lex = bm25_probe_indexed(spark, bm25_index_dir, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lr")
+    )
+    sem = probes[ann_probe](spark, ann_index_dir, sf_dir, nprobe=np_).select(
+        "query_id", "neighbor_id", F.col("rank").alias("sr")
+    )
+    return _rrf_fuse(lex, sem)
+
+
+@_register("retrieval_hybrid_rrf_indexed", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexed hybrid serving path verified END TO END as a registered
+    query: build both persisted indexes (BM25 postings + IVF inverted
+    lists), probe them, RRF-fuse the ranks — and hold the INLINE
+    retrieval_hybrid_rrf oracle, because at nprobe=NLIST the IVF tower is
+    exact and the BM25 probe is result-equal by construction, so indexed
+    == inline is the serving contract (each leg also individually
+    pytest-gated).  The temp artifacts are deleted after the (bounded,
+    eagerly checkpointed) fused result materializes."""
+    import shutil
+    import tempfile
+
+    from .similarity import ivf_build_index
+
+    tmp = tempfile.mkdtemp(prefix="hybrid_indexed_")
+    try:
+        bm25_dir, ann_dir = f"{tmp}/bm25", f"{tmp}/ivf"
+        bm25_build_index(spark, sf_dir, bm25_dir)
+        ivf_build_index(spark, sf_dir, ann_dir)
+        return retrieval_hybrid_rrf_from_indexes(
+            spark, bm25_dir, ann_dir, sf_dir
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 BM25_INDEX_BUCKETS = 64

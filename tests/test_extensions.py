@@ -3685,3 +3685,34 @@ def test_append_refuses_torn_artifact_and_resume_repairs_it(spark, tmp_path):
         similarity.ivfpq_append_index(spark, inc_dir, batch)
     similarity.ivfpq_append_index(spark, inc_dir, batch, resume=True)
     assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+# --- round 11: indexed hybrid retrieval serving path -------------------------
+
+
+def test_hybrid_rrf_served_from_indexes_equals_inline(spark, tmp_path):
+    """The two-tower serving composition: BM25 probe + IVF probe (exact at
+    nprobe=NLIST) fused with the shared RRF tail must equal the inline
+    retrieval_hybrid_rrf bit-for-bit; the ivfpq tower variant fuses the
+    same shape with the approximate semantic arm."""
+    bm25_dir = str(tmp_path / "bm25")
+    ivf_dir = str(tmp_path / "ivf")
+    pq_dir = str(tmp_path / "ivfpq")
+    text.bm25_build_index(spark, SF_SMOKE, bm25_dir)
+    similarity.ivf_build_index(spark, SF_SMOKE, ivf_dir)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, pq_dir)
+    inline = {tuple(r) for r in text.retrieval_hybrid_rrf(spark, SF_SMOKE).collect()}
+    served = {
+        tuple(r)
+        for r in text.retrieval_hybrid_rrf_from_indexes(
+            spark, bm25_dir, ivf_dir, SF_SMOKE
+        ).collect()
+    }
+    assert served == inline and len(served) > 0
+
+    approx = text.retrieval_hybrid_rrf_from_indexes(
+        spark, bm25_dir, pq_dir, SF_SMOKE,
+        nprobe=similarity.IVF_NPROBE, ann_probe="ivfpq",
+    ).collect()
+    assert approx and all(1 <= r.rank <= text.BM25_TOP_K for r in approx)
+    assert any(r.in_semantic for r in approx) and any(r.in_lexical for r in approx)

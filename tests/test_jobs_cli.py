@@ -907,3 +907,38 @@ def test_cli_index_append_maintains_ivfpq_and_rejects_pq(spark, tmp_path, capsys
     assert rc == 1
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["statusCode"] == 400
+
+
+def test_cli_retrieve_indexed_serves_from_persisted_indexes(spark, tmp_path, capsys):
+    """jobs retrieve --bm25-index/--ann-index: the deployed two-tower
+    serving surface — result table equals the inline hybrid run."""
+    import json
+
+    from data_pipeline_python_aws_cdk_spark.operators import similarity, text
+    from tests.conftest import SF_SMOKE
+
+    bm25_dir, ann_dir = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    text.bm25_build_index(spark, SF_SMOKE, bm25_dir)
+    similarity.ivf_build_index(spark, SF_SMOKE, ann_dir)
+    out_idx, out_inline = str(tmp_path / "ridx"), str(tmp_path / "rinl")
+    rc = jobs.main(
+        ["retrieve", "--sf-dir", SF_SMOKE, "--output", out_idx,
+         "--bm25-index", bm25_dir, "--ann-index", ann_dir]
+    )
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200 and st["rows"] > 0
+    rc = jobs.main(["retrieve", "--sf-dir", SF_SMOKE, "--output", out_inline])
+    assert rc == 0
+    capsys.readouterr()
+    a = {tuple(r) for r in spark.read.parquet(out_idx).collect()}
+    b = {tuple(r) for r in spark.read.parquet(out_inline).collect()}
+    assert a == b
+
+    rc = jobs.main(
+        ["retrieve", "--sf-dir", SF_SMOKE, "--output", out_idx,
+         "--bm25-index", bm25_dir]
+    )
+    assert rc == 1
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 400
