@@ -250,6 +250,13 @@ def main(argv: list[str] | None = None) -> int:
     p_bpe.add_argument("--sf-dir", required=True, help="testdata directory")
     p_bpe.add_argument("--output", required=True, help="merges.json destination dir")
     p_bpe.add_argument("--merges", type=int, default=8)
+    p_bpe.add_argument(
+        "--batched",
+        action="store_true",
+        help="batch each round's provably-independent top merges into one "
+        "rewrite (identical merge list, fewer driver rounds — the "
+        "production-vocabulary scale path)",
+    )
 
     p_benc = sub.add_parser(
         "bpe-encode",
@@ -678,23 +685,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "bpe":
-        from .operators.text import bpe_train
+        from .operators.text import bpe_train, bpe_train_batched
         from .sources.objectstore import write_text
 
-        result = bpe_train(spark, args.sf_dir, n_merges=args.merges)
+        if args.batched:
+            result = bpe_train_batched(spark, args.sf_dir, n_merges=args.merges)
+        else:
+            result = bpe_train(spark, args.sf_dir, n_merges=args.merges)
         out_path = args.output.rstrip("/") + "/merges.json"
         write_text(spark, out_path, json.dumps(result))
-        print(
-            json.dumps(
-                {
-                    "statusCode": 200,
-                    "merges": len(result["merges"]),
-                    "vocab_size": result["vocab_size"],
-                    "total_symbols": result["total_symbols"],
-                    "output": out_path,
-                }
-            )
-        )
+        status = {
+            "statusCode": 200,
+            "merges": len(result["merges"]),
+            "vocab_size": result["vocab_size"],
+            "total_symbols": result["total_symbols"],
+            "output": out_path,
+        }
+        if "rounds" in result:
+            status["rounds"] = result["rounds"]
+        print(json.dumps(status))
         return 0
 
     if args.cmd == "cluster":

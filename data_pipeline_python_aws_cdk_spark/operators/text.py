@@ -2366,6 +2366,156 @@ def _bpe_train_states(
     return merges, state
 
 
+BPE_BATCH_K = 8       # max merges applied per batched round
+BPE_BATCH_WINDOW = 64  # serial-order candidates examined per round
+
+
+def _bpe_train_states_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int,
+    batch_k: int = BPE_BATCH_K,
+) -> tuple[list[tuple[str, int]], DataFrame, int]:
+    """BPE training with BATCHED rounds, GUARANTEED merge-for-merge equal
+    to the serial trainer — the measured mitigation the bpe_train
+    docstring promises (a 32k-merge production vocabulary is bounded by
+    the per-round driver floor, not data volume; batching divides the
+    round count).
+
+    Each round counts pairs ONCE and then accepts a PREFIX of the
+    serial-ordered (count desc, pair asc) candidate list, applying all
+    accepted merges in one rewrite pass.  A candidate is accepted only
+    when serial execution would provably pick it next:
+
+    - prefix rule: the walk stops at the FIRST candidate sharing a symbol
+      with an accepted pair — an overlapping pair's count CHANGES once
+      the earlier merges apply, so everything at or below it may reorder;
+      an accepted pair is symbol-disjoint from all earlier ones, so its
+      count (and every not-yet-reached candidate's relative order below
+      it) is untouched by their rewrites, which also makes the rewrites
+      commute;
+    - new-pair bound: merging (a, b) can only create pairs (x, a·b) with
+      count ≤ cnt(x, a) and (a·b, y) with count ≤ cnt(b, y), so the walk
+      stops when the max count over pairs adjacent to an accepted symbol
+      reaches the candidate's count — a freshly-created pair could
+      otherwise outrank it in the serial schedule (strict: a tie is
+      unsafe too, because the new pair's NAME takes over the tie-break).
+      The adjacency maxima split into an EXACT part over the collected
+      window and a FLOOR for everything below it: pairs outside the
+      window all have cnt ≤ the window's minimum, so requiring an
+      accepted candidate's cnt to strictly exceed that floor (waived
+      when the window holds the whole dictionary) makes the out-of-
+      window contribution provably harmless — the guarantee costs ZERO
+      extra Spark jobs beyond widening serial's LIMIT 1 collect to the
+      window.
+
+    Per round this is exactly serial's work — one pair-count aggregation,
+    one bounded collect, one rewrite+checkpoint — amortized over several
+    merges.  Returns (merges, state, rounds_used); merges match
+    ``_bpe_train_states`` element-for-element (pytest + hypothesis gated,
+    and the registered query holds the serial UNROLLED SQL oracle).
+    """
+    wf = _word_freqs(spark, sf_dir)
+    state = wf.select(
+        "word", "freq", F.expr(_SYMS_STR_EXPR).alias("s")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        pairs = (
+            state.select("freq", F.explode(F.expr(_STATE_PAIRS)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), "pair")
+            .limit(BPE_BATCH_WINDOW)
+            .collect()
+        )
+        if not top:
+            break
+        rounds += 1
+        # Exact adjacency maxima over the window; the floor covers the rest.
+        left_max: dict[str, int] = {}
+        right_max: dict[str, int] = {}
+        for row in top:
+            x, y = row.pair.split(" ")
+            c = int(row.cnt)
+            right_max[x] = max(right_max.get(x, 0), c)  # pairs (x, ·)
+            left_max[y] = max(left_max.get(y, 0), c)    # pairs (·, y)
+        complete = len(top) < BPE_BATCH_WINDOW  # window holds the dictionary
+        floor = 0 if complete else int(top[-1].cnt)
+        selected: list[tuple[str, int]] = []
+        used_syms: set[str] = set()
+        new_pair_bound = 0
+        for row in top:
+            pair, cnt = row.pair, int(row.cnt)
+            a, b = pair.split(" ")
+            if selected:
+                if a in used_syms or b in used_syms:
+                    break  # prefix rule: counts at/below here may reorder
+                if new_pair_bound >= cnt or floor >= cnt:
+                    break  # a created pair could outrank this candidate
+            selected.append((pair, cnt))
+            used_syms.update((a, b))
+            # new pairs from (a, b) are bounded by pairs ENDING in a and
+            # pairs STARTING at b
+            new_pair_bound = max(
+                new_pair_bound, left_max.get(a, 0), right_max.get(b, 0)
+            )
+            if len(selected) >= min(batch_k, n_merges - len(merges)):
+                break
+        merges.extend(selected)
+        state = state.withColumn(
+            "s", _merge_pairs_batch_expr(F.col("s"), [p for p, _ in selected])
+        ).localCheckpoint(eager=True)
+    return merges, state, rounds
+
+
+def _merge_pairs_batch_expr(col, pairs: list[str]):
+    """Apply a batch of SYMBOL-DISJOINT merges in one rewrite: double the
+    delimiters once, run one literal replace per pair, collapse once —
+    equal to chaining ``_merge_pair_expr`` per pair (each replace leaves
+    every other pair's doubled separators intact except around its own
+    new symbol, whose pairs are outside the batch by the disjointness
+    rule) but paying the doubling and the regexp collapse ONCE per round
+    instead of once per merge."""
+    doubled = F.concat(
+        F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    for pair in pairs:
+        a, b = pair.split(" ")
+        doubled = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+    return F.trim(F.regexp_replace(doubled, " +", " "))
+
+
+def bpe_train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 8,
+    batch_k: int = BPE_BATCH_K,
+) -> dict:
+    """bpe_train's scale form: identical merges (see
+    ``_bpe_train_states_batched`` for the equality proof sketch), fewer
+    driver rounds — the returned ``rounds`` key is the envelope number
+    (serial uses exactly n_merges rounds when the dictionary lasts)."""
+    merges, state, rounds = _bpe_train_states_batched(
+        spark, sf_dir, n_merges, batch_k=batch_k
+    )
+    stats = state.select(
+        F.explode(F.split("s", " ")).alias("sym"), F.col("freq")
+    ).agg(
+        F.count_distinct("sym").alias("vocab"),
+        F.sum("freq").alias("total"),
+    ).collect()[0]
+    return {
+        "merges": merges,
+        "vocab_size": int(stats.vocab),
+        "total_symbols": int(stats.total),
+        "rounds": rounds,
+    }
+
+
 def bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = 8
 ) -> dict:
@@ -2455,6 +2605,39 @@ def _bpe_sql_cte(n_merges: int) -> tuple[str, str]:
             f" ' +', ' ', 'g')) AS s FROM st{r}, b{r})"
         )
     return ",\n    ".join(parts), f"st{n_merges}"
+
+
+BPE_BATCHED_MERGES = 8
+
+
+def _bpe_batched_oracle() -> str:
+    ctes, _ = _bpe_sql_cte(BPE_BATCHED_MERGES)
+    sel = "\nUNION ALL\n".join(
+        f"(SELECT {r + 1} AS rank, pair, cnt FROM p{r}"
+        f" ORDER BY cnt DESC, pair LIMIT 1)"
+        for r in range(BPE_BATCHED_MERGES)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT CAST(rank AS BIGINT) AS rank, pair, CAST(cnt AS BIGINT) AS cnt
+    FROM ({sel})
+    ORDER BY rank
+    """
+
+
+@_register("bpe_train_batched_merges", oracle=_bpe_batched_oracle())
+def bpe_train_batched_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched trainer's merge schedule as a registered query, held
+    against the SERIAL trainer's unrolled SQL twin — the driver-verified
+    form of the batching guarantee: the oracle runs one argmax per round
+    (the serial schedule, rank = round), the Spark side runs the batched
+    prefix rule (``_bpe_train_states_batched``), and the rows must agree
+    pair-for-pair and count-for-count.  Exhausted rounds end the list in
+    both engines (the oracle's per-round LIMIT 1 yields nothing once the
+    dictionary runs dry; the batched loop breaks)."""
+    merges, _, _ = _bpe_train_states_batched(spark, sf_dir, BPE_BATCHED_MERGES)
+    rows = [(i + 1, p, c) for i, (p, c) in enumerate(merges)]
+    return spark.createDataFrame(rows or [], "rank bigint, pair string, cnt bigint")
 
 
 def _bpe_vocab(state: DataFrame) -> DataFrame:

@@ -3716,3 +3716,110 @@ def test_hybrid_rrf_served_from_indexes_equals_inline(spark, tmp_path):
     ).collect()
     assert approx and all(1 <= r.rank <= text.BM25_TOP_K for r in approx)
     assert any(r.in_semantic for r in approx) and any(r.in_lexical for r in approx)
+
+
+# --- round 11: batched BPE merges --------------------------------------------
+
+
+def test_bpe_train_batched_equals_serial_with_fewer_rounds(spark, tmp_path):
+    """The batched trainer must reproduce the serial merge list
+    element-for-element (the provable prefix rule) while using fewer
+    driver rounds on a corpus with several disjoint high-count pairs."""
+    docs = [
+        (1, "aa bb aa bb cc dd cc dd ee ff ee ff", "en", "s", 1),
+        (2, "aa bb cc dd ee ff gg hh gg hh", "en", "s", 1),
+        (3, "low lower lowest new newer newest wide wider", "en", "s", 1),
+    ]
+    out = tmp_path / "bpe_batch"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    serial = text.bpe_train(spark, str(out), n_merges=10)
+    batched = text.bpe_train_batched(spark, str(out), n_merges=10)
+    assert batched["merges"] == serial["merges"]
+    assert batched["vocab_size"] == serial["vocab_size"]
+    assert batched["total_symbols"] == serial["total_symbols"]
+    assert batched["rounds"] < 10  # the whole point: fewer driver rounds
+
+
+def test_bpe_train_batched_property_random_corpora(spark, tmp_path):
+    """Property: the batched trainer agrees with the pure-Python serial
+    reference merge-for-merge on randomized corpora — the prefix rule
+    must never admit a pair the serial schedule would not pick next."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+
+    case = [0]
+
+    @given(texts=corpus)
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def check(texts):
+        case[0] += 1
+        out = tmp_path / f"bpe_bprop_{case[0]}"
+        spark.createDataFrame(
+            [(i, t, "en", "s", 1) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{out}/documents.parquet")
+        wf = {}
+        for t in texts:
+            for w in t.lower().split():
+                wf[w] = wf.get(w, 0) + 1
+        expected = _reference_bpe(wf, 5)
+        got = text.bpe_train_batched(spark, str(out), n_merges=5)
+        assert got["merges"] == expected
+
+    check()
+
+
+# --- round 11: refined-codebook recall scoreboard -----------------------------
+
+
+def test_refined_codebook_scoreboard_pins_seed_vs_trained_decision(spark):
+    """The refined-codebook rows are a standing regression table: on this
+    near-uniform synthetic corpus the SEED codebooks must beat the
+    k-means-refined ones at fixed nprobe (the measured artifact the
+    ivf_train_centroids docstring documents), and the recall kernel is
+    shared with the oracle-verified seed scoreboard."""
+    refined = {
+        r.method: r
+        for r in similarity.similarity_ann_recall_refined(spark, SF_SMOKE).collect()
+    }
+    assert set(refined) == {"ann_ivf_refined", "ann_ivfpq_res_refined"}
+    assert all(r.queries == similarity.N_QUERIES for r in refined.values())
+    seed = {
+        r.method: r
+        for r in similarity.similarity_ann_recall_report(spark, SF_SMOKE).collect()
+    }
+    # the deployment decision this table exists to answer, pinned:
+    assert seed["ann_ivf"].recall_at_10 > refined["ann_ivf_refined"].recall_at_10
+    assert (
+        seed["ann_ivfpq_res"].recall_at_10
+        > refined["ann_ivfpq_res_refined"].recall_at_10
+    )
+    # exact measured values (regression alarm for a silently-changed
+    # codebook path; MLlib seed and corpus are both fixed)
+    assert refined["ann_ivf_refined"].recall_at_10 == 0.575
+    assert refined["ann_ivfpq_res_refined"].recall_at_10 == 0.5125
+
+
+def test_refined_scoreboard_survives_tiny_corpus(spark, tmp_path):
+    """A corpus too small to seed the residual codebook yields the IVF row
+    alone (k clamped to the distinct pool); no crash, stable schema."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    e = similarity.load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 12
+    )
+    out = tmp_path / "tiny"
+    e.write.parquet(f"{out}/embeddings.parquet")
+    rows = similarity.similarity_ann_recall_refined(spark, str(out)).collect()
+    assert [r.method for r in rows] == ["ann_ivf_refined"]
