@@ -61,70 +61,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # this window holds a driver-green row from r01-r09 plus the local
 # full-registry differential at HEAD (sf0.01, hostile,
 # SPARK_GRAFT_SHUFFLE=7, sf0.1, vanilla foreign-cwd).
+# Round-11 window (the round-10 handoff, SURVEY.md): the 6 round-11
+# debuts lead (the incremental-maintenance verification queries, the
+# indexed hybrid serving path, the batched-BPE schedule vs the serial SQL
+# twin, and the rows-only refined-codebook scoreboard), then the 2
+# registered queries round 11 CHANGED internally (retrieval_hybrid_rrf
+# now fuses through the shared _rrf_fuse tail; the recall report through
+# the shared _recall_hits kernel — results re-proven equal locally,
+# re-greened here), then the COMPLETE latest=r03 cohort (27 keys,
+# including the 10 TPC-H keys the r10 window dropped, now the oldest
+# driver evidence in the registry) and the oldest 15 of the latest=r04
+# cohort — 50 exactly.
 _PRIORITY = (
-    # -- NEW round-10 debuts: driver-evaluated in their debut window
-    "dedup_winnowing_recall_report",
-    "dedup_winnowing_verified",
-    "similarity_ann_ivfpq_residual",
-    "events_type_trend_ols",
-    "doc_js_novelty",
-    # -- registered queries CHANGED in round 10
-    "similarity_ann_recall_report",
-    "dedup_winnowing",
-    "text_bm25_retrieval",
+    # -- NEW round-11 debuts: driver-evaluated in their debut window
+    "similarity_ann_ivfpq_appended",
+    "dedup_lsh_appended",
+    "text_bm25_appended",
+    "retrieval_hybrid_rrf_indexed",
+    "bpe_train_batched_merges",
+    "similarity_ann_recall_refined",
+    # -- registered queries CHANGED (refactor-shared kernels) in round 11
     "retrieval_hybrid_rrf",
-    "retrieval_ndcg_report",
-    # -- latest driver green = r01 (the keys dropped from the r9 window)
-    "sample_rows",
-    "users_with_websites",
-    "company_employees",
-    "catchphrase_usage",
-    "business_types",
-    "user_profiles",
-    "same_city_diff_company",
-    "top_segments",
-    "q16_parts_supplier_counts",
-    # -- latest driver green = r02 (complete cohort)
-    "data_freshness",
-    "missing_fields",
-    "extraction_trends",
-    "users_click_and_purchase",
-    "users_click_not_purchase",
-    "orders_revenue_moving_avg",
-    "cheapest_line_per_part",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "text_token_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "documents_stratified_sample",
-    "corpus_bigram_stats",
-    "pii_redact",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "documents_profile",
-    # -- latest driver green = r03 (oldest 14)
-    "events_approx_sketch",
-    "events_hourly_gapfill",
-    "events_cohort_retention",
-    "events_key_skew_profile",
-    "events_anomaly_zscore",
-    "orders_rfm_segments",
-    "events_user_features",
-    "events_value_histogram",
-    "events_item_cooccurrence",
-    "events_top_paths",
-    "events_session_funnel",
-    "orders_backlog_asof",
-    # (the rest of the r03 cohort — q4_priority_with_returns,
-    #  q7_volume_shipping, q8_market_share,
-    #  q9_product_profit,
-    #  q12_priority_linestatus, q15_top_supplier, q19_disjunctive_revenue,
-    #  q22_idle_rich_customers, q2_min_cost_supplier, q11_important_stock —
-    #  rotates in next round; each holds an r03 driver green + local greens
-    #  at HEAD, and each dropped key's plan CLASS stays sampled by an
-    #  in-window sibling)
+    "similarity_ann_recall_report",
+    # -- latest driver green = r03 (complete cohort: the 10 promised
+    #    TPC-H keys first, then the rest)
+    "q4_priority_with_returns",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_linestatus",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "lang_stats",
+    "text_repetition_stats",
+    "documents_clean_corpus",
+    "documents_weighted_sample",
+    "corpus_shard_manifest",
+    "text_normalize",
+    "text_ngram_entropy",
+    "documents_length_histogram",
+    "simhash_signatures",
+    "source_curation_report",
+    "corpus_contamination_stats",
+    "embedding_norm_stats",
+    "embedding_dim_stats",
+    "customer_profile",
+    "streaming_static_enrich",
+    "streaming_hourly_final",
+    # -- latest driver green = r04 (oldest 15 of 37)
+    "events_sliding_distinct",
+    "events_drift_report",
+    "events_bot_detection",
+    "data_quality_audit",
+    "events_markov_transitions",
+    "events_sketch_rollup_merge",
+    "users_activity_reconciliation",
+    "events_ab_test_summary",
+    "events_pareto_concentration",
+    "events_forecast_backtest",
+    "orders_sla_latency_percentiles",
+    "orders_basket_lift",
+    "events_seasonality_strength",
+    "supplier_concentration_hhi",
+    "events_ab_significance",
+    # (the remaining 22 latest=r04 keys — nation_trade_flow_matrix,
+    #  corpus_mixture_plan, documents_chunking, corpus_lang_confusion,
+    #  corpus_perplexity_buckets, corpus_bpe_pair_counts,
+    #  corpus_zipf_slope, corpus_token_budget_curve,
+    #  corpus_vocab_growth_curve, dedup_containment_bottomk,
+    #  dedup_embedding_clusters, source_overlap_matrix,
+    #  corpus_boilerplate_ngrams, embedding_gram_matrix,
+    #  embedding_label_centroids, similarity_knn_label_vote,
+    #  embedding_label_dispersion, embedding_duplicate_vectors,
+    #  multimodal_audio_chunks, multimodal_video_near_dup,
+    #  streaming_dedup_exact, streaming_sliding_counts — rotate in next
+    #  round; each holds an r04 driver green + local greens at HEAD, and
+    #  each dropped key's plan class stays sampled by an in-window
+    #  sibling)
 )
 
 
