@@ -61,26 +61,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # this window holds a driver-green row from r01-r09 plus the local
 # full-registry differential at HEAD (sf0.01, hostile,
 # SPARK_GRAFT_SHUFFLE=7, sf0.1, vanilla foreign-cwd).
-# Round-11 window (the round-10 handoff, SURVEY.md): the 6 round-11
-# debuts lead (the incremental-maintenance verification queries, the
-# indexed hybrid serving path, the batched-BPE schedule vs the serial SQL
-# twin, and the rows-only refined-codebook scoreboard), then the 2
-# registered queries round 11 CHANGED internally (retrieval_hybrid_rrf
-# now fuses through the shared _rrf_fuse tail; the recall report through
-# the shared _recall_hits kernel — results re-proven equal locally,
-# re-greened here), then the COMPLETE latest=r03 cohort (27 keys,
-# including the 10 TPC-H keys the r10 window dropped, now the oldest
-# driver evidence in the registry) and the oldest 15 of the latest=r04
-# cohort — 50 exactly.
+# Round-11 window (the round-10 handoff, SURVEY.md): the 8 round-11
+# debuts lead (the incremental-maintenance verification queries for ALL
+# six appendable index kinds, the indexed hybrid serving path, the
+# batched-BPE schedule vs the serial SQL twin, and the rows-only
+# refined-codebook scoreboard), then the 3 registered queries round 11
+# CHANGED internally (retrieval_hybrid_rrf now fuses through the shared
+# _rrf_fuse tail; the recall report through the shared _recall_hits
+# kernel; dedup_winnowing's selection through the shared _winnow_selected
+# front — results re-proven equal locally, re-greened here), then the
+# COMPLETE latest=r03 cohort (27 keys, including the 10 TPC-H keys the
+# r10 window dropped, now the oldest driver evidence in the registry)
+# and the oldest 12 of the latest=r04 cohort — 50 exactly.
 _PRIORITY = (
     # -- NEW round-11 debuts: driver-evaluated in their debut window
     "similarity_ann_ivfpq_appended",
     "dedup_lsh_appended",
     "text_bm25_appended",
+    "dedup_winnowing_appended",
+    "substring_spans_appended",
     "retrieval_hybrid_rrf_indexed",
     "bpe_train_batched_merges",
     "similarity_ann_recall_refined",
     # -- registered queries CHANGED (refactor-shared kernels) in round 11
+    "dedup_winnowing",
     "retrieval_hybrid_rrf",
     "similarity_ann_recall_report",
     # -- latest driver green = r03 (complete cohort: the 10 promised
@@ -112,7 +116,7 @@ _PRIORITY = (
     "customer_profile",
     "streaming_static_enrich",
     "streaming_hourly_final",
-    # -- latest driver green = r04 (oldest 15 of 37)
+    # -- latest driver green = r04 (oldest 12 of 37)
     "events_sliding_distinct",
     "events_drift_report",
     "events_bot_detection",
@@ -125,10 +129,9 @@ _PRIORITY = (
     "events_forecast_backtest",
     "orders_sla_latency_percentiles",
     "orders_basket_lift",
-    "events_seasonality_strength",
-    "supplier_concentration_hhi",
-    "events_ab_significance",
-    # (the remaining 22 latest=r04 keys — nation_trade_flow_matrix,
+    # (the remaining 25 latest=r04 keys — events_seasonality_strength,
+    #  supplier_concentration_hhi, events_ab_significance,
+    #  nation_trade_flow_matrix,
     #  corpus_mixture_plan, documents_chunking, corpus_lang_confusion,
     #  corpus_perplexity_buckets, corpus_bpe_pair_counts,
     #  corpus_zipf_slope, corpus_token_budget_curve,

@@ -116,7 +116,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_idx.add_argument(
         "--kind",
-        choices=("ivf", "ivfpq", "ivfpq-residual", "lsh", "pq", "bm25", "winnow"),
+        choices=(
+            "ivf",
+            "ivfpq",
+            "ivfpq-residual",
+            "lsh",
+            "pq",
+            "bm25",
+            "winnow",
+            "substring",
+        ),
         required=True,
     )
     p_idx.add_argument("--sf-dir", required=True, help="testdata directory")
@@ -785,9 +794,13 @@ def main(argv: list[str] | None = None) -> int:
         # result-equal to a full rebuild, gated by test).
         from .operators.dedup import (
             dedup_winnowing_indexed,
+            exact_substring_dedup_indexed,
             lsh_append_index,
             lsh_build_index,
             lsh_probe_indexed,
+            substring_index_append,
+            substring_index_build,
+            winnow_index_append,
             winnow_index_build,
         )
         from .operators.similarity import (
@@ -815,12 +828,17 @@ def main(argv: list[str] | None = None) -> int:
             ),
             "pq": (pq_build_index, None, pq_probe_indexed),
             "bm25": (bm25_build_index, bm25_append_index, bm25_probe_indexed),
-            # the winnow pair probe reads only the persisted stream; sf_dir
-            # is accepted for the shared CLI probe signature and unused
+            # the winnow/substring probes read only the persisted stream;
+            # sf_dir is accepted for the shared CLI probe signature, unused
             "winnow": (
                 winnow_index_build,
-                None,
+                winnow_index_append,
                 lambda s, out, _sf: dedup_winnowing_indexed(s, out),
+            ),
+            "substring": (
+                substring_index_build,
+                substring_index_append,
+                lambda s, out, _sf: exact_substring_dedup_indexed(s, out),
             ),
             "lsh": (lsh_build_index, lsh_append_index, lsh_probe_indexed),
         }

@@ -3907,21 +3907,14 @@ def corpus_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def substring_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
-    """Materialize the window-fingerprint stream: one (doc_id, i, h) row
-    per {SUBSTR_NGRAM}-token window, the shared input of the whole
-    exact-substring family (span manifest, doc fraction, source rollup,
-    removal plan). Build pays the tokenize scan ONCE; every consumer then
-    reads back three ints per window — the write-once/probe-many
-    amortization of the LSH/IVF/BM25 index tier, at ~{SUBSTR_NGRAM}x
-    compression of the token volume it replaces. Written hash-bucketed
-    (repartition on h) so the downstream shared-hash groupBy and hit join
-    start from the partitioning they need.
-    """
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+FP_INDEX_BUCKETS = 64  # fingerprint-hash partition fan-out (substring/winnow)
 
-    clear_index_complete(spark, index_dir)
-    d = load_table(spark, sf_dir, "documents")
+
+def _substring_windows(d: DataFrame) -> DataFrame:
+    """(doc_id, i, h) window-fingerprint rows for any documents frame —
+    the per-document pure function shared by the index build and the
+    append path, so an appended batch's windows can never drift from a
+    rebuild's."""
     toks = lower_ws_tokens("text")
     t = d.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= SUBSTR_NGRAM
@@ -3930,12 +3923,43 @@ def substring_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> N
         f"transform(sequence(1, size(toks) - {SUBSTR_NGRAM - 1}),"
         f" i -> array_join(slice(toks, i, {SUBSTR_NGRAM}), ' '))"
     )
-    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+    return t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
         "doc_id",
         (F.col("pos") + 1).cast("bigint").alias("i"),
         hash60(F.col("gram")).alias("h"),
     )
-    g.repartition(F.col("h")).write.mode("overwrite").parquet(index_dir)
+
+
+def substring_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    docs: DataFrame | None = None,
+) -> None:
+    """Materialize the window-fingerprint stream: one (doc_id, i, h) row
+    per {SUBSTR_NGRAM}-token window, the shared input of the whole
+    exact-substring family (span manifest, doc fraction, source rollup,
+    removal plan). Build pays the tokenize scan ONCE; every consumer then
+    reads back three ints per window — the write-once/probe-many
+    amortization of the LSH/IVF/BM25 index tier, at ~{SUBSTR_NGRAM}x
+    compression of the token volume it replaces. Written Hive-partitioned
+    by a {FP_INDEX_BUCKETS}-way hash bucket of the fingerprint (the BM25
+    layout): all rows of one h share a directory, which is what makes the
+    O(batch + touched buckets) append path (substring_index_append)
+    possible — and a screen that knows its batch's buckets prunes the
+    standing read the same way.
+
+    ``docs``: optional documents frame to index instead of the sf_dir
+    table — the base-corpus side of the append equality gate.
+    """
+    from ..functions.indexing import clear_index_complete, mark_index_complete
+
+    clear_index_complete(spark, index_dir)
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    g = _substring_windows(d).withColumn(
+        "bucket", F.pmod(F.col("h"), F.lit(FP_INDEX_BUCKETS))
+    )
+    g.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
     # The fingerprint column IS hash60(window): pin the build's hash family
     # (the BM25/LSH index discipline) so a probe under the other family —
     # computing different window hashes — fails loudly instead of matching
@@ -3943,6 +3967,60 @@ def substring_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> N
     from ..functions.hashing import write_hash_mode_meta
 
     write_hash_mode_meta(spark, index_dir)
+    mark_index_complete(spark, index_dir)
+
+
+def substring_index_append(
+    spark: SparkSession, index_dir: str, batch_docs: DataFrame, resume: bool = False
+) -> None:
+    """Append a batch of (doc_id, text) documents to the PERSISTED
+    window-fingerprint stream WITHOUT rebuilding it: the batch pays its
+    own tokenize → window → hash pass (a per-document pure function, so
+    appended rows equal a rebuild's), then only the fingerprint buckets
+    the batch hashes into are rewritten as existing-minus-batch-doc_ids
+    plus the batch's windows — the ivfpq/lsh/bm25 append discipline
+    (anti-join idempotence, convergent torn-append recovery via
+    ``resume=True``, dynamic partition overwrite).  Closes the last
+    write-side gap of the substring family: after a day of ingest the
+    span manifest / removal plan re-serve from the appended index, no
+    corpus re-tokenize.  Contract: doc_ids are content-immutable.
+    """
+    from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    assert_hash_mode_meta(spark, index_dir)
+    clear_index_complete(spark, index_dir)
+    new = _substring_windows(batch_docs).withColumn(
+        "bucket", F.pmod(F.col("h"), F.lit(FP_INDEX_BUCKETS))
+    )
+    buckets_hit = sorted(
+        {r.bucket for r in new.select("bucket").distinct().collect()}
+    )
+    if not buckets_hit:  # window-free batch: artifact already correct
+        mark_index_complete(spark, index_dir)
+        return
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(buckets_hit))
+        .select(*new.columns)
+    )
+    merged = (
+        existing.join(new.select("doc_id").distinct(), "doc_id", "left_anti")
+        .unionByName(new)
+        .localCheckpoint(eager=True)  # bounded: touched buckets + batch
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
     mark_index_complete(spark, index_dir)
 
 
@@ -4099,29 +4177,8 @@ def _winnow_fingerprints(d: DataFrame, df_cap: int = WINNOW_DF_CAP) -> DataFrame
     groupBy+join, so the stream stays ONE pass: distinct shuffles
     (doc_id, h), the count-over-h rides the h exchange the self-join
     needs anyway."""
-    toks = lower_ws_tokens("text")
-    t = d.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= WINNOW_K
-    )
-    grams = F.expr(
-        f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
-        f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
-    )
-    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("i"),
-        hash60(F.col("gram")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(WINNOW_W - 1), WINNOW_W - 1)
-    )
     return (
-        g.withColumn("wmin", F.min("h").over(w))
-        .filter(F.col("h") == F.col("wmin"))
-        .select("doc_id", "h")
-        .distinct()
+        _winnow_selected(d)
         .withColumn("df", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("df") <= df_cap)
         .drop("df")
@@ -4180,41 +4237,216 @@ def dedup_winnowing(
     return _winnow_pairs(_winnow_fingerprints(d, df_cap=df_cap))
 
 
+def _winnow_selected(d: DataFrame) -> DataFrame:
+    """The UNCAPPED winnowed fingerprint stream (doc_id, h) — the
+    per-document selection (window local-min, distinct) WITHOUT the
+    corpus-global DF cap.  The cap is a function of global fingerprint
+    frequency, which appends change, so the persisted index stores this
+    per-document-pure stream plus a denormalized df column and probes
+    apply the cap on read (the BM25 denormalized-df discipline)."""
+    toks = lower_ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= WINNOW_K
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
+        f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
+    )
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        hash60(F.col("gram")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), WINNOW_W - 1)
+    )
+    return (
+        g.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+
+
 def winnow_index_build(
-    spark: SparkSession, sf_dir: str, index_dir: str, df_cap: int = WINNOW_DF_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    docs: DataFrame | None = None,
 ) -> None:
-    """Materialize the winnowed, DF-capped fingerprint stream — one
-    (doc_id, h) row per selected local-min window, ~2/(W+1) of the
-    shingle volume the substring index stores — mirroring
-    substring_index_build for the MOSS rung of the ladder. Build pays
-    the tokenize + selection pass ONCE; the pair probe then self-joins
-    two ints per fingerprint, and an arriving batch can screen against
-    the standing stream without re-reading corpus text. Written
-    hash-bucketed (repartition on h) so the probe's self-join starts
-    from the partitioning it needs; the _meta sidecar pins the hash
-    family (fingerprints ARE hash60 values)."""
+    """Materialize the winnowed fingerprint stream — one (doc_id, h, df)
+    row per selected local-min window, ~2/(W+1) of the shingle volume the
+    substring index stores — mirroring substring_index_build for the MOSS
+    rung of the ladder. Build pays the tokenize + selection pass ONCE;
+    the pair probe then self-joins two ints per fingerprint, and an
+    arriving batch can screen against the standing stream without
+    re-reading corpus text.
+
+    Layout: Hive-partitioned by a {FP_INDEX_BUCKETS}-way hash bucket of
+    the fingerprint, with the corpus-global document frequency
+    DENORMALIZED per row and the {WINNOW_DF_CAP} skew cap applied by the
+    PROBES on read — not baked into the artifact — because the cap is a
+    function of global df, which appends move: baking it in would make an
+    appended index disagree with a rebuild whenever a batch pushes a
+    fingerprint over the cap (rows a build dropped cannot be
+    resurrected).  Storing the uncapped stream keeps append == rebuild
+    exact (winnow_index_append repairs df per touched bucket, the BM25
+    discipline) at ~1 extra int per row.  The _meta sidecar pins the
+    hash family (fingerprints ARE hash60 values).
+
+    ``docs``: optional documents frame — the append equality gate's base.
+    """
     from ..functions.hashing import write_hash_mode_meta
     from ..functions.indexing import clear_index_complete, mark_index_complete
 
     clear_index_complete(spark, index_dir)
-    d = load_table(spark, sf_dir, "documents")
-    fp = _winnow_fingerprints(d, df_cap=df_cap)
-    fp.repartition(F.col("h")).write.mode("overwrite").parquet(index_dir)
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    fp = (
+        _winnow_selected(d)
+        .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(FP_INDEX_BUCKETS)))
+    )
+    fp.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
     write_hash_mode_meta(spark, index_dir)
+    mark_index_complete(spark, index_dir)
+
+
+def winnow_index_append(
+    spark: SparkSession, index_dir: str, batch_docs: DataFrame, resume: bool = False
+) -> None:
+    """Append a batch of (doc_id, text) documents to the PERSISTED
+    winnowed-fingerprint index WITHOUT rebuilding it: the batch pays its
+    own winnow-selection pass (per-document pure), then only the touched
+    fingerprint buckets are rewritten — existing minus batch doc_ids plus
+    the batch's rows, with df RECOMPUTED as the count-over-h window on
+    the merged rows (all rows of one h share its bucket, so the window
+    sees the exact global frequency — including batch rows pushing a
+    standing fingerprint over the probe-side cap, exactly as a rebuild
+    would).  Idempotent, convergent under ``resume=True``, O(batch +
+    touched buckets).  Contract: doc_ids are content-immutable."""
+    from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    assert_hash_mode_meta(spark, index_dir)
+    clear_index_complete(spark, index_dir)
+    new = _winnow_selected(batch_docs).withColumn(
+        "bucket", F.pmod(F.col("h"), F.lit(FP_INDEX_BUCKETS))
+    )
+    buckets_hit = sorted(
+        {r.bucket for r in new.select("bucket").distinct().collect()}
+    )
+    if not buckets_hit:  # fingerprint-free batch: artifact already correct
+        mark_index_complete(spark, index_dir)
+        return
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(buckets_hit))
+        .select("doc_id", "h", "bucket")
+    )
+    merged = (
+        existing.join(new.select("doc_id").distinct(), "doc_id", "left_anti")
+        .unionByName(new)
+        .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .select("doc_id", "h", "df", "bucket")
+        .localCheckpoint(eager=True)  # bounded: touched buckets + batch
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
     mark_index_complete(spark, index_dir)
 
 
 def dedup_winnowing_indexed(spark: SparkSession, index_dir: str) -> DataFrame:
     """dedup_winnowing's candidate pairs served from the PERSISTED
     fingerprint stream (result-equal gated by test): zero text reads —
-    the probe is the _winnow_pairs self-join over the int parquet, the
-    same write-once/probe-many amortization as the substring index."""
+    the probe applies the {WINNOW_DF_CAP} skew cap to the stored df
+    column (the cap lives probe-side so appends stay exact — see
+    winnow_index_build) and runs the _winnow_pairs self-join over the
+    int parquet, the same write-once/probe-many amortization as the
+    substring index."""
     from ..functions.hashing import assert_hash_mode_meta
     from ..functions.indexing import assert_index_complete
 
     assert_index_complete(spark, index_dir)
     assert_hash_mode_meta(spark, index_dir)
-    return _winnow_pairs(spark.read.parquet(index_dir))
+    return _winnow_pairs(_winnow_index_capped(spark.read.parquet(index_dir)))
+
+
+def _winnow_index_capped(index: DataFrame, df_cap: int = WINNOW_DF_CAP) -> DataFrame:
+    """Apply the probe-side skew cap to a persisted winnow index read:
+    drop fingerprints whose corpus-global df exceeds the cap (the stored
+    df column), or pass a pre-cap (doc_id, h) frame through untouched —
+    back-compat for frames built by the inline pipeline."""
+    if "df" in index.columns:
+        index = index.filter(F.col("df") <= df_cap)
+    return index.select("doc_id", "h")
+
+
+@_register("dedup_winnowing_appended", oracle=_winnowing_oracle())
+def dedup_winnowing_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the winnowed-fingerprint index verified
+    END TO END as a registered query: build on the base 4/5 of the
+    corpus, winnow_index_append the rest (repairing the denormalized df
+    per touched bucket — including batch rows pushing a standing
+    fingerprint over the probe-side skew cap, the case that forced the
+    cap OUT of the artifact), probe the appended index — and hold the
+    INLINE dedup_winnowing oracle, because append == rebuild == inline
+    pairs is the maintenance contract (pytest-gated pairwise; this row
+    drives the df-repair arithmetic under every harness dataset)."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="winnow_appended_")
+    try:
+        winnow_index_build(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        winnow_index_append(spark, tmp, d.filter(F.col("doc_id") >= split))
+        return dedup_winnowing_indexed(spark, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register("substring_spans_appended", oracle=_exact_substring_oracle())
+def substring_spans_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the window-fingerprint index verified
+    END TO END as a registered query: build on the base 4/5 of the
+    corpus, substring_index_append the rest, serve the maximal repeated-
+    span manifest from the appended index — and hold the INLINE
+    corpus_exact_substring_dedup oracle (append == rebuild == inline
+    spans, pytest-gated pairwise; this row verifies the composition on
+    the driver's datasets)."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="substring_appended_")
+    try:
+        substring_index_build(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        substring_index_append(spark, tmp, d.filter(F.col("doc_id") >= split))
+        return exact_substring_dedup_indexed(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _winnow_recall_oracle() -> str:
@@ -4535,8 +4767,9 @@ def winnow_screen_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
     disagree.
     """
     fp_new = _winnow_fingerprints(docs)
+    standing = _winnow_index_capped(index)
     hits = fp_new.join(
-        index.select(F.col("doc_id").alias("standing_doc"), "h"), "h"
+        standing.select(F.col("doc_id").alias("standing_doc"), "h"), "h"
     )
     cand = (
         hits.groupBy("doc_id", "standing_doc")

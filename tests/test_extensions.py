@@ -3823,3 +3823,90 @@ def test_refined_scoreboard_survives_tiny_corpus(spark, tmp_path):
     e.write.parquet(f"{out}/embeddings.parquet")
     rows = similarity.similarity_ann_recall_refined(spark, str(out)).collect()
     assert [r.method for r in rows] == ["ann_ivf_refined"]
+
+
+# --- round 11: winnow/substring index appends ---------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_substring_append_equals_full_rebuild_spans_and_replay(spark, tmp_path):
+    """build(base); append(batch) equals build(base+batch) row-for-row for
+    the window-fingerprint index, the served span manifest agrees, and a
+    replayed batch is a no-op."""
+    para = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, para + " tail one here now", "en", "s", 1),
+        (2, para + " other ending words go", "en", "s", 1),
+        (3, " ".join(f"u{i}" for i in range(25)), "en", "s", 1),
+        (4, para + " appended later document text", "en", "s", 1),
+        (5, " ".join(f"v{i}" for i in range(25)), "en", "s", 1),
+    ]
+    out = tmp_path / "sub_docs"
+    _docs_df(spark, rows).write.parquet(f"{out}/documents.parquet")
+    d = dedup.load_table(spark, str(out), "documents")
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    dedup.substring_index_build(spark, str(out), full_dir)
+    dedup.substring_index_build(
+        spark, str(out), inc_dir, docs=d.filter(F.col("doc_id") <= 3)
+    )
+    dedup.substring_index_append(spark, inc_dir, d.filter(F.col("doc_id") > 3))
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    sf_, si_ = (
+        {tuple(r) for r in dedup.exact_substring_dedup_indexed(spark, p).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert si_ == sf_ and len(si_) > 0
+    dedup.substring_index_append(spark, inc_dir, d.filter(F.col("doc_id") > 3))
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_winnow_append_repairs_df_across_the_probe_side_cap(spark, tmp_path):
+    """The case that forced the skew cap OUT of the artifact: a batch
+    pushes a standing fingerprint's global df over the cap. The appended
+    index must equal the full rebuild row-for-row INCLUDING the
+    denormalized df column, and a probe at a cap the batch crosses must
+    drop the fingerprint exactly as a rebuild would."""
+    para = " ".join(f"b{i}" for i in range(25))
+    base_rows = [(i, para + f" tail{i} x{i} y{i} z{i}", "en", "s", 1) for i in (1, 2, 3)]
+    batch_rows = [(i, para + f" tail{i} x{i} y{i} z{i}", "en", "s", 1) for i in (4, 5, 6)]
+    out = tmp_path / "win_docs"
+    _docs_df(spark, base_rows + batch_rows).write.parquet(f"{out}/documents.parquet")
+    d = dedup.load_table(spark, str(out), "documents")
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    dedup.winnow_index_build(spark, str(out), full_dir)
+    dedup.winnow_index_build(
+        spark, str(out), inc_dir, docs=d.filter(F.col("doc_id") <= 3)
+    )
+    dedup.winnow_index_append(spark, inc_dir, d.filter(F.col("doc_id") > 3))
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    # the shared paragraph yields at least one fingerprint in all 6 docs
+    dfs = {r.df for r in spark.read.parquet(inc_dir).collect()}
+    assert 6 in dfs
+    # a cap of 4: base-built df was 3 (kept), global df is 6 (dropped) —
+    # the appended index's repaired df must drive the same drop a rebuild does
+    for cap in (4, dedup.WINNOW_DF_CAP):
+        pf = {
+            tuple(r)
+            for r in dedup._winnow_pairs(
+                dedup._winnow_index_capped(spark.read.parquet(full_dir), cap)
+            ).collect()
+        }
+        pi = {
+            tuple(r)
+            for r in dedup._winnow_pairs(
+                dedup._winnow_index_capped(spark.read.parquet(inc_dir), cap)
+            ).collect()
+        }
+        assert pi == pf
+    # default-cap probe also equals the inline pairs (the registered gate)
+    inline = {tuple(r) for r in dedup.dedup_winnowing(spark, str(out)).collect()}
+    probed = {tuple(r) for r in dedup.dedup_winnowing_indexed(spark, inc_dir).collect()}
+    assert probed == inline
+    # replay idempotence
+    dedup.winnow_index_append(spark, inc_dir, d.filter(F.col("doc_id") > 3))
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)

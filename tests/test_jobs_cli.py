@@ -942,3 +942,40 @@ def test_cli_retrieve_indexed_serves_from_persisted_indexes(spark, tmp_path, cap
     assert rc == 1
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["statusCode"] == 400
+
+
+def test_cli_index_append_winnow_and_substring_kinds(spark, tmp_path, capsys):
+    """jobs index --kind winnow/substring --append: the fingerprint side
+    of the CLI maintenance surface — appended artifacts probe-equal to
+    full builds."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+    from tests.conftest import SF_SMOKE
+
+    d = dedup.load_table(spark, SF_SMOKE, "documents")
+    batch_path = str(tmp_path / "batch")
+    d.filter(F.col("doc_id") >= 400).write.parquet(batch_path)
+    for kind, build, probe in (
+        ("winnow", dedup.winnow_index_build, dedup.dedup_winnowing_indexed),
+        (
+            "substring",
+            dedup.substring_index_build,
+            dedup.exact_substring_dedup_indexed,
+        ),
+    ):
+        full, inc = str(tmp_path / f"{kind}_full"), str(tmp_path / f"{kind}_inc")
+        build(spark, SF_SMOKE, full)
+        build(spark, SF_SMOKE, inc, docs=d.filter(F.col("doc_id") < 400))
+        rc = jobs.main(
+            ["index", "--kind", kind, "--sf-dir", SF_SMOKE, "--output", inc,
+             "--append", batch_path, "--probe"]
+        )
+        assert rc == 0
+        st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert st["statusCode"] == 200 and st["mode"] == "append"
+        pf = {tuple(r) for r in probe(spark, full).collect()}
+        pi = {tuple(r) for r in probe(spark, inc).collect()}
+        assert pi == pf and len(pi) > 0
