@@ -4678,6 +4678,68 @@ def dedup_winnowing_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pruned_fp_index_read(
+    spark: SparkSession, index_dir: str, batch_fp: DataFrame
+) -> DataFrame:
+    """Partition-pruned read of a bucket-partitioned fingerprint index
+    (substring/winnow layout): collect the batch's fingerprint buckets
+    (bounded: at most {FP_INDEX_BUCKETS} values) and filter the scan to
+    them — Catalyst turns the isin into directory-level pruning, so a
+    screen reads O(collided buckets) of the standing corpus, never all
+    of it.  The lsh_probe_indexed economics, enabled for the MOSS and
+    exact-substring screens by the round-11 bucket layout."""
+    buckets_hit = sorted(
+        {
+            r.bucket
+            for r in batch_fp.select(
+                F.pmod(F.col("h"), F.lit(FP_INDEX_BUCKETS)).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    return spark.read.parquet(index_dir).filter(F.col("bucket").isin(buckets_hit))
+
+
+def substring_screen_indexed(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> DataFrame:
+    """substring_screen_against_index served with PARTITION PRUNING: the
+    batch's windows know their fingerprint buckets, so only those
+    directories of the standing index are listed and read (plan-gated) —
+    result-equal to screening against the full index read (gated),
+    because a fingerprint can only match inside its own bucket."""
+    from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import assert_index_complete
+
+    assert_index_complete(spark, index_dir)
+    assert_hash_mode_meta(spark, index_dir)
+    batch_fp = _substring_windows(docs).select("h")
+    return substring_screen_against_index(
+        docs, _pruned_fp_index_read(spark, index_dir, batch_fp)
+    )
+
+
+def winnow_screen_indexed(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> DataFrame:
+    """winnow_screen_against_index served with PARTITION PRUNING — the
+    batch's selected fingerprints prune the standing read to their
+    buckets; result-equal to the full-index screen (gated).  The batch
+    pays its winnow selection twice (once for pruning, once inside the
+    shared screen frame) — batch-sized work, traded for skipping
+    (1 - collided/{FP_INDEX_BUCKETS}) of the standing corpus read."""
+    from ..functions.hashing import assert_hash_mode_meta
+    from ..functions.indexing import assert_index_complete
+
+    assert_index_complete(spark, index_dir)
+    assert_hash_mode_meta(spark, index_dir)
+    batch_fp = _winnow_selected(docs).select("h")
+    return winnow_screen_against_index(
+        docs, _pruned_fp_index_read(spark, index_dir, batch_fp)
+    )
+
+
 def substring_screen_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
     """Screen a batch of ARRIVING documents against a persisted standing-
     corpus fingerprint index (substring_index_build's (doc_id, i, h)

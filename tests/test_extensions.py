@@ -3910,3 +3910,29 @@ def test_winnow_append_repairs_df_across_the_probe_side_cap(spark, tmp_path):
     # replay idempotence
     dedup.winnow_index_append(spark, inc_dir, d.filter(F.col("doc_id") > 3))
     assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_pruned_screens_equal_full_index_screens_and_prune(spark, tmp_path):
+    """The bucket-layout payoff on the read side: the pruned substring and
+    winnow screens equal the full-index screens row-for-row, and their
+    standing-index scans carry a bucket INSET partition filter."""
+    import re
+
+    d = dedup.load_table(spark, SF_SMOKE, "documents")
+    standing = d.filter(F.col("source") != "src0")
+    batch = d.filter(F.col("source") == "src0")
+    sub_idx = str(tmp_path / "sub_idx")
+    win_idx = str(tmp_path / "win_idx")
+    dedup.substring_index_build(spark, SF_SMOKE, sub_idx, docs=standing)
+    dedup.winnow_index_build(spark, SF_SMOKE, win_idx, docs=standing)
+    for pruned_fn, full_fn, idx in (
+        (dedup.substring_screen_indexed, dedup.substring_screen_against_index, sub_idx),
+        (dedup.winnow_screen_indexed, dedup.winnow_screen_against_index, win_idx),
+    ):
+        pruned = pruned_fn(spark, idx, batch)
+        full = full_fn(batch, spark.read.parquet(idx))
+        assert {tuple(r) for r in pruned.collect()} == {
+            tuple(r) for r in full.collect()
+        }
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*INSET", plan), plan[:2000]
