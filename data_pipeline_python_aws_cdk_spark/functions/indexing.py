@@ -26,6 +26,8 @@ partitions, re-mark.
 
 from __future__ import annotations
 
+import os
+
 INDEX_COMPLETE_SIDECAR = "_complete"
 
 
@@ -75,3 +77,128 @@ def assert_index_complete(spark, index_dir: str) -> None:
             "the last build or append did not finish (torn artifact) — "
             "rebuild the index before probing"
         ) from exc
+
+
+def index_compact(
+    spark,
+    index_dir: str,
+    target_file_bytes: int | None = None,
+    resume: bool = False,
+) -> dict:
+    """Compact a persisted index's fragmented partitions in place — the
+    maintenance pass that keeps the append path's economics honest.
+
+    Fragmentation source: every partitioned write fans a leaf's rows
+    across however many tasks hold them — a production-parallelism build
+    or append leaves up to min(tasks, |list|) files per written leaf, and
+    ``*_append_index``'s dynamic overwrite re-rolls that dice for every
+    TOUCHED list on every batch. Probe cost then drifts from O(list
+    bytes) toward O(list FILE OPENS), the same small-file decay
+    :func:`maintenance.compact` exists to repair on datasets. This is
+    that action under the index family's completion-marker discipline:
+    assert the artifact is whole, drop the marker, rewrite each
+    over-fragmented leaf to ~target-size files (underscore sidecars —
+    ``_centroids``/``_codebook``/``_stats``/``_meta`` — are invisible to
+    the leaf walk and ride through untouched), re-mark.
+    Rows, schema, and the Hive partition layout are preserved exactly, so
+    probes are result-equal before and after (pytest-gated); running it
+    again on a stable artifact is a no-op.
+
+    ``resume=True`` re-runs a torn compaction (crash mid-rewrite cleared
+    the marker): each leaf rewrite preserves that leaf's rows, so
+    re-running converges regardless of where the crash landed.
+
+    Returns :class:`maintenance.CompactionStats` as a dict.
+    """
+    from ..maintenance import DEFAULT_TARGET_FILE_BYTES, compact
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    clear_index_complete(spark, index_dir)
+    stats = compact(
+        spark,
+        index_dir,
+        "parquet",
+        target_file_bytes or DEFAULT_TARGET_FILE_BYTES,
+    )
+    mark_index_complete(spark, index_dir)
+    return stats.as_dict()
+
+
+def index_report(
+    spark, index_dir: str, target_file_bytes: int | None = None
+) -> dict:
+    """Freshness/staleness report over a persisted index artifact: per
+    Hive partition, its file count, byte size, row count, and whether
+    :func:`index_compact` would rewrite it — plus the artifact-level
+    completeness flag and the sidecars present. The operational answer to
+    "how fragmented did N appends leave this index, and is it safe to
+    probe" without reading codebooks or running a probe.
+
+    Listing is metadata-scale (one entry per leaf via the directory walk,
+    the :func:`maintenance.compact` convention — on a cluster this goes
+    through the Hadoop FileSystem API); row counts come from ONE
+    distributed parquet scan grouped by source file directory, never a
+    per-partition job loop.
+    """
+    from pyspark.sql import functions as F
+
+    from ..maintenance import (
+        DEFAULT_TARGET_FILE_BYTES,
+        _is_data_file,
+        _leaf_partitions,
+    )
+
+    target = target_file_bytes or DEFAULT_TARGET_FILE_BYTES
+    root = index_dir.rstrip("/")
+    complete = True
+    try:
+        assert_index_complete(spark, index_dir)
+    except ValueError:
+        complete = False
+    sidecars = sorted(
+        n
+        for n in os.listdir(root)
+        if n.startswith("_") and n != INDEX_COMPLETE_SIDECAR
+    )
+    leaves = {}
+    for leaf in _leaf_partitions(root):
+        files = [
+            os.path.join(leaf, f)
+            for f in os.listdir(leaf)
+            if _is_data_file(f) and os.path.isfile(os.path.join(leaf, f))
+        ]
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        rel = os.path.relpath(leaf, root)
+        leaves[os.path.abspath(leaf)] = {
+            "partition": "" if rel == "." else rel,
+            "n_files": len(files),
+            "n_bytes": n_bytes,
+            "n_rows": 0,
+            "needs_compaction": len(files) > max(1, -(-n_bytes // target)),
+        }
+    if leaves:
+        counts = (
+            spark.read.parquet(root)
+            .groupBy(
+                F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias("dir")
+            )
+            .count()
+            .collect()
+        )
+        for r in counts:
+            # input_file_name is a URI; leaf keys are local abspaths
+            key = os.path.abspath(r.dir.split("://", 1)[-1])
+            if key in leaves:
+                leaves[key]["n_rows"] = int(r["count"])
+    parts = sorted(leaves.values(), key=lambda p: p["partition"])
+    return {
+        "complete": complete,
+        "sidecars": sidecars,
+        "partitions": parts,
+        "n_partitions": len(parts),
+        "total_files": sum(p["n_files"] for p in parts),
+        "total_bytes": sum(p["n_bytes"] for p in parts),
+        "total_rows": sum(p["n_rows"] for p in parts),
+        "fragmented_partitions": sum(p["needs_compaction"] for p in parts),
+    }

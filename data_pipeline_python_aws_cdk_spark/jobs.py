@@ -145,8 +145,22 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument(
         "--resume",
         action="store_true",
-        help="with --append: re-run a torn append (skips the completion-"
-        "marker assert; the merge is convergent)",
+        help="with --append or --compact: re-run a torn pass (skips the "
+        "completion-marker assert; both merges are convergent)",
+    )
+    p_idx.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance: rewrite the EXISTING index at --output's "
+        "over-fragmented partitions in place (parallel builds/appends "
+        "fan each written list across tasks); result-equal, idempotent",
+    )
+    p_idx.add_argument(
+        "--report",
+        action="store_true",
+        help="print the freshness/staleness report for the EXISTING index "
+        "at --output (per-partition files/bytes/rows, fragmentation, "
+        "completeness, sidecars) without building or probing",
     )
 
     p_scr = sub.add_parser(
@@ -843,6 +857,33 @@ def main(argv: list[str] | None = None) -> int:
             "lsh": (lsh_build_index, lsh_append_index, lsh_probe_indexed),
         }
         build, append, probe_fn = kinds[args.kind]
+        if args.report:
+            from .functions.indexing import index_report
+
+            print(
+                json.dumps(
+                    {"statusCode": 200, "kind": args.kind, "index": args.output}
+                    | index_report(spark, args.output)
+                )
+            )
+            return 0
+        if args.compact:
+            from .functions.indexing import index_compact
+
+            st = index_compact(spark, args.output, resume=args.resume)
+            out = {
+                "statusCode": 200,
+                "kind": args.kind,
+                "index": args.output,
+                "mode": "compact",
+                **st,
+            }
+            if args.probe:
+                out["probe_rows"] = probe_fn(
+                    spark, args.output, args.sf_dir
+                ).count()
+            print(json.dumps(out))
+            return 0
         if args.append is not None:
             if append is None:
                 print(

@@ -4129,6 +4129,172 @@ def similarity_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _fragment_index(
+    spark: SparkSession, index_dir: str, n: int = 4, partition_col: str = "centroid_id"
+) -> None:
+    """Rewrite an index's lists fanned across ``n`` round-robin tasks —
+    the file layout a PRODUCTION-parallelism build/append leaves (each
+    written leaf gets one file per task holding its rows; local[32] at
+    test scale coalesces to one). Rows are untouched; only the
+    file-per-leaf count changes. Used by the compaction lifecycle query
+    and its gates so ``index_compact`` genuinely rewrites at every scale
+    instead of no-opping on toy single-file leaves."""
+    frag = spark.read.parquet(index_dir).repartition(n).localCheckpoint(eager=True)
+    (
+        frag.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(index_dir)
+    )
+
+
+@_register("similarity_ann_ivfpq_compacted", oracle=_ivfpq_oracle())
+def similarity_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index LIFECYCLE verified end to end as a registered query:
+    build the persisted IVF+PQ index on the base 4/5 of the corpus, append
+    the remaining 1/5 against the frozen sidecar codebooks, fragment the
+    lists into the multi-file-per-leaf layout a production-parallelism
+    write leaves (``_fragment_index`` — local toy scale coalesces to one
+    file per leaf, which would let compaction no-op), run
+    ``index_compact`` over the artifact, probe — and still hold the
+    INLINE similarity_ann_ivfpq oracle. build + append + fragment +
+    compact + probe == inline IS the maintenance story: compaction
+    rewrites bytes, never rows, so serving results cannot drift (also
+    row-for-row pytest-gated; this row makes the composition
+    driver-verifiable on every dataset the harness generates).
+
+    Scale shape: compaction cost is one read+coalesce+write per
+    OVER-FRAGMENTED leaf (file-count vs byte-size test, skipped when
+    already stable), so a scheduled compact after each append window is
+    O(fragmented lists), the same economics as the append itself.
+    """
+    import shutil
+    import tempfile
+
+    from ..functions.indexing import index_compact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="ivfpq_compacted_")
+    try:
+        ivfpq_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        ivfpq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
+        _fragment_index(spark, tmp)
+        index_compact(spark, tmp)
+        return ivfpq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ivfpq_stats_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH icent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    iac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    iranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM iac
+    ),
+    iassign AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
+    cb AS (
+      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, s.sub, cb.k,
+             ROUND(SUM((e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                        - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)
+                       * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                          - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
+               AS d6
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY e.vec_id, s.sub, cb.k
+    ),
+    best AS (
+      SELECT vec_id, sub, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, k) AS rn
+      FROM d
+    ),
+    pq AS (
+      SELECT vec_id,
+             CAST(SUM(k * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT)
+               AS pq_code
+      FROM best WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(a.vec_id) AS BIGINT) AS max_vec_id,
+           CAST(SUM(p.pq_code) AS BIGINT) AS code_checksum
+    FROM iassign a JOIN pq p USING (vec_id)
+    GROUP BY a.centroid_id
+    ORDER BY centroid_id
+    """
+
+
+@_register("ivfpq_index_stats", oracle=_ivfpq_stats_oracle())
+def ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-inverted-list stats read FROM THE PERSISTED ARTIFACT — the
+    oracle-backed core of the index freshness report (``jobs index
+    --report`` adds the non-SQL-expressible operational columns: file
+    counts, bytes, fragmentation, marker state).
+
+    The query builds the IVF+PQ index on the base 4/5 of the corpus,
+    appends the remaining 1/5 against the frozen sidecar codebooks, then
+    aggregates the artifact's OWN rows per list: member count, vec_id
+    range, and the sum of resident 32-bit PQ codes. The oracle recomputes
+    every column from the raw embeddings table (full assignment + code
+    math), so a green row proves the bytes ON DISK after a build+append
+    cycle — partition membership AND resident codes — match what
+    full-corpus math says they must be, row for row. The checksum is the
+    strong part: one flipped nibble in one list breaks it.
+
+    Scale shape: the report side is one partition-pruned-free scan of the
+    index (codes are 12 bytes/vector, never the float vectors) rolled up
+    map-side to NLIST rows.
+    """
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="ivfpq_stats_")
+    try:
+        ivfpq_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        ivfpq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
+        idx = spark.read.parquet(tmp)
+        return (
+            idx.groupBy(F.col("centroid_id").cast("bigint").alias("centroid_id"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_vectors"),
+                F.min("vec_id").cast("bigint").alias("min_vec_id"),
+                F.max("vec_id").cast("bigint").alias("max_vec_id"),
+                F.sum("pq_code").cast("bigint").alias("code_checksum"),
+            )
+            .orderBy("centroid_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _res_sq_expr() -> "F.Column":
     """Residual-space squared subdistance in micro-units, Spark side —
     the verbatim twin of _res_sq_sql over in-row arrays named

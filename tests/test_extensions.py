@@ -3687,6 +3687,130 @@ def test_append_refuses_torn_artifact_and_resume_repairs_it(spark, tmp_path):
     assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
 
 
+# --- round 11: appended-index compaction + freshness report -------------------
+
+
+def test_index_compact_preserves_rows_and_probe_and_is_idempotent(
+    spark, tmp_path
+):
+    """index_compact on a built+appended IVF+PQ artifact fragmented into
+    the multi-file-per-leaf layout a production-parallelism write leaves:
+    rows and probe results are byte-identical before and after, total
+    file count drops, the completion marker survives, and a second pass
+    is a no-op (stable artifacts must be safe to compact on a
+    schedule)."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        index_compact,
+        index_report,
+    )
+
+    idx = str(tmp_path / "idx")
+    base, batch = _split_embeddings(spark)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx, vectors=base)
+    similarity.ivfpq_append_index(spark, idx, batch)
+    similarity._fragment_index(spark, idx)
+    before_rows = _index_rows(spark, idx)
+    before_probe = {
+        tuple(r)
+        for r in similarity.ivfpq_probe_indexed(spark, idx, SF_SMOKE).collect()
+    }
+    before = index_report(spark, idx)
+    assert before["complete"] and before["fragmented_partitions"] > 0
+    st = index_compact(spark, idx)
+    assert st["partitions_compacted"] > 0
+    assert st["files_after"] < st["files_before"]
+    assert _index_rows(spark, idx) == before_rows
+    after_probe = {
+        tuple(r)
+        for r in similarity.ivfpq_probe_indexed(spark, idx, SF_SMOKE).collect()
+    }
+    assert after_probe == before_probe and len(after_probe) > 0
+    after = index_report(spark, idx)
+    assert after["complete"] and after["fragmented_partitions"] == 0
+    assert after["total_rows"] == before["total_rows"] == len(before_rows)
+    st2 = index_compact(spark, idx)  # stable: schedule-safe no-op
+    assert st2["partitions_compacted"] == 0
+    assert _index_rows(spark, idx) == before_rows
+
+
+def test_index_compact_bm25_preserves_probe_stats_and_hash_meta(
+    spark, tmp_path
+):
+    """Compaction is layout-generic: on the bucket-partitioned BM25 index
+    the probe rankings, the one-row _stats sidecar, and the hash-mode
+    meta all survive the rewrite untouched."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import index_compact
+
+    idx = str(tmp_path / "bm25")
+    d = text.load_table(spark, SF_SMOKE, "documents")
+    text.bm25_build_index(spark, SF_SMOKE, idx, docs=d.filter(F.col("doc_id") < 400))
+    text.bm25_append_index(spark, idx, d.filter(F.col("doc_id") >= 400))
+    similarity._fragment_index(spark, idx, partition_col="bucket")
+    before_rows = _index_rows(spark, idx)
+    before_probe = {
+        tuple(r) for r in text.bm25_probe_indexed(spark, idx, SF_SMOKE).collect()
+    }
+    stats_before = spark.read.parquet(f"{idx}/_stats").collect()
+    st = index_compact(spark, idx)
+    assert st["files_after"] < st["files_before"]
+    assert _index_rows(spark, idx) == before_rows
+    assert spark.read.parquet(f"{idx}/_stats").collect() == stats_before
+    after_probe = {
+        tuple(r) for r in text.bm25_probe_indexed(spark, idx, SF_SMOKE).collect()
+    }
+    assert after_probe == before_probe and len(after_probe) > 0
+
+
+def test_index_compact_refuses_torn_artifact_and_resume_repairs(
+    spark, tmp_path
+):
+    """Compacting a torn artifact (no completion marker) raises; the
+    documented recovery — resume=True — rewrites leaves (each rewrite
+    preserves its leaf's rows) and restores the marker."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+        index_compact,
+        index_report,
+    )
+
+    idx = str(tmp_path / "idx")
+    base, batch = _split_embeddings(spark)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx, vectors=base)
+    similarity.ivfpq_append_index(spark, idx, batch)
+    similarity._fragment_index(spark, idx)
+    before_rows = _index_rows(spark, idx)
+    shutil.rmtree(tmp_path / "idx" / INDEX_COMPLETE_SIDECAR)
+    assert index_report(spark, idx)["complete"] is False
+    with pytest.raises(ValueError, match="_complete"):
+        index_compact(spark, idx)
+    index_compact(spark, idx, resume=True)
+    assert _index_rows(spark, idx) == before_rows
+    assert index_report(spark, idx)["complete"] is True
+
+
+def test_index_report_rows_files_and_sidecars(spark, tmp_path):
+    """The freshness report's row counts come from the artifact itself
+    (sum over partitions == artifact row count), the sidecar listing
+    names the codebooks, and per-partition entries carry the Hive
+    partition path."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import index_report
+
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx)
+    rep = index_report(spark, idx)
+    assert rep["complete"] is True
+    assert "_centroids" in rep["sidecars"] and "_codebook" in rep["sidecars"]
+    total = spark.read.parquet(idx).count()
+    assert rep["total_rows"] == total > 0
+    assert rep["n_partitions"] == len(rep["partitions"]) > 0
+    assert all(
+        p["partition"].startswith("centroid_id=") for p in rep["partitions"]
+    )
+    assert all(p["n_files"] >= 1 and p["n_rows"] >= 1 for p in rep["partitions"])
+
+
 # --- round 11: indexed hybrid retrieval serving path -------------------------
 
 

@@ -909,6 +909,50 @@ def test_cli_index_append_maintains_ivfpq_and_rejects_pq(spark, tmp_path, capsys
     assert st["statusCode"] == 400
 
 
+def test_cli_index_compact_and_report(spark, tmp_path, capsys):
+    """jobs index --compact / --report: the maintenance surface — the
+    report flags the post-append fragmentation, compaction clears it with
+    the probe still live, and the after-report reads clean."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    e = similarity.load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(
+        spark, SF_SMOKE, idx, vectors=e.filter(F.col("vec_id") < 400)
+    )
+    similarity.ivfpq_append_index(spark, idx, e.filter(F.col("vec_id") >= 400))
+    similarity._fragment_index(spark, idx)
+    rc = jobs.main(
+        ["index", "--kind", "ivfpq", "--sf-dir", SF_SMOKE, "--output", idx,
+         "--report"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["statusCode"] == 200 and rep["complete"]
+    assert rep["fragmented_partitions"] > 0
+    rc = jobs.main(
+        ["index", "--kind", "ivfpq", "--sf-dir", SF_SMOKE, "--output", idx,
+         "--compact", "--probe"]
+    )
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200 and st["mode"] == "compact"
+    assert st["partitions_compacted"] > 0 and st["probe_rows"] > 0
+    rc = jobs.main(
+        ["index", "--kind", "ivfpq", "--sf-dir", SF_SMOKE, "--output", idx,
+         "--report"]
+    )
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["fragmented_partitions"] == 0
+    assert rep2["total_rows"] == rep["total_rows"]
+
+
 def test_cli_retrieve_indexed_serves_from_persisted_indexes(spark, tmp_path, capsys):
     """jobs retrieve --bm25-index/--ann-index: the deployed two-tower
     serving surface — result table equals the inline hybrid run."""
