@@ -2575,13 +2575,19 @@ def _bpe_sql_cte(n_merges: int) -> tuple[str, str]:
     unmatchable two-symbol pattern built from chr(1)) keeps rounds total
     when the dictionary runs out of pairs — the Spark loop breaks, the SQL
     no-ops, final states agree. Returns (cte_text, final_state_name).
+
+    Each ``st{r}`` is MATERIALIZED: it is referenced twice (by its
+    round's pair count and by the next state), so DuckDB's default CTE
+    inlining re-expands the whole chain per reference — measured ~6x
+    PER ROUND (2.8 s at 6 rounds, 93 s at 9, hours at 12); forcing one
+    materialization per round makes the chain linear (0.15 s at 12).
     """
     parts = [
         "w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),"
         " '\\s+')) AS word FROM documents)",
         "wf AS (SELECT word, COUNT(*) AS freq FROM w WHERE word <> ''"
         " GROUP BY word)",
-        "st0 AS (SELECT word, freq, array_to_string(list_transform("
+        "st0 AS MATERIALIZED (SELECT word, freq, array_to_string(list_transform("
         "generate_series(1, length(word)), i -> substr(word, i, 1)), ' ')"
         " AS s FROM wf)",
     ]
@@ -2597,7 +2603,7 @@ def _bpe_sql_cte(n_merges: int) -> tuple[str, str]:
             f" chr(1) || ' ' || chr(1)) AS pair)"
         )
         parts.append(
-            f"st{r + 1} AS (SELECT word, freq, trim(regexp_replace("
+            f"st{r + 1} AS MATERIALIZED (SELECT word, freq, trim(regexp_replace("
             f"replace(' ' || replace(s, ' ', '  ') || ' ',"
             f" ' ' || str_split(pair, ' ')[1] || '  '"
             f" || str_split(pair, ' ')[2] || ' ',"
@@ -2654,8 +2660,8 @@ def _bpe_vocab(state: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle() -> str:
-    ctes, st_n = _bpe_sql_cte(BPE_ENCODE_MERGES)
+def _bpe_encode_oracle(n_merges: int = BPE_ENCODE_MERGES) -> str:
+    ctes, st_n = _bpe_sql_cte(n_merges)
     return f"""
     WITH {ctes},
     vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) AS token_id
@@ -2698,6 +2704,16 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side combined.
     """
     _, state = _bpe_train_states(spark, sf_dir, BPE_ENCODE_MERGES)
+    return _bpe_encode_summary(spark, sf_dir, state)
+
+
+def _bpe_encode_summary(spark: SparkSession, sf_dir: str, state: DataFrame) -> DataFrame:
+    """Shared encode tail: apply a trained (word, symbol-string) state to
+    the corpus and roll up the per-doc (token count, id checksum,
+    distinct types) summary — one corpus-scale word-keyed shuffle, one
+    broadcast join against the provably bounded id table. The serial
+    and batched trainers both feed this verbatim, so their encode rows
+    can differ only if their final states do."""
     vocab = _bpe_vocab(state)
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
@@ -2715,6 +2731,38 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BPE_ENCODE_BATCHED_MERGES = 12  # deeper than the serial encode's budget
+
+
+@_register(
+    "corpus_bpe_encode_batched",
+    oracle=_bpe_encode_oracle(BPE_ENCODE_BATCHED_MERGES),
+)
+def corpus_bpe_encode_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED trainer pushed through the full encode chain at a
+    deeper merge budget: train {BPE_ENCODE_BATCHED_MERGES} merges with
+    ``_bpe_train_states_batched`` (several symbol-disjoint merges per
+    round — the production schedule), then encode the corpus through the
+    shared ``_bpe_encode_summary`` tail — while the oracle runs the
+    SERIAL trainer UNROLLED in SQL (one argmax per round) to the same
+    depth and encodes with it. A green row therefore proves end to end
+    that batching changes the ROUND COUNT and nothing else: final symbol
+    state, vocabulary ids, and every per-doc token/checksum row are
+    bit-identical to serial training at 2x the registered serial encode
+    query's depth (``corpus_bpe_encode`` at {BPE_ENCODE_MERGES} merges
+    pins the serial twin; the merge-schedule equality itself is pinned by
+    ``bpe_train_batched_merges`` and the hypothesis property gate).
+
+    Scale shape: identical to corpus_bpe_encode — the trainer's rounds
+    are dictionary-sized driver work (fewer of them here), the encode is
+    the one word-keyed corpus shuffle plus a bounded broadcast.
+    """
+    _, state, _ = _bpe_train_states_batched(
+        spark, sf_dir, BPE_ENCODE_BATCHED_MERGES
+    )
+    return _bpe_encode_summary(spark, sf_dir, state)
 
 
 def _bpe_fertility_oracle() -> str:
