@@ -351,6 +351,26 @@ def main(argv: list[str] | None = None) -> int:
     p_wscr.add_argument("--output", required=True, help="verdict table path")
     p_wscr.add_argument("--checkpoint", required=True)
 
+    p_ascr = sub.add_parser(
+        "ann-screen",
+        help="streaming embedding near-dup screen: near_dup_candidate/new"
+        " verdicts per micro-batch against a persisted IVF index;"
+        " --append folds each batch's new vectors back into the index"
+        " (self-maintaining serving)",
+    )
+    p_ascr.add_argument(
+        "--source", required=True, help="(vec_id, embedding) parquet dir to stream"
+    )
+    p_ascr.add_argument("--index", required=True, help="ivf index dir")
+    p_ascr.add_argument("--output", required=True, help="verdict table path")
+    p_ascr.add_argument("--checkpoint", required=True)
+    p_ascr.add_argument(
+        "--append",
+        action="store_true",
+        help="after each batch's verdicts commit, append its 'new' vectors"
+        " to the index against the frozen _centroids sidecar",
+    )
+
     p_sdd = sub.add_parser(
         "substring-dedup",
         help="exact-substring pipeline: fingerprint index + span manifest"
@@ -969,6 +989,35 @@ def main(argv: list[str] | None = None) -> int:
                     "campaigns": len(rows),
                     "touches": sum(r.touches for r in rows),
                     "linear_credit_micro": sum(r.linear_credit_micro for r in rows),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "ann-screen":
+        from .streaming.events import run_stream_ann_screen
+
+        run_stream_ann_screen(
+            spark,
+            args.source,
+            args.index,
+            args.output,
+            args.checkpoint,
+            append=args.append,
+        )
+        verdicts = spark.read.parquet(args.output)
+        routes = {
+            r["verdict"]: r["count"]
+            for r in verdicts.groupBy("verdict").count().collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "statusCode": 200,
+                    "vectors": sum(routes.values()),
+                    "routes": routes,
+                    "appended": bool(args.append),
                     "output": args.output,
                 }
             )

@@ -1332,6 +1332,108 @@ def ivf_probe_indexed(
     )
 
 
+# --- round 11: streaming ANN ingest screen over the persisted IVF index -----
+
+
+def ann_screen_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    nprobe: int = IVF_NPROBE,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Screen an ingest batch of (vec_id, embedding) rows against the
+    PERSISTED IVF index: per batch vector, rank the index's own
+    ``_centroids`` codebook, read ONLY the nprobe probed inverted lists
+    (partition-path pruning — the ivf_probe_indexed contract), take the
+    exact-cosine TOP-1 standing-corpus neighbor, and route
+    ``near_dup_candidate`` when its 6-dp cosine clears the threshold
+    (default: dedup's EMBEDDING_DUP_THRESHOLD, the testdata-calibrated
+    near-dup bar) else ``new`` — the embedding-space member of the
+    screen-frame family (LSH bands, substring windows, winnowed
+    fingerprints), and the frame both the batch backfill and
+    ``run_stream_ann_screen`` call, so stream and backfill cannot
+    disagree.
+
+    Screening is against the STANDING CORPUS only (self-matches excluded
+    by vec_id; intra-batch duplicates are the batch's own dedup problem —
+    the same semantics as the other screens). Scale shape: the batch
+    crosses one broadcast-codebook cosine pass and one window; the only
+    driver materialization is the DISTINCT probed centroid ids (bounded
+    by NLIST at any batch size) feeding the partition filter; the corpus
+    contributes only the probed lists.
+
+    Returns (vec_id, verdict, match_id, cosine) — match_id/cosine NULL for
+    vectors whose probed lists held no candidates.
+    """
+    from ..functions.indexing import assert_index_complete
+
+    if threshold is None:
+        from .dedup import EMBEDDING_DUP_THRESHOLD
+
+        threshold = EMBEDDING_DUP_THRESHOLD
+    assert_index_complete(spark, index_dir)
+    # The screen requires the codebook the lists were assigned with; a
+    # missing sidecar is a broken artifact, not a fallback case (the
+    # assert_hash_mode_meta discipline) — let the read fail loudly.
+    cent = spark.read.parquet(f"{index_dir}/_centroids").select(
+        "centroid_id", F.col("ce").cast("array<float>").alias("ce")
+    )
+    b = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    q = b.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    qc = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        F.round(cosine_arrow(F.col("qe"), F.col("ce")), 6).alias("c6"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "centroid_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+        .localCheckpoint(eager=True)  # batch x nprobe rows; read twice below
+    )
+    probed_ids = sorted(
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+    )
+    index = spark.read.parquet(index_dir).filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    cand = (
+        probes.join(index, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+        )
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_arrow(F.col("qe"), F.col("ne")), 6).alias("c6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c6").desc(), "neighbor_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "c6")
+    )
+    return (
+        b.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+        .join(best, F.col("vec_id") == F.col("query_id"), "left")
+        .select(
+            "vec_id",
+            F.when(F.col("c6") >= threshold, F.lit("near_dup_candidate"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.col("neighbor_id").cast("bigint").alias("match_id"),
+            F.col("c6").alias("cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --- round-3 addition: scalar quantization ---------------------------------
 
 QUANT_LEVELS = 255
@@ -4291,6 +4393,110 @@ def ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("centroid_id")
             .localCheckpoint(eager=True)
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ann_screen_oracle() -> str:
+    from .dedup import EMBEDDING_DUP_THRESHOLD
+
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    cos_q = _COS_SQL.replace("qe", "q.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH bounds AS (
+      SELECT GREATEST({APPEND_SEED_FLOOR},
+                      (MAX(vec_id) + 1) * 4 // 5) AS split
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    base AS (SELECT e.* FROM embeddings e, bounds WHERE e.vec_id < split),
+    batch AS (SELECT e.* FROM embeddings e, bounds WHERE e.vec_id >= split),
+    ac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM base e JOIN cent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c6 DESC, centroid_id) AS rn
+        FROM ac) WHERE rn = 1
+    ),
+    qac AS (
+      SELECT q.vec_id AS query_id, c.centroid_id, ROUND({cos_q}, 6) AS c6
+      FROM batch q JOIN cent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY q.vec_id, c.centroid_id
+    ),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c6 DESC, centroid_id) AS rn
+        FROM qac) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    ),
+    p2 AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             a.embedding AS qe, b.embedding AS ne
+      FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    ),
+    d AS (SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 6) AS c6
+          FROM p2, generate_series(1, {DIM}) g(i)
+          GROUP BY query_id, neighbor_id),
+    best AS (
+      SELECT query_id, neighbor_id, c6 FROM (
+        SELECT query_id, neighbor_id, c6,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c6 DESC, neighbor_id) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT CAST(q.vec_id AS BIGINT) AS vec_id,
+           CASE WHEN best.c6 >= {EMBEDDING_DUP_THRESHOLD}
+                THEN 'near_dup_candidate' ELSE 'new' END AS verdict,
+           CAST(best.neighbor_id AS BIGINT) AS match_id,
+           best.c6 AS cosine
+    FROM batch q LEFT JOIN best ON best.query_id = q.vec_id
+    ORDER BY vec_id
+    """
+
+
+@_register("similarity_ann_screen", oracle=_ann_screen_oracle())
+def similarity_ann_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN ingest screen verified END TO END as a registered
+    query: build the persisted IVF index on the base 4/5 of the corpus,
+    screen the remaining 1/5 as the arriving batch through
+    ``ann_screen_against_index``, and hold an oracle that recomputes
+    every verdict from raw embeddings math (base-side assignment, probe
+    ranking, exact top-1 cosine, threshold CASE). This is the frame
+    ``run_stream_ann_screen`` applies per micro-batch — the embedding
+    twin of the LSH/substring/winnow screen rows — so the driver verifies
+    the serving path's routing on every dataset the harness generates.
+    Corpora too small to split screen an EMPTY batch (zero rows, stable
+    schema), which the oracle checks for free.
+    """
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="ann_screen_")
+    try:
+        ivf_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        return ann_screen_against_index(
+            spark, e.filter(F.col("vec_id") >= split), tmp
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

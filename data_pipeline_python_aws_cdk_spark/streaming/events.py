@@ -1073,3 +1073,81 @@ def run_stream_winnow_screen(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_ann_screen(
+    spark,
+    vecs_dir: str,
+    index_dir: str,
+    verdict_path: str,
+    checkpoint_dir: str,
+    append: bool = False,
+) -> None:
+    """Continuous embedding near-dup screening: every micro-batch of
+    arriving (vec_id, embedding) rows probes the PERSISTED IVF index
+    (operators.similarity.ivf_build_index) and is routed
+    near_dup_candidate / new by its exact top-1 standing-corpus cosine —
+    the embedding-space member of the screen family (LSH bands,
+    substring windows, winnowed fingerprints), screening vectors the way
+    those screen text.
+
+    ``append=True`` closes the ingest loop into SELF-MAINTAINING index
+    serving: after each batch's verdicts commit, the batch's ``new``
+    vectors are ivf_append_index'ed into the standing index (assigned
+    against the frozen ``_centroids`` sidecar, touched lists rewritten),
+    so the NEXT batch screens against a corpus that already contains
+    them — build once, then screen+append forever, never rebuild.
+
+    Replay discipline: verdicts overwrite their own batch_id partition
+    (the family's effectively-once rule), and the append is convergent —
+    a replayed batch's vectors are already in the index under their own
+    vec_ids, which the screen's self-exclusion ignores, so the verdicts
+    reproduce and the re-append no-ops (anti-join idempotence). The
+    append runs with ``resume=True`` because inside the checkpointed
+    replay loop a batch re-run IS the documented torn-append recovery.
+
+    Shared-frame discipline: the per-batch verdict IS
+    operators.similarity.ann_screen_against_index — the same frame the
+    registered ``similarity_ann_screen`` query holds against its SQL
+    oracle, so stream, backfill, and driver verification cannot
+    disagree.
+    """
+    from ..operators.similarity import (
+        ann_screen_against_index,
+        ivf_append_index,
+    )
+
+    static_schema = spark.read.parquet(vecs_dir).schema
+    stream = spark.readStream.schema(static_schema).parquet(vecs_dir)
+
+    def _screen(batch_df, batch_id: int) -> None:
+        verdicts = ann_screen_against_index(
+            spark, batch_df, index_dir
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_path)
+        )
+        if append:
+            fresh = (
+                spark.read.parquet(verdict_path)
+                .filter(
+                    (F.col("batch_id") == int(batch_id))
+                    & (F.col("verdict") == "new")
+                )
+                .select("vec_id")
+            )
+            new_vecs = batch_df.select("vec_id", "embedding").join(
+                fresh, "vec_id", "semi"
+            )
+            ivf_append_index(spark, index_dir, new_vecs, resume=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

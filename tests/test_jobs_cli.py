@@ -1023,3 +1023,40 @@ def test_cli_index_append_winnow_and_substring_kinds(spark, tmp_path, capsys):
         pf = {tuple(r) for r in probe(spark, full).collect()}
         pi = {tuple(r) for r in probe(spark, inc).collect()}
         assert pi == pf and len(pi) > 0
+
+
+def test_cli_ann_screen_routes_and_appends(spark, tmp_path, capsys):
+    """jobs ann-screen: the deployed embedding ingest surface — verdicts
+    per arriving vector against the persisted IVF index, with --append
+    folding the new vectors back in."""
+    import json
+
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        ivf_build_index,
+    )
+
+    def one_hot(i):
+        return [1.0 if j == i else 0.0 for j in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, one_hot(i)) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf_idx")
+    ivf_build_index(spark, str(tmp_path), idx, vectors=corpus)
+    vecs = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [(100, one_hot(20)), (101, one_hot(50))],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(vecs)
+    out = str(tmp_path / "verdicts")
+    rc = jobs.main([
+        "ann-screen", "--source", vecs, "--index", idx,
+        "--output", out, "--checkpoint", str(tmp_path / "ckpt"),
+        "--append",
+    ])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["statusCode"] == 200
+    assert st["vectors"] == 2 and st["appended"] is True
+    assert st["routes"] == {"near_dup_candidate": 1, "new": 1}
+    assert spark.read.parquet(idx).count() == 33

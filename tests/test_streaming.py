@@ -610,3 +610,74 @@ def test_stream_winnow_screen_routes_against_standing_index(spark, tmp_path):
             )
     finally:
         mp.undo()
+
+
+def test_stream_ann_screen_routes_appends_and_replays(spark, tmp_path):
+    """The embedding ingest loop: a batch vector identical to a standing
+    corpus vector routes near_dup_candidate with it as match; an
+    orthogonal vector routes new and (append=True) joins the standing
+    index, so a LATER batch's copy of it routes near_dup_candidate
+    against the appended vector — self-maintaining serving. The stream
+    frame equals the batch backfill frame, and a full fresh-checkpoint
+    replay neither changes verdicts nor grows the index."""
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        ann_screen_against_index,
+        ivf_build_index,
+    )
+    from data_pipeline_python_aws_cdk_spark.streaming.events import (
+        run_stream_ann_screen,
+    )
+
+    def one_hot(i):
+        return [1.0 if j == i else 0.0 for j in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, one_hot(i)) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    index_dir = str(tmp_path / "ivf_idx")
+    ivf_build_index(spark, str(tmp_path), index_dir, vectors=corpus)
+
+    vecs_dir = str(tmp_path / "incoming_vecs")
+    spark.createDataFrame(
+        [(100, one_hot(20)), (101, one_hot(50))],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(vecs_dir)
+    verdicts = str(tmp_path / "ann_verdicts")
+    ckpt = str(tmp_path / "ann_ckpt")
+    run_stream_ann_screen(spark, vecs_dir, index_dir, verdicts, ckpt, append=True)
+    got = {r.vec_id: r for r in spark.read.parquet(verdicts).collect()}
+    assert got[100].verdict == "near_dup_candidate"
+    assert got[100].match_id == 20 and got[100].cosine == 1.0
+    assert got[101].verdict == "new"
+    idx_ids = {r.vec_id for r in spark.read.parquet(index_dir).collect()}
+    assert 101 in idx_ids and 100 not in idx_ids and len(idx_ids) == 33
+
+    # a later batch's copy of the APPENDED vector now matches it
+    spark.createDataFrame(
+        [(200, one_hot(50))], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(vecs_dir)
+    run_stream_ann_screen(spark, vecs_dir, index_dir, verdicts, ckpt, append=True)
+    got = {r.vec_id: r for r in spark.read.parquet(verdicts).collect()}
+    assert got[200].verdict == "near_dup_candidate"
+    assert got[200].match_id == 101 and got[200].cosine == 1.0
+    assert {r.vec_id for r in spark.read.parquet(index_dir).collect()} == idx_ids
+
+    # stream frames == the batch backfill over the same arrivals + index
+    want = {
+        (r.vec_id, r.verdict, r.match_id)
+        for r in ann_screen_against_index(
+            spark, spark.read.parquet(vecs_dir), index_dir
+        ).collect()
+    }
+    assert {(r.vec_id, r.verdict, r.match_id) for r in got.values()} == want
+
+    # fresh-checkpoint replay: verdicts reproduce, the index does not grow
+    v2, c2 = str(tmp_path / "ann_v2"), str(tmp_path / "ann_c2")
+    run_stream_ann_screen(spark, vecs_dir, index_dir, v2, c2, append=True)
+    replay = {
+        (r.vec_id, r.verdict, r.match_id)
+        for r in spark.read.parquet(v2).collect()
+    }
+    assert replay == {(r.vec_id, r.verdict, r.match_id) for r in got.values()}
+    assert {r.vec_id for r in spark.read.parquet(index_dir).collect()} == idx_ids
