@@ -880,10 +880,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.report:
             from .functions.indexing import index_report
 
+            rep = index_report(spark, args.output)
+            if args.kind == "bm25":
+                # BM25's denormalized df + stats sidecar are redundant with
+                # the postings — the report can audit freshness exactly.
+                from .operators.text import bm25_index_drift
+
+                rep["drift"] = bm25_index_drift(spark, args.output)
             print(
                 json.dumps(
                     {"statusCode": 200, "kind": args.kind, "index": args.output}
-                    | index_report(spark, args.output)
+                    | rep
                 )
             )
             return 0

@@ -1335,12 +1335,20 @@ def ivf_probe_indexed(
 # --- round 11: streaming ANN ingest screen over the persisted IVF index -----
 
 
+# The near-dup routing bar. Numerically EQUAL to dedup's
+# EMBEDDING_DUP_THRESHOLD (the testdata-calibrated cosine at which a pair
+# is a semantic duplicate) — pinned equal by test rather than imported,
+# because dedup's module load already imports this module through the
+# text/rrf oracle chain (decoration-time import cycle).
+ANN_SCREEN_THRESHOLD = 0.45
+
+
 def ann_screen_against_index(
     spark: SparkSession,
     batch: DataFrame,
     index_dir: str,
     nprobe: int = IVF_NPROBE,
-    threshold: float | None = None,
+    threshold: float = ANN_SCREEN_THRESHOLD,
 ) -> DataFrame:
     """Screen an ingest batch of (vec_id, embedding) rows against the
     PERSISTED IVF index: per batch vector, rank the index's own
@@ -1348,8 +1356,8 @@ def ann_screen_against_index(
     (partition-path pruning — the ivf_probe_indexed contract), take the
     exact-cosine TOP-1 standing-corpus neighbor, and route
     ``near_dup_candidate`` when its 6-dp cosine clears the threshold
-    (default: dedup's EMBEDDING_DUP_THRESHOLD, the testdata-calibrated
-    near-dup bar) else ``new`` — the embedding-space member of the
+    (default: ANN_SCREEN_THRESHOLD == dedup's EMBEDDING_DUP_THRESHOLD,
+    the testdata-calibrated near-dup bar) else ``new`` — the embedding-space member of the
     screen-frame family (LSH bands, substring windows, winnowed
     fingerprints), and the frame both the batch backfill and
     ``run_stream_ann_screen`` call, so stream and backfill cannot
@@ -1368,10 +1376,6 @@ def ann_screen_against_index(
     """
     from ..functions.indexing import assert_index_complete
 
-    if threshold is None:
-        from .dedup import EMBEDDING_DUP_THRESHOLD
-
-        threshold = EMBEDDING_DUP_THRESHOLD
     assert_index_complete(spark, index_dir)
     # The screen requires the codebook the lists were assigned with; a
     # missing sidecar is a broken artifact, not a fallback case (the
@@ -4398,8 +4402,6 @@ def ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_screen_oracle() -> str:
-    from .dedup import EMBEDDING_DUP_THRESHOLD
-
     cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
     cos_q = _COS_SQL.replace("qe", "q.embedding").replace("ne", "c.ce")
     return f"""
@@ -4460,7 +4462,7 @@ def _ann_screen_oracle() -> str:
         FROM d) WHERE rn = 1
     )
     SELECT CAST(q.vec_id AS BIGINT) AS vec_id,
-           CASE WHEN best.c6 >= {EMBEDDING_DUP_THRESHOLD}
+           CASE WHEN best.c6 >= {ANN_SCREEN_THRESHOLD}
                 THEN 'near_dup_candidate' ELSE 'new' END AS verdict,
            CAST(best.neighbor_id AS BIGINT) AS match_id,
            best.c6 AS cosine

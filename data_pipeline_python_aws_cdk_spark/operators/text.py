@@ -966,6 +966,56 @@ def bm25_append_index(
     mark_index_complete(spark, index_dir)
 
 
+def bm25_index_drift(spark: SparkSession, index_dir: str) -> dict:
+    """Staleness audit for the persisted BM25 index: the denormalized
+    ``df`` on every posting and the one-row ``_stats`` sidecar are both
+    REDUNDANT with the postings themselves, so drift between the stored
+    and recomputed values is a direct integrity check — all-zero after
+    any build/append sequence (the append's window repair makes this an
+    invariant, pytest-gated), nonzero exactly when a write tore or a
+    doc_id's text changed under the content-immutable contract. The
+    df check is one scan rolled up to vocabulary size map-side; the
+    stats check is one distinct-doc rollup to a single row.
+
+    Returns {terms, drifted_terms, max_df_drift, n_docs_drift,
+    total_tokens_drift} — integers, zero means fresh.
+    """
+    from ..functions.indexing import assert_index_complete
+
+    assert_index_complete(spark, index_dir)
+    p = spark.read.parquet(index_dir)
+    per_term = p.groupBy("term").agg(
+        F.count("*").alias("n"),
+        F.min("df").alias("df_min"),
+        F.max("df").alias("df_max"),
+    )
+    t = per_term.agg(
+        F.count("*").cast("bigint").alias("terms"),
+        F.sum(
+            ((F.col("df_min") != F.col("n")) | (F.col("df_max") != F.col("n")))
+            .cast("bigint")
+        ).alias("drifted"),
+        F.max(
+            F.greatest(
+                F.abs(F.col("df_min") - F.col("n")),
+                F.abs(F.col("df_max") - F.col("n")),
+            )
+        ).alias("max_drift"),
+    ).collect()[0]
+    docs = p.select("doc_id", "dl").distinct().agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tt"),
+    ).collect()[0]
+    old = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+    return {
+        "terms": int(t.terms or 0),
+        "drifted_terms": int(t.drifted or 0),
+        "max_df_drift": int(t.max_drift or 0),
+        "n_docs_drift": int(old.n_docs) - int(docs.n or 0),
+        "total_tokens_drift": int(old.total_tokens) - int(docs.tt or 0),
+    }
+
+
 def bm25_probe_indexed(
     spark: SparkSession, index_dir: str, sf_dir: str
 ) -> DataFrame:

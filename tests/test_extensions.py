@@ -3790,6 +3790,42 @@ def test_index_compact_refuses_torn_artifact_and_resume_repairs(
     assert index_report(spark, idx)["complete"] is True
 
 
+def test_ann_screen_threshold_pinned_to_dedup_bar():
+    """ANN_SCREEN_THRESHOLD cannot be imported from dedup at module load
+    (decoration-time cycle through the text/rrf oracle chain) — this gate
+    is the drift guard the import would have been."""
+    assert similarity.ANN_SCREEN_THRESHOLD == dedup.EMBEDDING_DUP_THRESHOLD
+
+
+def test_bm25_index_drift_zero_after_append_and_detects_corruption(
+    spark, tmp_path
+):
+    """The BM25 freshness audit: after a build+append sequence the stored
+    df and stats are exactly the recomputed values (the append's window
+    repair invariant); planting a duplicated posting (a torn write's
+    signature) flips the df drift nonzero, and a stale stats sidecar
+    flips the doc-count drift."""
+    idx = str(tmp_path / "bm25")
+    d = text.load_table(spark, SF_SMOKE, "documents")
+    text.bm25_build_index(spark, SF_SMOKE, idx, docs=d.filter(F.col("doc_id") < 400))
+    text.bm25_append_index(spark, idx, d.filter(F.col("doc_id") >= 400))
+    drift = text.bm25_index_drift(spark, idx)
+    assert drift["drifted_terms"] == 0 and drift["max_df_drift"] == 0
+    assert drift["n_docs_drift"] == 0 and drift["total_tokens_drift"] == 0
+    assert drift["terms"] > 0
+
+    # plant a duplicated posting in one bucket: df on the copy stays the
+    # old value while the recount rises — exactly a torn write's signature
+    one = spark.read.parquet(idx).limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    bucket = one.collect()[0].bucket
+    one.drop("bucket").write.mode("append").parquet(f"{idx}/bucket={bucket}")
+    bad = text.bm25_index_drift(spark, idx)
+    assert bad["drifted_terms"] >= 1 and bad["max_df_drift"] >= 1
+    assert bad["n_docs_drift"] != 0  # the planted doc is absent from stats
+
+
 def test_bpe_encode_batched_equals_serial_through_full_chain(spark):
     """The batched trainer's final state pushed through the shared encode
     tail yields per-doc rows IDENTICAL to serial training at the same
