@@ -3790,6 +3790,25 @@ def test_index_compact_refuses_torn_artifact_and_resume_repairs(
     assert index_report(spark, idx)["complete"] is True
 
 
+def test_ann_screen_prunes_index_partitions(spark, tmp_path):
+    """The ingest screen's candidate fetch must read the standing index
+    through PartitionFilters (centroid INSET) — the same file-level
+    pruning contract as ivf_probe_indexed: at production NLIST a batch
+    touches its probed lists' directories and nothing else."""
+    import re
+
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(spark, SF_SMOKE, idx)
+    e = similarity.load_table(spark, SF_SMOKE, "embeddings")
+    verdicts = similarity.ann_screen_against_index(
+        spark, e.filter(F.col("vec_id") >= 400), idx
+    )
+    assert verdicts.count() > 0
+    plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*INSET", plan)
+    assert m is not None, "centroid INSET missing from screen's index scan"
+
+
 def test_ann_screen_threshold_pinned_to_dedup_bar():
     """ANN_SCREEN_THRESHOLD cannot be imported from dedup at module load
     (decoration-time cycle through the text/rrf oracle chain) — this gate
