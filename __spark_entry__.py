@@ -61,10 +61,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # this window holds a driver-green row from r01-r09 plus the local
 # full-registry differential at HEAD (sf0.01, hostile,
 # SPARK_GRAFT_SHUFFLE=7, sf0.1, vanilla foreign-cwd).
-# Round-11 window (the round-10 handoff, SURVEY.md): the 12 round-11
+# Round-11 window (the round-10 handoff, SURVEY.md): the 13 round-11
 # debuts lead (the incremental-maintenance verification queries for ALL
-# six appendable index kinds, the compaction lifecycle + oracle-backed
-# index stats pair, the streaming ANN ingest screen, the indexed hybrid
+# six appendable index kinds, the compaction lifecycle + the
+# oracle-backed IVF+PQ and BM25 index-stats rows, the streaming ANN
+# ingest screen, the indexed hybrid
 # serving path, the batched-BPE schedule vs the serial SQL twin PLUS
 # the batched trainer pushed through the full encode chain at 12
 # merges, and the rows-only refined-codebook scoreboard), then the 3 registered queries round 11 CHANGED internally
@@ -74,12 +75,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # — results re-proven equal locally, re-greened here), then the COMPLETE
 # latest=r03 cohort (27 keys, including the 10 TPC-H keys the r10 window
 # dropped, now the oldest driver evidence in the registry) and the
-# oldest 8 of the latest=r04 cohort — 50 exactly.
+# oldest 7 of the latest=r04 cohort — 50 exactly.
 _PRIORITY = (
     # -- NEW round-11 debuts: driver-evaluated in their debut window
     "similarity_ann_ivfpq_compacted",
     "ivfpq_index_stats",
     "similarity_ann_screen",
+    "bm25_index_stats",
     "corpus_bpe_encode_batched",
     "similarity_ann_ivfpq_appended",
     "dedup_lsh_appended",
@@ -130,8 +132,8 @@ _PRIORITY = (
     "events_markov_transitions",
     "events_sketch_rollup_merge",
     "users_activity_reconciliation",
-    "events_ab_test_summary",
-    # (the remaining 29 latest=r04 keys — events_pareto_concentration,
+    # (the remaining 30 latest=r04 keys — events_ab_test_summary,
+    #  events_pareto_concentration,
     #  events_forecast_backtest,
     #  orders_sla_latency_percentiles,
     #  orders_basket_lift, events_seasonality_strength,

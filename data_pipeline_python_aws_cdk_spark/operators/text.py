@@ -1083,6 +1083,76 @@ def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bm25_stats_oracle() -> str:
+    bucket = f"{hash60_sql('tf.term')} % {BM25_INDEX_BUCKETS}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t != ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    p AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.df, {bucket} AS bucket
+      FROM tf JOIN dft ON dft.term = tf.term
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(tf) AS BIGINT) AS tf_checksum,
+           CAST(SUM(df) AS BIGINT) AS df_checksum
+    FROM p GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("bm25_index_stats", oracle=_bm25_stats_oracle())
+def bm25_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket stats read FROM THE PERSISTED BM25 ARTIFACT after a
+    build+append cycle, held against an oracle that recomputes every
+    column from the raw corpus — the lexical twin of ivfpq_index_stats,
+    and the external-truth complement to bm25_index_drift (drift checks
+    the artifact against ITSELF; this row checks it against the corpus
+    math). A green row proves the term-hash bucket layout, the posting
+    rows, and the denormalized df ON DISK all match what one tokenize
+    pass over the corpus says they must be — including the append's
+    window repair of df in the touched buckets, which is exactly the
+    value a torn or skipped repair would corrupt.
+
+    Scale shape: one partition-filter-free scan of the index (postings
+    are integer rows, never text) rolled up map-side to
+    {BM25_INDEX_BUCKETS} rows.
+    """
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="bm25_stats_")
+    try:
+        bm25_build_index(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        bm25_append_index(spark, tmp, d.filter(F.col("doc_id") >= split))
+        idx = spark.read.parquet(tmp)
+        return (
+            idx.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_postings"),
+                F.countDistinct("term").cast("bigint").alias("n_terms"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.sum("tf").cast("bigint").alias("tf_checksum"),
+                F.sum("df").cast("bigint").alias("df_checksum"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SAMPLE_PCT = 20
 
 
