@@ -149,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
         "completion-marker assert; both merges are convergent)",
     )
     p_idx.add_argument(
+        "--delete",
+        default=None,
+        metavar="IDS_PARQUET",
+        help="incremental maintenance: remove these ids ((vec_id) or "
+        "(doc_id) rows) from the EXISTING index at --output, rewriting "
+        "only the touched lists/buckets (BM25 repairs df + stats); the "
+        "right-to-be-forgotten op, result-equal to a rebuild without them",
+    )
+    p_idx.add_argument(
         "--compact",
         action="store_true",
         help="maintenance: rewrite the EXISTING index at --output's "
@@ -904,6 +913,51 @@ def main(argv: list[str] | None = None) -> int:
                 "index": args.output,
                 "mode": "compact",
                 **st,
+            }
+            if args.probe:
+                out["probe_rows"] = probe_fn(
+                    spark, args.output, args.sf_dir
+                ).count()
+            print(json.dumps(out))
+            return 0
+        if args.delete is not None:
+            from .operators.similarity import inverted_lists_delete
+            from .operators.text import bm25_delete_index
+
+            deleters = {
+                "ivf": inverted_lists_delete,
+                "ivfpq": inverted_lists_delete,
+                "ivfpq-residual": inverted_lists_delete,
+                "lsh": lambda s, out, ids, resume=False: inverted_lists_delete(
+                    s, out, ids, resume=resume,
+                    id_col="doc_id", partition_cols=("band", "bucket"),
+                ),
+                "bm25": bm25_delete_index,
+            }
+            if args.kind not in deleters:
+                print(
+                    json.dumps(
+                        {
+                            "statusCode": 400,
+                            "error": f"kind {args.kind} has no delete path; "
+                            "rebuild without the rows (pq is a compact "
+                            "full-table artifact; the winnow/substring "
+                            "indexes denormalize df, so their delete is "
+                            "the bm25-style bucket repair — unwired)",
+                        }
+                    )
+                )
+                return 1
+            ids = spark.read.parquet(args.delete)
+            removed = deleters[args.kind](
+                spark, args.output, ids, resume=args.resume
+            )
+            out = {
+                "statusCode": 200,
+                "kind": args.kind,
+                "index": args.output,
+                "mode": "delete",
+                "removed_rows": removed,
             }
             if args.probe:
                 out["probe_rows"] = probe_fn(

@@ -4021,6 +4021,105 @@ def _merge_into_lists(
     )
 
 
+def inverted_lists_delete(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    resume: bool = False,
+    id_col: str = "vec_id",
+    partition_cols: tuple[str, ...] = ("centroid_id",),
+) -> int:
+    """Delete rows BY ID from a Hive-partitioned index whose rows are a
+    pure per-id function (ivf / ivfpq / ivfpq-residual lists over
+    ``centroid_id``; the LSH band index over ``(band, bucket)``) — the
+    right-to-be-forgotten maintenance op, append's inverse: rewrite each
+    TOUCHED partition as existing-members-minus-ids, leave every other
+    partition's files untouched, keep the sidecar codebooks (deletion
+    never changes what the remaining rows mean). BM25 and the
+    winnow/substring fingerprint indexes DENORMALIZE corpus-global df
+    onto their rows, so their deletes need the bucket-repair form
+    (``bm25_delete_index``), not this one.
+
+    Deletes arrive as bare ids, so the touched-partition set is
+    discovered with one COLUMN-PRUNED scan of the index (the id and
+    partition columns only — for IVF+PQ that is 12 bytes/vector, never
+    embeddings), semi-joined against the broadcast id set. Result-equal
+    to rebuilding without the ids (gated), idempotent (deleting absent
+    ids rewrites nothing), convergent after a torn delete
+    (``resume=True`` re-runs the same id set). Dynamic overwrite only
+    replaces partitions PRESENT in the write, so a partition whose
+    members are ALL deleted (zero remaining rows) is removed explicitly
+    through the Hadoop FileSystem — without that, the emptied
+    partition's old files would silently survive the rewrite.
+
+    Returns the number of index rows removed.
+    """
+    import functools
+
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    pcols = list(partition_cols)
+    idset = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    hit = (
+        spark.read.parquet(index_dir)
+        .select(id_col, *pcols)
+        .join(F.broadcast(idset), id_col, "semi")
+    )
+    touched = sorted(
+        {tuple(r[c] for c in pcols) for r in hit.select(*pcols).distinct().collect()},
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    if not touched:  # ids absent: artifact already correct
+        return 0
+    clear_index_complete(spark, index_dir)
+
+    def _leaf_cond(t):
+        return functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).isNull() if v is None else (F.col(c) == v)
+                for c, v in zip(pcols, t)
+            ],
+        )
+
+    cond = functools.reduce(lambda a, b: a | b, [_leaf_cond(t) for t in touched])
+    existing = spark.read.parquet(index_dir).filter(cond)
+    remaining = existing.join(
+        F.broadcast(idset), id_col, "left_anti"
+    ).localCheckpoint(eager=True)  # bounded: touched-partition members
+    removed = existing.count() - remaining.count()
+    kept = {
+        tuple(r[c] for c in pcols)
+        for r in remaining.select(*pcols).distinct().collect()
+    }
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*pcols)
+        .parquet(index_dir)
+    )
+    jvm, jsc = spark._jvm, spark._jsc
+    for t in touched:
+        if t in kept:
+            continue
+        leaf = "/".join(
+            f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None else f"{c}={v}"
+            for c, v in zip(pcols, t)
+        )
+        path = jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}/{leaf}")
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    mark_index_complete(spark, index_dir)
+    return int(removed)
+
+
 def ivfpq_append_index(
     spark: SparkSession, index_dir: str, batch: DataFrame, resume: bool = False
 ) -> None:

@@ -445,12 +445,16 @@ _BM25_WMIC_SQL = (
 )
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(docs_where: str = "") -> str:
+    """The BM25 ranking twin. ``docs_where``: optional extra predicate on
+    the corpus CTE (the deleted-row query restricts to the surviving
+    base; everything downstream — df, dl, stats, scores — then derives
+    from the reduced corpus exactly as the repaired index must)."""
     return f"""
     WITH toks AS (
       SELECT doc_id, t AS term
       FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(t)
-      WHERE t != ''
+      WHERE t != '' {docs_where}
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
     dlt AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
@@ -966,6 +970,92 @@ def bm25_append_index(
     mark_index_complete(spark, index_dir)
 
 
+def bm25_delete_index(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame, resume: bool = False
+) -> int:
+    """Delete documents BY ID from the persisted BM25 index — append's
+    inverse and the right-to-be-forgotten maintenance op for the lexical
+    tier. Removing documents LOWERS df for every term they contained,
+    and those terms' surviving postings carry the stale value; the
+    bucket layout localizes the repair exactly as it does for appends:
+    every posting of a term lives in that term's hash bucket, so
+    rewriting the touched buckets as (existing minus deleted doc_ids)
+    with df recomputed as the count-over-term window restores the
+    globally-correct df, and the one-row ``_stats`` sidecar is adjusted
+    exactly by the deleted documents' (count, total length).
+
+    Touched buckets are discovered with one COLUMN-PRUNED scan
+    (doc_id + dl + the partition column — no term strings decoded), so
+    no hash family is consulted: deletes work identically under either
+    hash mode. Idempotent (deleting absent ids rewrites nothing),
+    convergent after a torn delete (``resume=True``), O(touched posting
+    lists); fully-emptied buckets are removed through the Hadoop
+    FileSystem (dynamic overwrite cannot clear a partition it writes no
+    rows for). Result-equal to rebuilding without the documents (gated).
+
+    Returns the number of postings removed.
+    """
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    idset = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    hit = (
+        spark.read.parquet(index_dir)
+        .select("doc_id", "dl", "bucket")
+        .join(F.broadcast(idset), "doc_id", "semi")
+        .localCheckpoint(eager=True)  # bounded: the deleted docs' postings
+    )
+    touched = sorted({r.bucket for r in hit.select("bucket").distinct().collect()})
+    if not touched:  # ids absent: artifact (and stats) already correct
+        return 0
+    old = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+    gone = hit.select("doc_id", "dl").distinct().agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("dl").cast("bigint").alias("t")
+    ).collect()[0]
+    clear_index_complete(spark, index_dir)
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(touched))
+        .select("doc_id", "term", "tf", "dl", "bucket")
+    )
+    remaining = (
+        existing.join(F.broadcast(idset), "doc_id", "left_anti")
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .select("doc_id", "term", "tf", "dl", "df", "bucket")
+        .localCheckpoint(eager=True)  # bounded: touched posting lists
+    )
+    removed = existing.count() - remaining.count()
+    kept = {r.bucket for r in remaining.select("bucket").distinct().collect()}
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+    jvm, jsc = spark._jvm, spark._jsc
+    for v in touched:
+        if v in kept:
+            continue
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir.rstrip('/')}/bucket={v}"
+        )
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    spark.createDataFrame(
+        [(int(old.n_docs) - int(gone.n or 0),
+          int(old.total_tokens) - int(gone.t or 0))],
+        "n_docs bigint, total_tokens bigint",
+    ).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+    mark_index_complete(spark, index_dir)
+    return int(removed)
+
+
 def bm25_index_drift(spark: SparkSession, index_dir: str) -> dict:
     """Staleness audit for the persisted BM25 index: the denormalized
     ``df`` on every posting and the one-row ``_stats`` sidecar are both
@@ -1149,6 +1239,48 @@ def bm25_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket")
             .localCheckpoint(eager=True)
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_BM25_DELETE_SPLIT_SQL = (
+    f"(SELECT GREATEST({BM25_QUERY_DOCS}, (MAX(doc_id) + 1) * 4 // 5)"
+    " FROM documents)"
+)
+
+
+@_register(
+    "text_bm25_deleted",
+    oracle=_bm25_oracle(docs_where=f"AND doc_id < {_BM25_DELETE_SPLIT_SQL}"),
+)
+def text_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE path verified END TO END as a registered query: build
+    the persisted BM25 index on the FULL corpus, bm25_delete_index the
+    top 1/5 of doc_ids (lowering df on every touched term's surviving
+    postings and adjusting the stats sidecar exactly), probe — and hold
+    the inline oracle computed over the SURVIVING corpus only. delete ==
+    rebuild-without == inline-on-survivors is the contract (pairwise
+    pytest-gated; this row verifies the composition — especially the df
+    REPAIR, which is the value a skipped or torn repair corrupts — on
+    every dataset the harness generates). The split floor keeps the
+    query documents in the surviving base so both engines rank the same
+    queries. Scale shape: build is the one tokenize pass; the delete is
+    O(touched posting lists) discovered by a column-pruned scan; the
+    probe is the bucket-pruned scoring read.
+    """
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(BM25_QUERY_DOCS, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="bm25_deleted_")
+    try:
+        bm25_build_index(spark, sf_dir, tmp)
+        bm25_delete_index(
+            spark, tmp, d.filter(F.col("doc_id") >= split).select("doc_id")
+        )
+        return bm25_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

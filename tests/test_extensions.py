@@ -3790,6 +3790,122 @@ def test_index_compact_refuses_torn_artifact_and_resume_repairs(
     assert index_report(spark, idx)["complete"] is True
 
 
+def test_ivfpq_delete_equals_rebuild_without_and_is_idempotent(
+    spark, tmp_path
+):
+    """inverted_lists_delete on the IVF+PQ artifact: build(all);
+    delete(tail) is row-for-row build(base), the probe agrees, replaying
+    the delete removes nothing, and a fully-emptied list's directory is
+    gone from disk (dynamic overwrite alone cannot clear it)."""
+    import os
+
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    base, tail = _split_embeddings(spark)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, full_dir, vectors=base)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, inc_dir)
+    removed = similarity.inverted_lists_delete(
+        spark, inc_dir, tail.select("vec_id")
+    )
+    assert removed == tail.count() > 0
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    pf, pi = (
+        {tuple(r) for r in similarity.ivfpq_probe_indexed(spark, p, SF_SMOKE).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert pi == pf and len(pi) > 0
+    assert similarity.inverted_lists_delete(
+        spark, inc_dir, tail.select("vec_id")
+    ) == 0  # replay: absent ids rewrite nothing
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+    # fully-emptied list: deleting every member of one list removes its
+    # directory, and readers see zero rows for it
+    idx = spark.read.parquet(inc_dir)
+    victim = idx.select("centroid_id").distinct().orderBy("centroid_id").collect()[0][0]
+    members = idx.filter(F.col("centroid_id") == victim).select("vec_id")
+    n = members.count()
+    assert similarity.inverted_lists_delete(spark, inc_dir, members) == n > 0
+    assert not os.path.exists(os.path.join(inc_dir, f"centroid_id={victim}"))
+    assert (
+        spark.read.parquet(inc_dir)
+        .filter(F.col("centroid_id") == victim)
+        .count()
+        == 0
+    )
+
+
+def test_lsh_delete_equals_rebuild_without(spark, tmp_path):
+    """The generic delete applied to the (band, bucket)-partitioned LSH
+    index: build(all); delete(tail doc_ids) equals build(base), and the
+    screen sees identical collisions."""
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    d = dedup.load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("source") != "src0"
+    )
+    base = d.filter(F.col("doc_id") < 400)
+    tail = d.filter(F.col("doc_id") >= 400)
+    dedup.lsh_build_index(spark, SF_SMOKE, full_dir, docs=base)
+    dedup.lsh_build_index(spark, SF_SMOKE, inc_dir)
+    removed = similarity.inverted_lists_delete(
+        spark, inc_dir, tail.select("doc_id"),
+        id_col="doc_id", partition_cols=("band", "bucket"),
+    )
+    assert removed > 0
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    sf, si = (
+        {tuple(r) for r in dedup.lsh_probe_indexed(spark, p, SF_SMOKE).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert si == sf
+
+
+def test_bm25_delete_repairs_df_stats_and_equals_rebuild_without(
+    spark, tmp_path
+):
+    """bm25_delete_index: build(all); delete(tail) is row-for-row
+    build(base) INCLUDING the repaired denormalized df and the adjusted
+    stats sidecar; the drift audit reads zero; the probe agrees; replay
+    removes nothing and leaves stats untouched; a torn delete refuses
+    and resume repairs."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    d = text.load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    tail_ids = d.filter(F.col("doc_id") >= 400).select("doc_id")
+    text.bm25_build_index(spark, SF_SMOKE, full_dir, docs=base)
+    text.bm25_build_index(spark, SF_SMOKE, inc_dir)
+    removed = text.bm25_delete_index(spark, inc_dir, tail_ids)
+    assert removed > 0
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    assert (
+        spark.read.parquet(f"{inc_dir}/_stats").collect()
+        == spark.read.parquet(f"{full_dir}/_stats").collect()
+    )
+    drift = text.bm25_index_drift(spark, inc_dir)
+    assert drift["drifted_terms"] == 0 and drift["n_docs_drift"] == 0
+    pf, pi = (
+        {tuple(r) for r in text.bm25_probe_indexed(spark, p, SF_SMOKE).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert pi == pf and len(pi) > 0
+    assert text.bm25_delete_index(spark, inc_dir, tail_ids) == 0  # replay
+    assert (
+        spark.read.parquet(f"{inc_dir}/_stats").collect()
+        == spark.read.parquet(f"{full_dir}/_stats").collect()
+    )
+    # torn delete refuses; resume converges
+    shutil.rmtree(tmp_path / "deleted" / INDEX_COMPLETE_SIDECAR)
+    with pytest.raises(ValueError, match="_complete"):
+        text.bm25_delete_index(spark, inc_dir, tail_ids)
+    text.bm25_delete_index(spark, inc_dir, tail_ids, resume=True)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
 def test_ann_screen_prunes_index_partitions(spark, tmp_path):
     """The ingest screen's candidate fetch must read the standing index
     through PartitionFilters (centroid INSET) — the same file-level

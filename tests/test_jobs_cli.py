@@ -1060,3 +1060,44 @@ def test_cli_ann_screen_routes_and_appends(spark, tmp_path, capsys):
     assert st["vectors"] == 2 and st["appended"] is True
     assert st["routes"] == {"near_dup_candidate": 1, "new": 1}
     assert spark.read.parquet(idx).count() == 33
+
+
+def test_cli_index_delete_and_rejects_unwired_kind(spark, tmp_path, capsys):
+    """jobs index --delete: the right-to-be-forgotten CLI surface — the
+    removed rows are gone from the probe's world, and a df-denormalized
+    kind without a wired delete answers 400."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_python_aws_cdk_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    e = similarity.load_table(spark, SF_SMOKE, "embeddings")
+    ids_path = str(tmp_path / "delete_ids")
+    e.filter(F.col("vec_id") >= 400).select("vec_id").write.parquet(ids_path)
+    idx, base_idx = str(tmp_path / "idx"), str(tmp_path / "base_idx")
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx)
+    similarity.ivfpq_build_index(
+        spark, SF_SMOKE, base_idx, vectors=e.filter(F.col("vec_id") < 400)
+    )
+    rc = jobs.main(
+        ["index", "--kind", "ivfpq", "--sf-dir", SF_SMOKE, "--output", idx,
+         "--delete", ids_path, "--probe"]
+    )
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200 and st["mode"] == "delete"
+    assert st["removed_rows"] > 0 and st["probe_rows"] > 0
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(p).select("vec_id", "pq_code").collect()
+    )
+    assert rows(idx) == rows(base_idx)
+
+    rc = jobs.main(
+        ["index", "--kind", "winnow", "--sf-dir", SF_SMOKE, "--output", idx,
+         "--delete", ids_path]
+    )
+    assert rc == 1
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 400
