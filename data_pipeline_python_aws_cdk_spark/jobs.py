@@ -921,6 +921,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
             return 0
         if args.delete is not None:
+            from .operators.dedup import winnow_index_delete
             from .operators.similarity import inverted_lists_delete
             from .operators.text import bm25_delete_index
 
@@ -932,6 +933,13 @@ def main(argv: list[str] | None = None) -> int:
                     s, out, ids, resume=resume,
                     id_col="doc_id", partition_cols=("band", "bucket"),
                 ),
+                # the substring stream carries no denormalized df — the
+                # generic per-id delete applies as-is
+                "substring": lambda s, out, ids, resume=False: inverted_lists_delete(
+                    s, out, ids, resume=resume,
+                    id_col="doc_id", partition_cols=("bucket",),
+                ),
+                "winnow": winnow_index_delete,
                 "bm25": bm25_delete_index,
             }
             if args.kind not in deleters:
@@ -941,9 +949,8 @@ def main(argv: list[str] | None = None) -> int:
                             "statusCode": 400,
                             "error": f"kind {args.kind} has no delete path; "
                             "rebuild without the rows (pq is a compact "
-                            "full-table artifact; the winnow/substring "
-                            "indexes denormalize df, so their delete is "
-                            "the bm25-style bucket repair — unwired)",
+                            "unpartitioned full-table artifact — any "
+                            "delete rewrites the whole file set anyway)",
                         }
                     )
                 )

@@ -4313,6 +4313,74 @@ def winnow_index_build(
     mark_index_complete(spark, index_dir)
 
 
+def winnow_index_delete(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame, resume: bool = False
+) -> int:
+    """Delete documents BY ID from the persisted winnowed-fingerprint
+    index — the right-to-be-forgotten op for the winnow rung, the
+    bm25_delete_index discipline over the (doc_id, i, h, df, bucket)
+    stream: removing documents lowers df for every fingerprint they
+    carried, and all rows of one h share its bucket, so rewriting the
+    touched buckets as (existing minus deleted doc_ids) with df
+    recomputed as the count-over-h window restores the globally-correct
+    df — including fingerprints a deletion pulls back UNDER the
+    probe-side skew cap, exactly as a rebuild would. Touched buckets
+    are discovered by a COLUMN-PRUNED (doc_id, bucket) scan, so no hash
+    family is consulted. Idempotent, convergent under ``resume=True``,
+    O(touched buckets); fully-emptied buckets are removed through the
+    Hadoop FileSystem (dynamic overwrite cannot clear a partition it
+    writes no rows for). Result-equal to rebuilding without the
+    documents (gated).
+
+    Returns the number of fingerprint rows removed.
+    """
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    idset = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    hit = (
+        spark.read.parquet(index_dir)
+        .select("doc_id", "bucket")
+        .join(F.broadcast(idset), "doc_id", "semi")
+    )
+    touched = sorted({r.bucket for r in hit.select("bucket").distinct().collect()})
+    if not touched:  # ids absent: artifact already correct
+        return 0
+    clear_index_complete(spark, index_dir)
+    existing = spark.read.parquet(index_dir).filter(F.col("bucket").isin(touched))
+    cols = existing.columns
+    remaining = (
+        existing.join(F.broadcast(idset), "doc_id", "left_anti")
+        .drop("df")
+        .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .select(*cols)
+        .localCheckpoint(eager=True)  # bounded: touched buckets
+    )
+    removed = existing.count() - remaining.count()
+    kept = {r.bucket for r in remaining.select("bucket").distinct().collect()}
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+    jvm, jsc = spark._jvm, spark._jsc
+    for v in touched:
+        if v in kept:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}/bucket={v}")
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+    mark_index_complete(spark, index_dir)
+    return int(removed)
+
+
 def winnow_index_append(
     spark: SparkSession, index_dir: str, batch_docs: DataFrame, resume: bool = False
 ) -> None:

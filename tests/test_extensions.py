@@ -3906,6 +3906,56 @@ def test_bm25_delete_repairs_df_stats_and_equals_rebuild_without(
     assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
 
 
+def test_winnow_delete_repairs_df_and_equals_rebuild_without(
+    spark, tmp_path
+):
+    """winnow_index_delete: build(all); delete(tail) is row-for-row
+    build(base) INCLUDING the repaired denormalized df (the probe-side
+    cap's input — a skipped repair would resurrect capped fingerprints),
+    the indexed verdict frame agrees, and replay removes nothing."""
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    d = dedup.load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    tail_ids = d.filter(F.col("doc_id") >= 400).select("doc_id")
+    dedup.winnow_index_build(spark, SF_SMOKE, full_dir, docs=base)
+    dedup.winnow_index_build(spark, SF_SMOKE, inc_dir)
+    removed = dedup.winnow_index_delete(spark, inc_dir, tail_ids)
+    assert removed > 0
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    vf, vi = (
+        {tuple(r) for r in dedup.dedup_winnowing_indexed(spark, p).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert vi == vf and len(vi) > 0
+    assert dedup.winnow_index_delete(spark, inc_dir, tail_ids) == 0  # replay
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_substring_delete_equals_rebuild_without(spark, tmp_path):
+    """The generic per-id delete applied to the substring fingerprint
+    stream (no denormalized df): build(all); delete(tail doc_ids) equals
+    build(base), and the indexed span pipeline agrees."""
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    d = dedup.load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    tail_ids = d.filter(F.col("doc_id") >= 400).select("doc_id")
+    dedup.substring_index_build(spark, SF_SMOKE, full_dir, docs=base)
+    dedup.substring_index_build(spark, SF_SMOKE, inc_dir)
+    removed = similarity.inverted_lists_delete(
+        spark, inc_dir, tail_ids, id_col="doc_id", partition_cols=("bucket",)
+    )
+    assert removed > 0
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    sf, si = (
+        {
+            tuple(r)
+            for r in dedup.exact_substring_dedup_indexed(spark, p).collect()
+        }
+        for p in (full_dir, inc_dir)
+    )
+    assert si == sf
+
+
 def test_ann_screen_prunes_index_partitions(spark, tmp_path):
     """The ingest screen's candidate fetch must read the standing index
     through PartitionFilters (centroid INSET) — the same file-level

@@ -1095,7 +1095,7 @@ def test_cli_index_delete_and_rejects_unwired_kind(spark, tmp_path, capsys):
     assert rows(idx) == rows(base_idx)
 
     rc = jobs.main(
-        ["index", "--kind", "winnow", "--sf-dir", SF_SMOKE, "--output", idx,
+        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", idx,
          "--delete", ids_path]
     )
     assert rc == 1
