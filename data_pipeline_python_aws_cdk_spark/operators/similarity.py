@@ -4335,7 +4335,10 @@ def similarity_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _fragment_index(
-    spark: SparkSession, index_dir: str, n: int = 4, partition_col: str = "centroid_id"
+    spark: SparkSession,
+    index_dir: str,
+    n: int = 4,
+    partition_col: "str | tuple[str, ...]" = "centroid_id",
 ) -> None:
     """Rewrite an index's lists fanned across ``n`` round-robin tasks —
     the file layout a PRODUCTION-parallelism build/append leaves (each
@@ -4344,11 +4347,14 @@ def _fragment_index(
     file-per-leaf count changes. Used by the compaction lifecycle query
     and its gates so ``index_compact`` genuinely rewrites at every scale
     instead of no-opping on toy single-file leaves."""
+    pcols = (
+        [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    )
     frag = spark.read.parquet(index_dir).repartition(n).localCheckpoint(eager=True)
     (
         frag.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
+        .partitionBy(*pcols)
         .parquet(index_dir)
     )
 

@@ -3761,6 +3761,28 @@ def test_index_compact_bm25_preserves_probe_stats_and_hash_meta(
     assert after_probe == before_probe and len(after_probe) > 0
 
 
+def test_index_compact_lsh_nested_partition_layout(spark, tmp_path):
+    """Compaction walks NESTED Hive leaves (band=X/bucket=Y) — the LSH
+    layout — rewriting fragmented leaves in place with probe results and
+    rows byte-identical."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import index_compact
+
+    idx = str(tmp_path / "lsh")
+    dedup.lsh_build_index(spark, SF_SMOKE, idx)
+    similarity._fragment_index(spark, idx, partition_col=("band", "bucket"))
+    before_rows = _index_rows(spark, idx)
+    before_probe = {
+        tuple(r) for r in dedup.lsh_probe_indexed(spark, idx, SF_SMOKE).collect()
+    }
+    st = index_compact(spark, idx)
+    assert st["files_after"] < st["files_before"]
+    assert _index_rows(spark, idx) == before_rows
+    after_probe = {
+        tuple(r) for r in dedup.lsh_probe_indexed(spark, idx, SF_SMOKE).collect()
+    }
+    assert after_probe == before_probe and len(after_probe) > 0
+
+
 def test_index_compact_refuses_torn_artifact_and_resume_repairs(
     spark, tmp_path
 ):
