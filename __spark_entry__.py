@@ -61,10 +61,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # this window holds a driver-green row from r01-r09 plus the local
 # full-registry differential at HEAD (sf0.01, hostile,
 # SPARK_GRAFT_SHUFFLE=7, sf0.1, vanilla foreign-cwd).
-# Round-11 window (the round-10 handoff, SURVEY.md): the 14 round-11
+# Round-11 window (the round-10 handoff, SURVEY.md): the 15 round-11
 # debuts lead (the incremental-maintenance verification queries for ALL
 # six appendable index kinds PLUS the delete path (df-repairing BM25
-# delete verified end to end), the compaction lifecycle + the
+# delete AND the vector-side IVF+PQ delete, each verified end to end
+# against a surviving-corpus oracle), the compaction lifecycle + the
 # oracle-backed IVF+PQ and BM25 index-stats rows, the streaming ANN
 # ingest screen, the indexed hybrid
 # serving path, the batched-BPE schedule vs the serial SQL twin PLUS
@@ -76,7 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # — results re-proven equal locally, re-greened here), then the COMPLETE
 # latest=r03 cohort (27 keys, including the 10 TPC-H keys the r10 window
 # dropped, now the oldest driver evidence in the registry) and the
-# oldest 6 of the latest=r04 cohort — 50 exactly.
+# oldest 5 of the latest=r04 cohort — 50 exactly.
 _PRIORITY = (
     # -- NEW round-11 debuts: driver-evaluated in their debut window
     "similarity_ann_ivfpq_compacted",
@@ -84,6 +85,7 @@ _PRIORITY = (
     "similarity_ann_screen",
     "bm25_index_stats",
     "text_bm25_deleted",
+    "similarity_ann_ivfpq_deleted",
     "corpus_bpe_encode_batched",
     "similarity_ann_ivfpq_appended",
     "dedup_lsh_appended",
@@ -126,14 +128,14 @@ _PRIORITY = (
     "customer_profile",
     "streaming_static_enrich",
     "streaming_hourly_final",
-    # -- latest driver green = r04 (oldest 6 of 37)
+    # -- latest driver green = r04 (oldest 5 of 37)
     "events_sliding_distinct",
     "events_drift_report",
     "events_bot_detection",
     "data_quality_audit",
     "events_markov_transitions",
-    "events_sketch_rollup_merge",
-    # (the remaining 31 latest=r04 keys — users_activity_reconciliation,
+    # (the remaining 32 latest=r04 keys — events_sketch_rollup_merge,
+    #  users_activity_reconciliation,
     #  events_ab_test_summary,
     #  events_pareto_concentration,
     #  events_forecast_backtest,

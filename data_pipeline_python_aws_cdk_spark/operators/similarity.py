@@ -2350,16 +2350,21 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(src: str = "embeddings", prelude: str = "") -> str:
+    """The IVF+PQ ranking twin. ``src``: the corpus CTE/table every
+    vector-side reference reads (the deleted-row query points it at a
+    base CTE injected via ``prelude``, so assignment, codes, candidates,
+    and rerank all derive from the surviving corpus exactly as the
+    deleted artifact must)."""
     cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
     return f"""
-    WITH icent AS (
+    WITH {prelude}icent AS (
       SELECT vec_id AS centroid_id, embedding AS ce
-      FROM embeddings WHERE vec_id < {IVF_NLIST}
+      FROM {src} WHERE vec_id < {IVF_NLIST}
     ),
     iac AS (
       SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
-      FROM embeddings e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
+      FROM {src} e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
       GROUP BY e.vec_id, c.centroid_id
     ),
     iranked AS (
@@ -2379,7 +2384,7 @@ def _ivfpq_oracle() -> str:
       WHERE a.vec_id != p.query_id
     ),
     cb AS (
-      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
+      SELECT vec_id AS k, embedding AS ce FROM {src} WHERE vec_id < {PQ_K}
     ),
     d AS (
       SELECT e.vec_id, s.sub, cb.k,
@@ -2389,7 +2394,7 @@ def _ivfpq_oracle() -> str:
                * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
                   - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
                * 1000000) AS BIGINT) AS dmic
-      FROM embeddings e
+      FROM {src} e
       CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
       CROSS JOIN cb
       CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
@@ -2417,8 +2422,8 @@ def _ivfpq_oracle() -> str:
     ),
     p2 AS (
       SELECT s.query_id, s.neighbor_id, a.embedding AS qe, b.embedding AS ne
-      FROM short s JOIN embeddings a ON a.vec_id = s.query_id
-                   JOIN embeddings b ON b.vec_id = s.neighbor_id
+      FROM short s JOIN {src} a ON a.vec_id = s.query_id
+                   JOIN {src} b ON b.vec_id = s.neighbor_id
       WHERE s.srn <= {PQ_SHORTLIST}
     ),
     ex AS (SELECT query_id, neighbor_id, {_COS_SQL} AS c
@@ -4395,6 +4400,52 @@ def similarity_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFram
         ivfpq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
         _fragment_index(spark, tmp)
         index_compact(spark, tmp)
+        return ivfpq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_IVFPQ_DELETE_PRELUDE = (
+    f"bounds AS (SELECT GREATEST({APPEND_SEED_FLOOR},"
+    " (MAX(vec_id) + 1) * 4 // 5) AS split FROM embeddings),\n"
+    "    base AS (SELECT e.* FROM embeddings e, bounds"
+    " WHERE e.vec_id < split),\n    "
+)
+
+
+@_register(
+    "similarity_ann_ivfpq_deleted",
+    oracle=_ivfpq_oracle(src="base", prelude=_IVFPQ_DELETE_PRELUDE),
+)
+def similarity_ann_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-side DELETE path verified END TO END as a registered
+    query: build the persisted IVF+PQ index on the FULL corpus,
+    inverted_lists_delete the top 1/5 of vec_ids (touched lists
+    rewritten, fully-emptied lists FS-removed, sidecar codebooks
+    untouched), probe — and hold the inline oracle computed over the
+    SURVIVING corpus only (the parametrized ``_ivfpq_oracle`` with every
+    corpus reference pointed at the base CTE). delete == rebuild-without
+    == inline-on-survivors is the contract (pairwise pytest-gated; this
+    row verifies the composition on every dataset the harness
+    generates). The split floor keeps the seed codebooks and the query
+    vectors in the surviving base so both engines rank the same queries
+    against the same centroids. Scale shape: build is the one
+    assignment/coding pass; the delete is O(touched lists) discovered by
+    a 12-bytes-per-vector column-pruned scan; the probe is the
+    partition-pruned serving read.
+    """
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="ivfpq_deleted_")
+    try:
+        ivfpq_build_index(spark, sf_dir, tmp)
+        inverted_lists_delete(
+            spark, tmp, e.filter(F.col("vec_id") >= split).select("vec_id")
+        )
         return ivfpq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
