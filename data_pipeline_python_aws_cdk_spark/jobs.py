@@ -171,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
         "at --output (per-partition files/bytes/rows, fragmentation, "
         "completeness, sidecars) without building or probing",
     )
+    p_idx.add_argument(
+        "--maintain",
+        action="store_true",
+        help="scheduled maintenance: report the EXISTING index at "
+        "--output, compact ONLY if fragmented, report again — the "
+        "cron-safe composition (a stable artifact is read-only)",
+    )
 
     p_scr = sub.add_parser(
         "screen", help="screen an ingest batch against the persisted LSH dedup index"
@@ -886,6 +893,37 @@ def main(argv: list[str] | None = None) -> int:
             "lsh": (lsh_build_index, lsh_append_index, lsh_probe_indexed),
         }
         build, append, probe_fn = kinds[args.kind]
+        if args.maintain:
+            # Report -> compact-iff-fragmented -> report: the composition a
+            # scheduler invokes after each append window. Compacting a
+            # stable artifact would be a harmless no-op, but skipping it
+            # keeps scheduled maintenance READ-ONLY until there is work —
+            # no marker churn, no rewrite risk, on the 99% of runs where
+            # nothing fragmented.
+            from .functions.indexing import index_compact, index_report
+
+            before = index_report(spark, args.output)
+            compacted = None
+            if before["fragmented_partitions"] > 0:
+                compacted = index_compact(spark, args.output, resume=args.resume)
+            after = index_report(spark, args.output) if compacted else before
+            print(
+                json.dumps(
+                    {
+                        "statusCode": 200,
+                        "kind": args.kind,
+                        "index": args.output,
+                        "mode": "maintain",
+                        "compacted": compacted,
+                        "fragmented_before": before["fragmented_partitions"],
+                        "fragmented_after": after["fragmented_partitions"],
+                        "total_rows": after["total_rows"],
+                        "total_files": after["total_files"],
+                        "complete": after["complete"],
+                    }
+                )
+            )
+            return 0
         if args.report:
             from .functions.indexing import index_report
 

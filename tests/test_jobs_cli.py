@@ -1101,3 +1101,39 @@ def test_cli_index_delete_and_rejects_unwired_kind(spark, tmp_path, capsys):
     assert rc == 1
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["statusCode"] == 400
+
+
+def test_cli_index_maintain_compacts_only_when_fragmented(
+    spark, tmp_path, capsys
+):
+    """jobs index --maintain: the cron-safe composition — a fragmented
+    artifact gets compacted (rows preserved), and the immediate re-run
+    is read-only (no compaction stats, nothing rewritten)."""
+    import json
+
+    from data_pipeline_python_aws_cdk_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx)
+    similarity._fragment_index(spark, idx)
+    total = spark.read.parquet(idx).count()
+    rc = jobs.main(
+        ["index", "--kind", "ivfpq", "--sf-dir", SF_SMOKE, "--output", idx,
+         "--maintain"]
+    )
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["statusCode"] == 200 and st["mode"] == "maintain"
+    assert st["fragmented_before"] > 0 and st["fragmented_after"] == 0
+    assert st["compacted"]["partitions_compacted"] > 0
+    assert st["total_rows"] == total and st["complete"]
+
+    rc = jobs.main(
+        ["index", "--kind", "ivfpq", "--sf-dir", SF_SMOKE, "--output", idx,
+         "--maintain"]
+    )
+    assert rc == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["compacted"] is None and st2["fragmented_before"] == 0
+    assert st2["total_rows"] == total
