@@ -135,12 +135,16 @@ def index_report(
     "how fragmented did N appends leave this index, and is it safe to
     probe" without reading codebooks or running a probe.
 
-    Listing is metadata-scale (one entry per leaf via the directory walk,
-    the :func:`maintenance.compact` convention — on a cluster this goes
-    through the Hadoop FileSystem API); row counts come from ONE
-    distributed parquet scan grouped by source file directory, never a
+    Listing is metadata-scale (one entry per leaf via the directory walk)
+    and LOCAL-FILESYSTEM scoped, the :func:`maintenance.compact`
+    convention — the walk uses ``os`` directly, so an object-store index
+    (s3a/abfs) needs the listing routed through the Hadoop FileSystem
+    API first (the writers' path); row counts come from ONE distributed
+    parquet scan grouped by source file directory, never a
     per-partition job loop.
     """
+    from urllib.parse import unquote, urlparse
+
     from pyspark.sql import functions as F
 
     from ..maintenance import (
@@ -187,8 +191,10 @@ def index_report(
             .collect()
         )
         for r in counts:
-            # input_file_name is a URI; leaf keys are local abspaths
-            key = os.path.abspath(r.dir.split("://", 1)[-1])
+            # input_file_name is a URI (percent-encoded — a space in the
+            # index path arrives as %20); leaf keys are local abspaths,
+            # so decode the path component before keying into the map
+            key = os.path.abspath(unquote(urlparse(r.dir).path))
             if key in leaves:
                 leaves[key]["n_rows"] = int(r["count"])
     parts = sorted(leaves.values(), key=lambda p: p["partition"])
@@ -201,4 +207,152 @@ def index_report(
         "total_bytes": sum(p["n_bytes"] for p in parts),
         "total_rows": sum(p["n_rows"] for p in parts),
         "fragmented_partitions": sum(p["needs_compaction"] for p in parts),
+    }
+
+
+# --- staged replacement for UNPARTITIONED index artifacts ---------------------
+#
+# The Hive-partitioned indexes mutate in place safely because dynamic
+# partition overwrite touches only the leaves the write produces rows for:
+# every other partition's files are never at risk, so a torn write plus the
+# completion-marker discipline is recoverable by re-running the same op.
+# An UNPARTITIONED artifact (the PQ code table) has no such locality — a
+# plain `mode("overwrite")` DELETES the old file set before the new one is
+# durable, so a crash mid-write loses the table and no re-run can converge
+# (the rows it needed to merge against are gone). The staged protocol below
+# makes full-table replacement crash-safe at every point:
+#
+#   1. write the complete post-op table under ``{index_dir}/_stage``
+#      (underscore: invisible to readers of the artifact);
+#   2. commit the stage by writing a ``_manifest`` (the staged data-file
+#      names) INSIDE it — manifest present == stage complete == the swap
+#      may proceed; a crash before this point leaves the old table intact
+#      and the half-written stage is discardable garbage;
+#   3. swap: delete every top-level data file whose name is NOT in the
+#      manifest (the old table), move the staged files up, drop the stage.
+#
+# A resume re-run calls :func:`finish_staged_table_swap` first: with a
+# committed stage it completes the swap idempotently (file names are
+# task-UUID-unique, so manifest membership says exactly which top-level
+# files are new); with an uncommitted stage it discards it and the old
+# table re-merges from scratch. Callers own the completion-marker
+# discipline around the whole operation.
+
+
+_STAGE_DIR = "_stage"
+_STAGE_MANIFEST = "_manifest"
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm, jsc = spark._jvm, spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(jsc.hadoopConfiguration()), path, jvm
+
+
+def _list_data_files(fs, jvm, dir_path) -> list:
+    """Names of data files directly under dir_path (no _/. metadata)."""
+    if not fs.exists(dir_path):
+        return []
+    out = []
+    for st in fs.listStatus(dir_path):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(name)
+    return out
+
+
+def staged_table_replace(spark, index_dir: str, df) -> None:
+    """Replace an unpartitioned artifact's data files with ``df``'s rows
+    via the stage/commit/swap protocol above. ``df`` must not read from
+    ``index_dir`` lazily at swap time — stage-writing it first (step 1)
+    materializes it before anything is deleted, which is the point."""
+    root = index_dir.rstrip("/")
+    stage_str = f"{root}/{_STAGE_DIR}"
+    fs, stage, jvm = _hadoop_fs(spark, stage_str)
+    if fs.exists(stage):
+        # an UNCOMMITTED previous stage is garbage (a committed one was
+        # already folded in by the caller's finish_staged_table_swap)
+        fs.delete(stage, True)
+    df.write.mode("overwrite").parquet(stage_str)
+    names = _list_data_files(fs, jvm, stage)
+    spark.createDataFrame(
+        [(n,) for n in names], "name string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{stage_str}/{_STAGE_MANIFEST}"
+    )
+    finish_staged_table_swap(spark, index_dir)
+
+
+def finish_staged_table_swap(spark, index_dir: str) -> bool:
+    """Complete a pending staged replacement; idempotent, the torn-write
+    recovery (call under ``resume=True`` before re-merging). Returns True
+    when a committed stage was swapped in, False when there was nothing
+    pending (no stage, or an uncommitted stage — discarded, old table
+    intact)."""
+    from pyspark.errors import AnalysisException
+
+    root = index_dir.rstrip("/")
+    stage_str = f"{root}/{_STAGE_DIR}"
+    fs, stage, jvm = _hadoop_fs(spark, stage_str)
+    if not fs.exists(stage):
+        return False
+    try:
+        names = {
+            r.name
+            for r in spark.read.parquet(
+                f"{stage_str}/{_STAGE_MANIFEST}"
+            ).collect()
+        }
+    except AnalysisException:
+        # stage never committed: the old table is still whole — discard
+        fs.delete(stage, True)
+        return False
+    Path = jvm.org.apache.hadoop.fs.Path
+    root_path = Path(root)
+    # old table out (manifest membership identifies the new files exactly:
+    # parquet task files carry write-UUID names, never reused)
+    for name in _list_data_files(fs, jvm, root_path):
+        if name not in names:
+            fs.delete(Path(f"{root}/{name}"), False)
+    # staged files up (atomic per-file rename; a re-run skips the moved)
+    for name in _list_data_files(fs, jvm, stage):
+        if name in names:
+            fs.rename(Path(f"{stage_str}/{name}"), Path(f"{root}/{name}"))
+    fs.delete(stage, True)
+    return True
+
+
+def index_maintain(
+    spark, index_dir: str, target_file_bytes: int | None = None,
+    resume: bool = False,
+) -> dict:
+    """Report -> compact-iff-fragmented -> report: the composition a
+    scheduler (``jobs index --maintain``) invokes after each append
+    window. Compacting a stable artifact would be a harmless no-op, but
+    skipping it keeps scheduled maintenance READ-ONLY until there is
+    work — no marker churn, no rewrite risk, on the 99% of runs where
+    nothing fragmented.
+
+    Returns {compacted, fragmented_before, fragmented_after, total_rows,
+    total_files, complete} — ``compacted`` is :func:`index_compact`'s
+    stats dict when a rewrite ran, else None.
+    """
+    before = index_report(spark, index_dir, target_file_bytes)
+    compacted = None
+    if before["fragmented_partitions"] > 0:
+        compacted = index_compact(
+            spark, index_dir, target_file_bytes, resume=resume
+        )
+    after = (
+        index_report(spark, index_dir, target_file_bytes)
+        if compacted
+        else before
+    )
+    return {
+        "compacted": compacted,
+        "fragmented_before": before["fragmented_partitions"],
+        "fragmented_after": after["fragmented_partitions"],
+        "total_rows": after["total_rows"],
+        "total_files": after["total_files"],
+        "complete": after["complete"],
     }

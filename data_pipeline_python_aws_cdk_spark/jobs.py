@@ -863,7 +863,9 @@ def main(argv: list[str] | None = None) -> int:
             ivfpq_residual_append_index,
             ivfpq_residual_build_index,
             ivfpq_residual_probe_indexed,
+            pq_append_index,
             pq_build_index,
+            pq_delete_index,
             pq_probe_indexed,
         )
         from .operators.text import bm25_append_index, bm25_build_index, bm25_probe_indexed
@@ -876,7 +878,7 @@ def main(argv: list[str] | None = None) -> int:
                 ivfpq_residual_append_index,
                 ivfpq_residual_probe_indexed,
             ),
-            "pq": (pq_build_index, None, pq_probe_indexed),
+            "pq": (pq_build_index, pq_append_index, pq_probe_indexed),
             "bm25": (bm25_build_index, bm25_append_index, bm25_probe_indexed),
             # the winnow/substring probes read only the persisted stream;
             # sf_dir is accepted for the shared CLI probe signature, unused
@@ -894,19 +896,11 @@ def main(argv: list[str] | None = None) -> int:
         }
         build, append, probe_fn = kinds[args.kind]
         if args.maintain:
-            # Report -> compact-iff-fragmented -> report: the composition a
-            # scheduler invokes after each append window. Compacting a
-            # stable artifact would be a harmless no-op, but skipping it
-            # keeps scheduled maintenance READ-ONLY until there is work —
-            # no marker churn, no rewrite risk, on the 99% of runs where
-            # nothing fragmented.
-            from .functions.indexing import index_compact, index_report
+            # The scheduler's composition lives in functions.indexing so
+            # the registered lifecycle row and this CLI share one frame.
+            from .functions.indexing import index_maintain
 
-            before = index_report(spark, args.output)
-            compacted = None
-            if before["fragmented_partitions"] > 0:
-                compacted = index_compact(spark, args.output, resume=args.resume)
-            after = index_report(spark, args.output) if compacted else before
+            st = index_maintain(spark, args.output, resume=args.resume)
             print(
                 json.dumps(
                     {
@@ -914,12 +908,7 @@ def main(argv: list[str] | None = None) -> int:
                         "kind": args.kind,
                         "index": args.output,
                         "mode": "maintain",
-                        "compacted": compacted,
-                        "fragmented_before": before["fragmented_partitions"],
-                        "fragmented_after": after["fragmented_partitions"],
-                        "total_rows": after["total_rows"],
-                        "total_files": after["total_files"],
-                        "complete": after["complete"],
+                        **st,
                     }
                 )
             )
@@ -979,6 +968,9 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 "winnow": winnow_index_delete,
                 "bm25": bm25_delete_index,
+                # unpartitioned code table: anti-join + staged full-table
+                # swap (see pq_delete_index's crash-safety notes)
+                "pq": pq_delete_index,
             }
             if args.kind not in deleters:
                 print(
@@ -986,9 +978,7 @@ def main(argv: list[str] | None = None) -> int:
                         {
                             "statusCode": 400,
                             "error": f"kind {args.kind} has no delete path; "
-                            "rebuild without the rows (pq is a compact "
-                            "unpartitioned full-table artifact — any "
-                            "delete rewrites the whole file set anyway)",
+                            "rebuild without the rows",
                         }
                     )
                 )
@@ -1017,9 +1007,7 @@ def main(argv: list[str] | None = None) -> int:
                         {
                             "statusCode": 400,
                             "error": f"kind {args.kind} has no append path; "
-                            "rebuild (pq is a compact full-table artifact; "
-                            "the winnow stream's incremental entry point is "
-                            "the streaming screen)",
+                            "rebuild the index with the batch included",
                         }
                     )
                 )

@@ -4349,7 +4349,15 @@ def winnow_index_delete(
         .join(F.broadcast(idset), "doc_id", "semi")
     )
     touched = sorted({r.bucket for r in hit.select("bucket").distinct().collect()})
-    if not touched:  # ids absent: artifact already correct
+    if not touched:  # ids absent: the buckets are already correct
+        if resume:
+            # Torn-delete tail recovery (the inverted_lists_delete
+            # discipline): the crashed run finished its rewrite and
+            # emptied-bucket sweep — a surviving stale bucket would have
+            # matched above — but died before restoring the marker. The
+            # data is whole; re-mark instead of early-returning, or the
+            # index stays permanently unprobeable.
+            mark_index_complete(spark, index_dir)
         return 0
     clear_index_complete(spark, index_dir)
     existing = spark.read.parquet(index_dir).filter(F.col("bucket").isin(touched))

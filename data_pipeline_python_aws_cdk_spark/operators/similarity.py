@@ -1349,6 +1349,7 @@ def ann_screen_against_index(
     index_dir: str,
     nprobe: int = IVF_NPROBE,
     threshold: float = ANN_SCREEN_THRESHOLD,
+    resume: bool = False,
 ) -> DataFrame:
     """Screen an ingest batch of (vec_id, embedding) rows against the
     PERSISTED IVF index: per batch vector, rank the index's own
@@ -1363,9 +1364,26 @@ def ann_screen_against_index(
     ``run_stream_ann_screen`` call, so stream and backfill cannot
     disagree.
 
-    Screening is against the STANDING CORPUS only (self-matches excluded
-    by vec_id; intra-batch duplicates are the batch's own dedup problem —
-    the same semantics as the other screens). Scale shape: the batch
+    Screening is against the STANDING CORPUS only: the ENTIRE batch's
+    vec_id set is anti-joined out of the candidates, not just each
+    query's own id (intra-batch duplicates are the batch's own dedup
+    problem — the same semantics as the other screens). The batch-wide
+    exclusion is what makes the append-mode stream's verdicts replayable:
+    on first run the batch's ids are not in the index, so it excludes
+    exactly the self-matches; on a checkpointed REPLAY after the batch
+    was appended, it keeps the already-ingested batch members from
+    flipping each other 'new' -> 'near_dup_candidate' and rewriting the
+    verdict partition differently than the first run (gated by test).
+
+    ``resume=True`` skips the completion-marker assert so the append-mode
+    stream can replay a batch whose ivf_append_index tore mid-rewrite
+    (marker cleared): the torn lists still hold every standing-corpus
+    row (the merge only rewrites existing-minus-batch-plus-batch), and
+    batch rows are excluded above, so the replayed screen still sees
+    exactly the standing corpus — then the convergent re-append repairs
+    and re-marks the artifact.
+
+    Scale shape: the batch
     crosses one broadcast-codebook cosine pass and one window; the only
     driver materialization is the DISTINCT probed centroid ids (bounded
     by NLIST at any batch size) feeding the partition filter; the corpus
@@ -1376,7 +1394,8 @@ def ann_screen_against_index(
     """
     from ..functions.indexing import assert_index_complete
 
-    assert_index_complete(spark, index_dir)
+    if not resume:
+        assert_index_complete(spark, index_dir)
     # The screen requires the codebook the lists were assigned with; a
     # missing sidecar is a broken artifact, not a fallback case (the
     # assert_hash_mode_meta discipline) — let the read fail loudly.
@@ -1405,7 +1424,10 @@ def ann_screen_against_index(
     )
     cand = (
         probes.join(index, "centroid_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        # batch-wide exclusion (not merely vec_id != query_id): candidates
+        # must come from the standing corpus only, so an appended-then-
+        # replayed batch cannot match its own members (docstring contract)
+        .join(F.broadcast(b.select("vec_id")), "vec_id", "anti")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -2883,7 +2905,12 @@ def embedding_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+def pq_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    vectors: DataFrame | None = None,
+) -> None:
     """Materialize the PQ code table: one (vec_id, pq_code) row per corpus
     vector — 12 bytes each — plus the subspace codebook under
     ``_codebook`` (same carries-its-own-codebook contract as the IVF
@@ -2891,18 +2918,122 @@ def pq_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     whole point of PQ serving is that the FULL code table is small
     enough to scan per query batch (64x under the float vectors), so
     the index is written compact and probes read all of it.
+
+    ``vectors``: optional (vec_id, embedding) frame to index instead of
+    the full embeddings table — the base-corpus side of the append
+    equality gate (build(base); append(batch) == build(base+batch)).
+    The codebook stays the CORPUS seed set (``sf_dir``'s PQ_K lowest
+    vec_ids) regardless, so base and incremental artifacts code against
+    identical codewords.
     """
     from ..functions.indexing import clear_index_complete, mark_index_complete
 
     clear_index_complete(spark, index_dir)
-    codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "pq_code")
-    codes.write.mode("overwrite").parquet(index_dir)
     e = load_table(spark, sf_dir, "embeddings")
     cb = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
     )
+    if vectors is None:
+        codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "pq_code")
+    else:
+        codes = _pq_codes_core(
+            vectors.select("vec_id", "embedding"), cb
+        ).select("vec_id", "pq_code")
+    codes.write.mode("overwrite").parquet(index_dir)
     cb.write.mode("overwrite").parquet(f"{index_dir}/_codebook")
     mark_index_complete(spark, index_dir)
+
+
+def pq_append_index(
+    spark: SparkSession, index_dir: str, batch: DataFrame, resume: bool = False
+) -> None:
+    """Append an ingest batch of (vec_id, embedding) rows to the PERSISTED
+    PQ code table WITHOUT recoding the corpus: the batch is PQ-coded
+    against the FROZEN ``_codebook`` sidecar (the FAISS ``add()``
+    contract — one bounded codebook broadcast join over the batch, the
+    shared ``_pq_codes_core`` kernel, so appended codes are exactly what
+    a rebuild would assign, gated by test), then merged as
+    existing-minus-batch-ids plus the batch's codes.
+
+    The artifact is UNPARTITIONED (the whole point of PQ serving is
+    scanning the compact full table), so there are no touched-lists
+    economics to exploit: the merge rewrites the table. That is still
+    O(corpus x 12 bytes) — the code table at a billion vectors is ~12 GB,
+    the size class :func:`maintenance.compact` rewrites routinely — and
+    the rewrite goes through the staged swap protocol
+    (``staged_table_replace``): a plain overwrite would delete the old
+    file set before the new one is durable, so a crash mid-write could
+    lose the table with nothing left to converge from.  ``resume=True``
+    first completes any committed-but-unswapped stage, then re-merges —
+    convergent at every crash point, idempotent under replay.
+    """
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        finish_staged_table_swap,
+        mark_index_complete,
+        staged_table_replace,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    else:
+        finish_staged_table_swap(spark, index_dir)
+    cb = spark.read.parquet(f"{index_dir}/_codebook").select(
+        "k", F.col("ce").cast("array<float>").alias("ce")
+    )
+    b = batch.select("vec_id", "embedding")
+    new_codes = _pq_codes_core(b, cb).select("vec_id", "pq_code")
+    merged = (
+        spark.read.parquet(index_dir)
+        .join(F.broadcast(b.select("vec_id")), "vec_id", "left_anti")
+        .unionByName(new_codes)
+    )
+    clear_index_complete(spark, index_dir)
+    staged_table_replace(spark, index_dir, merged)
+    mark_index_complete(spark, index_dir)
+
+
+def pq_delete_index(
+    spark: SparkSession, index_dir: str, ids: DataFrame, resume: bool = False
+) -> int:
+    """Delete rows BY ID from the persisted PQ code table — append's
+    inverse, the right-to-be-forgotten op for the unpartitioned kind.
+    Codes are a pure per-id function of the frozen ``_codebook`` (which
+    deletion never changes), so the delete is one anti-join and a staged
+    full-table rewrite (``pq_append_index``'s swap protocol and
+    economics). Result-equal to rebuilding without the ids (gated),
+    idempotent (absent ids rewrite nothing), convergent under
+    ``resume=True`` — including the tail crash where the swap finished
+    but the marker was never restored, which re-marks instead of
+    early-returning (the inverted_lists_delete discipline).
+
+    Returns the number of code rows removed.
+    """
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        finish_staged_table_swap,
+        mark_index_complete,
+        staged_table_replace,
+    )
+
+    if not resume:
+        assert_index_complete(spark, index_dir)
+    else:
+        finish_staged_table_swap(spark, index_dir)
+    idset = ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    existing = spark.read.parquet(index_dir)
+    removed = existing.join(F.broadcast(idset), "vec_id", "semi").count()
+    if removed == 0:  # ids absent: the table is already correct
+        if resume:
+            mark_index_complete(spark, index_dir)
+        return 0
+    remaining = existing.join(F.broadcast(idset), "vec_id", "left_anti")
+    clear_index_complete(spark, index_dir)
+    staged_table_replace(spark, index_dir, remaining)
+    mark_index_complete(spark, index_dir)
+    return int(removed)
 
 
 def pq_probe_indexed(
@@ -4051,7 +4182,12 @@ def inverted_lists_delete(
     embeddings), semi-joined against the broadcast id set. Result-equal
     to rebuilding without the ids (gated), idempotent (deleting absent
     ids rewrites nothing), convergent after a torn delete
-    (``resume=True`` re-runs the same id set). Dynamic overwrite only
+    (``resume=True`` re-runs the same id set — including the tail-crash
+    case where the partition rewrite and the emptied-partition sweep both
+    finished but the completion marker was never restored: the re-run
+    then finds no matching ids and its only remaining job is to re-mark
+    the artifact, which it does instead of early-returning). Dynamic
+    overwrite only
     replaces partitions PRESENT in the write, so a partition whose
     members are ALL deleted (zero remaining rows) is removed explicitly
     through the Hadoop FileSystem — without that, the emptied
@@ -4080,7 +4216,15 @@ def inverted_lists_delete(
         {tuple(r[c] for c in pcols) for r in hit.select(*pcols).distinct().collect()},
         key=lambda t: tuple((v is None, v) for v in t),
     )
-    if not touched:  # ids absent: artifact already correct
+    if not touched:  # ids absent: the partitions are already correct
+        if resume:
+            # Torn-delete tail recovery: the crashed run finished its
+            # rewrite and sweep (no id survives anywhere — a stale
+            # emptied partition would have matched above) but died
+            # before restoring the marker. The artifact's DATA is
+            # whole, so re-mark it; early-returning here would leave
+            # the index permanently unprobeable.
+            mark_index_complete(spark, index_dir)
         return 0
     clear_index_complete(spark, index_dir)
 
@@ -4339,6 +4483,45 @@ def similarity_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register("similarity_ann_pq_appended", oracle=_pq_adc_oracle())
+def similarity_ann_pq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPARTITIONED kind's incremental maintenance verified END TO
+    END as a registered query: build the persisted PQ code table on the
+    base 4/5 of the corpus, pq_append_index the remaining 1/5 against the
+    FROZEN ``_codebook`` sidecar (batch codes through the shared
+    ``_pq_codes_core`` kernel — exactly what a rebuild would assign),
+    probe the appended artifact — and hold the INLINE
+    similarity_ann_pq_adc oracle. append == rebuild == inline IS the
+    maintenance contract (each equality also individually pytest-gated);
+    this row makes the composition driver-verifiable on every dataset the
+    harness generates. Corpora too small to split append an EMPTY batch —
+    the degenerate no-op the append path must converge on, which the
+    oracle then checks for free.
+
+    Scale shape: the build is the one coding pass the inline query pays
+    anyway; the append codes only the batch (bounded codebook broadcast)
+    and rewrites the compact 12-byte-per-vector table through the staged
+    swap protocol; the probe is the full-code-table ADC scan PQ serving
+    is designed around. The temp artifact is deleted after the probe
+    result materializes.
+    """
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="pq_appended_")
+    try:
+        pq_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        pq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
+        return pq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _fragment_index(
     spark: SparkSession,
     index_dir: str,
@@ -4351,17 +4534,32 @@ def _fragment_index(
     test scale coalesces to one). Rows are untouched; only the
     file-per-leaf count changes. Used by the compaction lifecycle query
     and its gates so ``index_compact`` genuinely rewrites at every scale
-    instead of no-opping on toy single-file leaves."""
+    instead of no-opping on toy single-file leaves.
+
+    Scaffolding or not, it rewrites REAL artifacts inside registered
+    queries, so it follows the in-place writers' completion-marker
+    discipline (assert -> clear -> rewrite -> mark, the index_compact
+    shape): a crash mid-rewrite must leave a loudly-torn artifact, never
+    a marked index serving partial lists."""
+    from ..functions.indexing import (
+        assert_index_complete,
+        clear_index_complete,
+        mark_index_complete,
+    )
+
     pcols = (
         [partition_col] if isinstance(partition_col, str) else list(partition_col)
     )
+    assert_index_complete(spark, index_dir)
     frag = spark.read.parquet(index_dir).repartition(n).localCheckpoint(eager=True)
+    clear_index_complete(spark, index_dir)
     (
         frag.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*pcols)
         .parquet(index_dir)
     )
+    mark_index_complete(spark, index_dir)
 
 
 @_register("similarity_ann_ivfpq_compacted", oracle=_ivfpq_oracle())
@@ -4400,6 +4598,57 @@ def similarity_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFram
         ivfpq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
         _fragment_index(spark, tmp)
         index_compact(spark, tmp)
+        return ivfpq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register("similarity_ann_ivfpq_maintained", oracle=_ivfpq_oracle())
+def similarity_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCHEDULED maintenance composition verified end to end as a
+    registered query: build + append + fragment (the production
+    multi-file leaf layout), then run ``index_maintain`` — the exact
+    report -> compact-iff-fragmented -> report frame ``jobs index
+    --maintain`` invokes from cron — assert it actually compacted a
+    complete artifact, probe, and still hold the INLINE
+    similarity_ann_ivfpq oracle. The compacted row already pins
+    ``index_compact`` itself; THIS row pins the scheduler's decision
+    logic around it (fragmentation detection before, zero fragmented
+    leaves and an intact marker after), so the cron path is
+    driver-verified on every dataset the harness generates, not just
+    CLI-gated.
+
+    Scale shape: identical to the compacted row — the maintain pass adds
+    two metadata-scale reports around the same O(fragmented lists)
+    rewrite.
+    """
+    import shutil
+    import tempfile
+
+    from ..functions.indexing import index_maintain
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="ivfpq_maintained_")
+    try:
+        ivfpq_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        ivfpq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
+        _fragment_index(spark, tmp)
+        st = index_maintain(spark, tmp)
+        # the lifecycle contract, asserted where the driver can see a
+        # failure as a crashed query: maintain must have found the
+        # fragmentation, repaired it, and left a whole artifact
+        if st["fragmented_before"] == 0 and st["compacted"] is not None:
+            raise AssertionError("maintain compacted a stable artifact")
+        if st["fragmented_before"] > 0 and (
+            st["compacted"] is None
+            or st["fragmented_after"] != 0
+            or not st["complete"]
+        ):
+            raise AssertionError(f"maintain did not converge: {st}")
         return ivfpq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

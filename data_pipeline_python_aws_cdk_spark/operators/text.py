@@ -993,6 +993,18 @@ def bm25_delete_index(
     FileSystem (dynamic overwrite cannot clear a partition it writes no
     rows for). Result-equal to rebuilding without the documents (gated).
 
+    Torn-delete recovery (``resume=True``) cannot trust the decrement
+    arithmetic the clean path uses: a crash between the partition
+    rewrite and the ``_stats`` write leaves the sidecar at its
+    PRE-delete values, and a re-run only re-finds the ids whose postings
+    survived the crash — docs the torn run fully removed would never be
+    subtracted. So on resume the sidecar is RECOMPUTED from the
+    surviving postings (one column-pruned (doc_id, dl) rollup of the
+    index minus the id set), and the tail-crash case — rewrite and
+    sweep both done, so no id matches anything — recomputes the sidecar
+    and re-marks instead of early-returning (which would strand the
+    artifact unprobeable with inflated stats). Both paths gated.
+
     Returns the number of postings removed.
     """
     from ..functions.indexing import (
@@ -1011,12 +1023,27 @@ def bm25_delete_index(
         .localCheckpoint(eager=True)  # bounded: the deleted docs' postings
     )
     touched = sorted({r.bucket for r in hit.select("bucket").distinct().collect()})
-    if not touched:  # ids absent: artifact (and stats) already correct
+    if not touched:  # ids absent: the postings are already correct
+        if resume:
+            # Tail recovery: the crashed run finished its rewrite and
+            # emptied-bucket sweep (a surviving stale bucket would have
+            # matched above) but died before the _stats/marker writes.
+            clear_index_complete(spark, index_dir)
+            _bm25_write_stats(spark, index_dir, *_bm25_surviving_stats(spark, index_dir, idset))
+            mark_index_complete(spark, index_dir)
         return 0
-    old = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
-    gone = hit.select("doc_id", "dl").distinct().agg(
-        F.count("*").cast("bigint").alias("n"), F.sum("dl").cast("bigint").alias("t")
-    ).collect()[0]
+    if resume:
+        # Docstring contract: recompute, never decrement, on resume —
+        # measured BEFORE the rewrite, while the index still holds every
+        # surviving posting the stats must describe.
+        n_docs, total_tokens = _bm25_surviving_stats(spark, index_dir, idset)
+    else:
+        old = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+        gone = hit.select("doc_id", "dl").distinct().agg(
+            F.count("*").cast("bigint").alias("n"), F.sum("dl").cast("bigint").alias("t")
+        ).collect()[0]
+        n_docs = int(old.n_docs) - int(gone.n or 0)
+        total_tokens = int(old.total_tokens) - int(gone.t or 0)
     clear_index_complete(spark, index_dir)
     existing = (
         spark.read.parquet(index_dir)
@@ -1047,13 +1074,45 @@ def bm25_delete_index(
         fs = path.getFileSystem(jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)
-    spark.createDataFrame(
-        [(int(old.n_docs) - int(gone.n or 0),
-          int(old.total_tokens) - int(gone.t or 0))],
-        "n_docs bigint, total_tokens bigint",
-    ).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+    _bm25_write_stats(spark, index_dir, n_docs, total_tokens)
     mark_index_complete(spark, index_dir)
     return int(removed)
+
+
+def _bm25_write_stats(
+    spark: SparkSession, index_dir: str, n_docs: int, total_tokens: int
+) -> None:
+    spark.createDataFrame(
+        [(int(n_docs), int(total_tokens))], "n_docs bigint, total_tokens bigint"
+    ).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+
+
+def _bm25_surviving_stats(
+    spark: SparkSession, index_dir: str, idset: DataFrame
+) -> "tuple[int, int]":
+    """Post-delete (n_docs, total_tokens) recomputed from the index's own
+    postings minus the ids being deleted — the convergent form
+    bm25_delete_index uses under ``resume=True``, where the ``_stats``
+    sidecar may describe a pre-crash world. One column-pruned scan; no
+    term strings decoded. An index the torn run fully emptied has no
+    data files left to read, which is exactly (0, 0)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        r = (
+            spark.read.parquet(index_dir)
+            .select("doc_id", "dl")
+            .join(F.broadcast(idset), "doc_id", "left_anti")
+            .distinct()
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("dl").cast("bigint").alias("t"),
+            )
+            .collect()[0]
+        )
+    except AnalysisException:
+        return 0, 0
+    return int(r.n or 0), int(r.t or 0)
 
 
 def bm25_index_drift(spark: SparkSession, index_dir: str) -> dict:

@@ -1101,10 +1101,20 @@ def run_stream_ann_screen(
     Replay discipline: verdicts overwrite their own batch_id partition
     (the family's effectively-once rule), and the append is convergent —
     a replayed batch's vectors are already in the index under their own
-    vec_ids, which the screen's self-exclusion ignores, so the verdicts
-    reproduce and the re-append no-ops (anti-join idempotence). The
-    append runs with ``resume=True`` because inside the checkpointed
-    replay loop a batch re-run IS the documented torn-append recovery.
+    vec_ids, which the screen's BATCH-WIDE candidate exclusion ignores
+    (the whole batch id set is anti-joined out, not just each query's
+    own id — otherwise a replayed batch containing intra-batch near-dups
+    would match its own already-appended members and flip 'new' ->
+    'near_dup_candidate' on the second pass), so the verdicts reproduce
+    bit-identically and the re-append no-ops (anti-join idempotence).
+    Both halves of the replayed batch run with ``resume=True``: the
+    append because inside the checkpointed replay loop a batch re-run IS
+    the documented torn-append recovery, and the SCREEN because that
+    recovery must be reachable — a crash mid-append leaves the marker
+    cleared, and a screen that asserted completeness first would raise
+    on every replay and wedge the stream (the torn lists still hold
+    every standing-corpus row, and batch rows are excluded, so the
+    replayed verdicts are unaffected).
 
     Shared-frame discipline: the per-batch verdict IS
     operators.similarity.ann_screen_against_index — the same frame the
@@ -1122,7 +1132,7 @@ def run_stream_ann_screen(
 
     def _screen(batch_df, batch_id: int) -> None:
         verdicts = ann_screen_against_index(
-            spark, batch_df, index_dir
+            spark, batch_df, index_dir, resume=append
         ).withColumn("batch_id", F.lit(int(batch_id)))
         (
             verdicts.write.mode("overwrite")

@@ -4326,3 +4326,343 @@ def test_pruned_screens_equal_full_index_screens_and_prune(spark, tmp_path):
         }
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*INSET", plan), plan[:2000]
+
+
+# --- round 12: torn-delete convergence (the resume=True contract) -------------
+
+
+def test_bm25_torn_delete_tail_recovery_recomputes_stats_and_remarks(
+    spark, tmp_path
+):
+    """A crash AFTER the partition rewrite and emptied-bucket sweep but
+    BEFORE the _stats/marker writes leaves an index whose postings are
+    already correct, its sidecar stale, and its marker cleared. The
+    resume re-run then finds no matching postings — and must NOT
+    early-return: it recomputes _stats from the surviving postings and
+    re-marks, or the artifact stays permanently unprobeable with
+    inflated stats."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    d = text.load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    tail_ids = d.filter(F.col("doc_id") >= 400).select("doc_id")
+    text.bm25_build_index(spark, SF_SMOKE, full_dir, docs=base)
+    text.bm25_build_index(spark, SF_SMOKE, inc_dir)
+    pre_stats = spark.read.parquet(f"{inc_dir}/_stats").collect()
+
+    text.bm25_delete_index(spark, inc_dir, tail_ids)
+
+    # reconstruct the torn tail state: postings done, stats stale, no marker
+    shutil.rmtree(tmp_path / "deleted" / INDEX_COMPLETE_SIDECAR)
+    spark.createDataFrame(
+        pre_stats, "n_docs bigint, total_tokens bigint"
+    ).write.mode("overwrite").parquet(f"{inc_dir}/_stats")
+
+    assert text.bm25_delete_index(spark, inc_dir, tail_ids, resume=True) == 0
+    assert (
+        spark.read.parquet(f"{inc_dir}/_stats").collect()
+        == spark.read.parquet(f"{full_dir}/_stats").collect()
+    )
+    drift = text.bm25_index_drift(spark, inc_dir)  # asserts the marker too
+    assert drift["n_docs_drift"] == 0 and drift["total_tokens_drift"] == 0
+
+
+def test_bm25_torn_delete_partial_rewrite_recovery_avoids_stats_drift(
+    spark, tmp_path
+):
+    """A crash PART-WAY through the delete (some buckets rewritten, one
+    still holding the deleted docs' postings, stats untouched): the
+    resume re-run only re-finds the surviving postings, so decrement
+    arithmetic would under-subtract docs the torn run fully removed —
+    the recompute-from-surviving-postings path must land _stats exactly
+    at the rebuild-without values."""
+    import os
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    d = text.load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    tail_ids = d.filter(F.col("doc_id") >= 400).select("doc_id")
+    text.bm25_build_index(spark, SF_SMOKE, full_dir, docs=base)
+    text.bm25_build_index(spark, SF_SMOKE, inc_dir)
+    pre_stats = spark.read.parquet(f"{inc_dir}/_stats").collect()
+
+    # pick a bucket that holds tail postings and save its pre-delete files
+    victim = (
+        spark.read.parquet(inc_dir)
+        .join(tail_ids, "doc_id", "semi")
+        .select("bucket")
+        .distinct()
+        .orderBy("bucket")
+        .collect()[0][0]
+    )
+    saved = str(tmp_path / "saved_bucket")
+    shutil.copytree(os.path.join(inc_dir, f"bucket={victim}"), saved)
+
+    text.bm25_delete_index(spark, inc_dir, tail_ids)
+
+    # torn state: victim bucket back at its pre-delete content, stats
+    # stale, marker cleared — every other bucket already rewritten
+    shutil.rmtree(tmp_path / "deleted" / INDEX_COMPLETE_SIDECAR)
+    vdir = os.path.join(inc_dir, f"bucket={victim}")
+    shutil.rmtree(vdir, ignore_errors=True)
+    shutil.copytree(saved, vdir)
+    spark.createDataFrame(
+        pre_stats, "n_docs bigint, total_tokens bigint"
+    ).write.mode("overwrite").parquet(f"{inc_dir}/_stats")
+
+    removed = text.bm25_delete_index(spark, inc_dir, tail_ids, resume=True)
+    assert removed > 0  # the victim bucket's stale postings
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    assert (
+        spark.read.parquet(f"{inc_dir}/_stats").collect()
+        == spark.read.parquet(f"{full_dir}/_stats").collect()
+    )
+    drift = text.bm25_index_drift(spark, inc_dir)
+    assert drift["drifted_terms"] == 0 and drift["n_docs_drift"] == 0
+    assert drift["total_tokens_drift"] == 0
+
+
+def test_winnow_torn_delete_tail_recovery_remarks(spark, tmp_path):
+    """winnow_index_delete's tail recovery: rewrite and sweep done, marker
+    never restored — the resume re-run finds nothing to touch and must
+    re-mark instead of early-returning."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+        assert_index_complete,
+    )
+
+    inc_dir = str(tmp_path / "deleted")
+    d = dedup.load_table(spark, SF_SMOKE, "documents")
+    tail_ids = d.filter(F.col("doc_id") >= 400).select("doc_id")
+    dedup.winnow_index_build(spark, SF_SMOKE, inc_dir)
+    assert dedup.winnow_index_delete(spark, inc_dir, tail_ids) > 0
+    rows_after = _index_rows(spark, inc_dir)
+
+    shutil.rmtree(tmp_path / "deleted" / INDEX_COMPLETE_SIDECAR)
+    assert dedup.winnow_index_delete(spark, inc_dir, tail_ids, resume=True) == 0
+    assert_index_complete(spark, inc_dir)
+    assert _index_rows(spark, inc_dir) == rows_after
+
+
+def test_inverted_lists_torn_delete_tail_recovery_remarks(spark, tmp_path):
+    """inverted_lists_delete's tail recovery on the IVF+PQ artifact: the
+    resume re-run of a delete whose data work already finished re-marks
+    the index instead of leaving it permanently failing the probe
+    assert."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+        assert_index_complete,
+    )
+
+    inc_dir = str(tmp_path / "deleted")
+    base, tail = _split_embeddings(spark)
+    similarity.ivfpq_build_index(spark, SF_SMOKE, inc_dir)
+    assert similarity.inverted_lists_delete(
+        spark, inc_dir, tail.select("vec_id")
+    ) == tail.count() > 0
+    rows_after = _index_rows(spark, inc_dir)
+
+    shutil.rmtree(tmp_path / "deleted" / INDEX_COMPLETE_SIDECAR)
+    assert similarity.inverted_lists_delete(
+        spark, inc_dir, tail.select("vec_id"), resume=True
+    ) == 0
+    assert_index_complete(spark, inc_dir)
+    assert _index_rows(spark, inc_dir) == rows_after
+
+
+def test_fragment_index_follows_marker_discipline(spark, tmp_path):
+    """_fragment_index rewrites real artifacts inside registered queries,
+    so it must refuse a torn artifact (assert first) and leave the marker
+    restored after a successful rewrite — the index_compact shape."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+        assert_index_complete,
+        mark_index_complete,
+    )
+
+    idx = str(tmp_path / "ivfpq_idx")
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx)
+    rows = _index_rows(spark, idx)
+    shutil.rmtree(tmp_path / "ivfpq_idx" / INDEX_COMPLETE_SIDECAR)
+    with pytest.raises(ValueError, match="_complete"):
+        similarity._fragment_index(spark, idx)
+    mark_index_complete(spark, idx)
+    similarity._fragment_index(spark, idx)
+    assert_index_complete(spark, idx)
+    assert _index_rows(spark, idx) == rows
+
+
+# --- round 12: the unpartitioned (PQ) kind's full lifecycle -------------------
+
+
+def test_pq_append_equals_full_rebuild_probe_equal_and_idempotent(
+    spark, tmp_path
+):
+    """build(base); pq_append_index(batch) is row-for-row the table
+    build(base+batch) writes — batch codes come from the frozen
+    _codebook through the shared kernel — the ADC probe agrees, replay
+    is a no-op, a torn append refuses without resume, and resume
+    converges."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    base, tail = _split_embeddings(spark)
+    similarity.pq_build_index(spark, SF_SMOKE, full_dir)
+    similarity.pq_build_index(spark, SF_SMOKE, inc_dir, vectors=base)
+    similarity.pq_append_index(spark, inc_dir, tail)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    pf, pi = (
+        {tuple(r) for r in similarity.pq_probe_indexed(spark, p, SF_SMOKE).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert pi == pf and len(pi) > 0
+
+    similarity.pq_append_index(spark, inc_dir, tail)  # replay: no-op
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+    # torn append refuses; resume converges and re-marks
+    shutil.rmtree(tmp_path / "inc" / INDEX_COMPLETE_SIDECAR)
+    with pytest.raises(ValueError, match="_complete"):
+        similarity.pq_append_index(spark, inc_dir, tail)
+    similarity.pq_append_index(spark, inc_dir, tail, resume=True)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_pq_delete_equals_rebuild_without_and_tail_recovery(spark, tmp_path):
+    """pq_delete_index: build(all); delete(tail) is row-for-row
+    build(base), the probe agrees, replay removes nothing, and the
+    tail-crash resume (swap done, marker never restored) re-marks."""
+    import shutil
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+        assert_index_complete,
+    )
+
+    full_dir, inc_dir = str(tmp_path / "base_only"), str(tmp_path / "deleted")
+    base, tail = _split_embeddings(spark)
+    similarity.pq_build_index(spark, SF_SMOKE, full_dir, vectors=base)
+    similarity.pq_build_index(spark, SF_SMOKE, inc_dir)
+    removed = similarity.pq_delete_index(spark, inc_dir, tail.select("vec_id"))
+    assert removed == tail.count() > 0
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+    pf, pi = (
+        {tuple(r) for r in similarity.pq_probe_indexed(spark, p, SF_SMOKE).collect()}
+        for p in (full_dir, inc_dir)
+    )
+    assert pi == pf and len(pi) > 0
+    assert similarity.pq_delete_index(
+        spark, inc_dir, tail.select("vec_id")
+    ) == 0  # replay: absent ids rewrite nothing
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+    shutil.rmtree(tmp_path / "deleted" / INDEX_COMPLETE_SIDECAR)
+    assert similarity.pq_delete_index(
+        spark, inc_dir, tail.select("vec_id"), resume=True
+    ) == 0
+    assert_index_complete(spark, inc_dir)
+    assert _index_rows(spark, inc_dir) == _index_rows(spark, full_dir)
+
+
+def test_staged_table_swap_recovers_at_every_crash_point(spark, tmp_path):
+    """The staged swap protocol behind the unpartitioned lifecycle:
+    an UNCOMMITTED stage (crash mid-stage-write) is discarded with the
+    old table intact; a COMMITTED stage (crash mid-swap, even after some
+    old files were already deleted) finishes to exactly the staged
+    table."""
+    import os
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        finish_staged_table_swap,
+    )
+
+    root = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(i, i * 10) for i in range(8)], "vec_id long, pq_code long")
+    old.repartition(2).write.parquet(root)
+    old_rows = _index_rows(spark, root)
+
+    # crash mid-stage-write: files staged, manifest never committed
+    new = spark.createDataFrame([(i, i * 7) for i in range(5)], "vec_id long, pq_code long")
+    new.write.parquet(f"{root}/_stage")
+    assert finish_staged_table_swap(spark, root) is False
+    assert not os.path.exists(f"{root}/_stage")
+    assert _index_rows(spark, root) == old_rows  # old table untouched
+
+    # crash mid-swap: stage committed (manifest present), one old file
+    # already deleted — the finish must land exactly the staged table
+    new.write.parquet(f"{root}/_stage")
+    names = [
+        n for n in os.listdir(f"{root}/_stage")
+        if not n.startswith(("_", ".")) and os.path.isfile(f"{root}/_stage/{n}")
+    ]
+    spark.createDataFrame([(n,) for n in names], "name string").coalesce(
+        1
+    ).write.parquet(f"{root}/_stage/_manifest")
+    victim = next(
+        n for n in os.listdir(root)
+        if not n.startswith(("_", ".")) and os.path.isfile(f"{root}/{n}")
+    )
+    os.remove(f"{root}/{victim}")
+    assert finish_staged_table_swap(spark, root) is True
+    assert not os.path.exists(f"{root}/_stage")
+    got = {tuple(r) for r in spark.read.parquet(root).collect()}
+    assert got == {(i, i * 7) for i in range(5)}
+    # idempotent: a second finish is a no-op
+    assert finish_staged_table_swap(spark, root) is False
+    assert {tuple(r) for r in spark.read.parquet(root).collect()} == got
+
+
+def test_index_maintain_composition_is_read_only_until_fragmented(
+    spark, tmp_path
+):
+    """index_maintain (the cron frame behind jobs index --maintain and the
+    similarity_ann_ivfpq_maintained row): on a stable artifact it is
+    read-only (no compact, marker untouched); on a fragmented one it
+    compacts to zero fragmented leaves, preserves rows, and leaves the
+    marker restored."""
+    import os
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+        index_maintain,
+    )
+
+    idx = str(tmp_path / "ivfpq_idx")
+    similarity.ivfpq_build_index(spark, SF_SMOKE, idx)
+    rows = _index_rows(spark, idx)
+    marker_mtime = os.path.getmtime(os.path.join(idx, INDEX_COMPLETE_SIDECAR))
+
+    st = index_maintain(spark, idx)
+    assert st["compacted"] is None and st["fragmented_before"] == 0
+    assert st["complete"] is True and st["total_rows"] == len(rows)
+    assert (
+        os.path.getmtime(os.path.join(idx, INDEX_COMPLETE_SIDECAR))
+        == marker_mtime
+    )  # read-only: no marker churn on the no-work path
+
+    similarity._fragment_index(spark, idx)
+    st = index_maintain(spark, idx)
+    if st["fragmented_before"] > 0:  # toy leaves can coalesce to one file
+        assert st["compacted"] is not None and st["fragmented_after"] == 0
+    assert st["complete"] is True
+    assert _index_rows(spark, idx) == rows

@@ -867,11 +867,11 @@ def test_cli_winnow_screen_routes_micro_batches(spark, tmp_path, capsys):
     assert st["docs"] == 2 and st["routes"] == {"near_dup_candidate": 1, "new": 1}
 
 
-def test_cli_index_append_maintains_ivfpq_and_rejects_pq(spark, tmp_path, capsys):
+def test_cli_index_append_maintains_ivfpq_and_pq(spark, tmp_path, capsys):
     """jobs index --append: the CLI incremental-maintenance surface — a
-    base build plus an appended batch parquet equals the full build, and a
-    kind without an append path answers 400 instead of silently
-    rebuilding."""
+    base build plus an appended batch parquet equals the full build, for
+    both a partitioned kind (ivfpq: touched-lists rewrite) and the
+    unpartitioned kind (pq: staged full-table swap)."""
     import json
 
     import pyspark.sql.functions as F
@@ -900,13 +900,21 @@ def test_cli_index_append_maintains_ivfpq_and_rejects_pq(spark, tmp_path, capsys
     )
     assert rows(inc) == rows(full)
 
-    rc = jobs.main(
-        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", inc,
-         "--append", batch_path]
+    # the unpartitioned kind's own append path: base + batch == full
+    pq_full, pq_inc = str(tmp_path / "pq_full"), str(tmp_path / "pq_inc")
+    similarity.pq_build_index(spark, SF_SMOKE, pq_full)
+    similarity.pq_build_index(
+        spark, SF_SMOKE, pq_inc, vectors=e.filter(F.col("vec_id") < 400)
     )
-    assert rc == 1
+    rc = jobs.main(
+        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", pq_inc,
+         "--append", batch_path, "--probe"]
+    )
+    assert rc == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert st["statusCode"] == 400
+    assert st["statusCode"] == 200 and st["mode"] == "append"
+    assert st["probe_rows"] > 0
+    assert rows(pq_inc) == rows(pq_full)
 
 
 def test_cli_index_compact_and_report(spark, tmp_path, capsys):
@@ -1062,10 +1070,12 @@ def test_cli_ann_screen_routes_and_appends(spark, tmp_path, capsys):
     assert spark.read.parquet(idx).count() == 33
 
 
-def test_cli_index_delete_and_rejects_unwired_kind(spark, tmp_path, capsys):
+def test_cli_index_delete_covers_partitioned_and_unpartitioned(
+    spark, tmp_path, capsys
+):
     """jobs index --delete: the right-to-be-forgotten CLI surface — the
-    removed rows are gone from the probe's world, and a df-denormalized
-    kind without a wired delete answers 400."""
+    removed rows are gone from the probe's world for both a partitioned
+    kind (ivfpq) and the unpartitioned pq code table."""
     import json
 
     import pyspark.sql.functions as F
@@ -1094,13 +1104,21 @@ def test_cli_index_delete_and_rejects_unwired_kind(spark, tmp_path, capsys):
     )
     assert rows(idx) == rows(base_idx)
 
-    rc = jobs.main(
-        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", idx,
-         "--delete", ids_path]
+    # the unpartitioned kind: delete(tail) == rebuild-without via the CLI
+    pq_idx, pq_base = str(tmp_path / "pq_idx"), str(tmp_path / "pq_base")
+    similarity.pq_build_index(spark, SF_SMOKE, pq_idx)
+    similarity.pq_build_index(
+        spark, SF_SMOKE, pq_base, vectors=e.filter(F.col("vec_id") < 400)
     )
-    assert rc == 1
+    rc = jobs.main(
+        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", pq_idx,
+         "--delete", ids_path, "--probe"]
+    )
+    assert rc == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert st["statusCode"] == 400
+    assert st["statusCode"] == 200 and st["mode"] == "delete"
+    assert st["removed_rows"] > 0 and st["probe_rows"] > 0
+    assert rows(pq_idx) == rows(pq_base)
 
 
 def test_cli_index_maintain_compacts_only_when_fragmented(

@@ -618,8 +618,11 @@ def test_stream_ann_screen_routes_appends_and_replays(spark, tmp_path):
     orthogonal vector routes new and (append=True) joins the standing
     index, so a LATER batch's copy of it routes near_dup_candidate
     against the appended vector — self-maintaining serving. The stream
-    frame equals the batch backfill frame, and a full fresh-checkpoint
-    replay neither changes verdicts nor grows the index."""
+    frame equals the batch backfill frame batch-for-batch, and replaying
+    each batch against the post-append index reproduces its verdicts
+    bit-identically (the batch-wide candidate exclusion: an appended
+    batch must not match its own members on replay)."""
+    import pyspark.sql.functions as F
     from data_pipeline_python_aws_cdk_spark.operators.similarity import (
         ann_screen_against_index,
         ivf_build_index,
@@ -663,21 +666,132 @@ def test_stream_ann_screen_routes_appends_and_replays(spark, tmp_path):
     assert got[200].match_id == 101 and got[200].cosine == 1.0
     assert {r.vec_id for r in spark.read.parquet(index_dir).collect()} == idx_ids
 
-    # stream frames == the batch backfill over the same arrivals + index
-    want = {
-        (r.vec_id, r.verdict, r.match_id)
+    # stream frames == the batch backfill frame, batch for batch, and a
+    # checkpointed REPLAY of either batch against the now-appended index
+    # reproduces its verdicts bit-identically (batch-wide exclusion:
+    # 101's appended copy is invisible to its own batch's replay)
+    all_vecs = spark.read.parquet(vecs_dir)
+    for batch_ids in ({100, 101}, {200}):
+        batch = all_vecs.filter(F.col("vec_id").isin(list(batch_ids)))
+        replay = {
+            (r.vec_id, r.verdict, r.match_id)
+            for r in ann_screen_against_index(
+                spark, batch, index_dir, resume=True
+            ).collect()
+        }
+        assert replay == {
+            (r.vec_id, r.verdict, r.match_id)
+            for r in got.values()
+            if r.vec_id in batch_ids
+        }
+    assert {r.vec_id for r in spark.read.parquet(index_dir).collect()} == idx_ids
+
+
+def test_stream_ann_screen_replay_of_intra_batch_dups_is_deterministic(
+    spark, tmp_path
+):
+    """The replay-determinism contract the append mode rests on: a batch
+    holding two near-identical vectors (both far from the standing
+    corpus) routes BOTH 'new', appends both — and a checkpointed replay
+    of that same batch still routes both 'new', because the entire batch
+    id set is excluded from candidates. Excluding only self-matches
+    would flip them 'near_dup_candidate' against each other's appended
+    copies, overwrite the verdict partition differently than the first
+    run, and leave the index holding vectors whose recorded verdict
+    disagrees."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        ann_screen_against_index,
+        ivf_append_index,
+        ivf_build_index,
+    )
+
+    def one_hot(i):
+        return [1.0 if j == i else 0.0 for j in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, one_hot(i)) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    index_dir = str(tmp_path / "ivf_idx")
+    ivf_build_index(spark, str(tmp_path), index_dir, vectors=corpus)
+
+    # intra-batch near-dup pair, both orthogonal to the standing corpus
+    batch = spark.createDataFrame(
+        [(300, one_hot(55)), (301, one_hot(55))],
+        "vec_id long, embedding array<float>",
+    )
+    first = {
+        r.vec_id: (r.verdict, r.match_id)
+        for r in ann_screen_against_index(spark, batch, index_dir).collect()
+    }
+    # best standing-corpus match rides along even below threshold
+    # (cosine 0 ties break to the lowest neighbor id)
+    assert first == {300: ("new", 0), 301: ("new", 0)}
+    ivf_append_index(spark, index_dir, batch)
+    assert {300, 301} <= {
+        r.vec_id for r in spark.read.parquet(index_dir).collect()
+    }
+
+    # the checkpointed replay: same batch, index now holds both members
+    replay = {
+        r.vec_id: (r.verdict, r.match_id)
         for r in ann_screen_against_index(
-            spark, spark.read.parquet(vecs_dir), index_dir
+            spark, batch, index_dir, resume=True
         ).collect()
     }
-    assert {(r.vec_id, r.verdict, r.match_id) for r in got.values()} == want
+    assert replay == first  # batch-wide exclusion, not just self-exclusion
 
-    # fresh-checkpoint replay: verdicts reproduce, the index does not grow
-    v2, c2 = str(tmp_path / "ann_v2"), str(tmp_path / "ann_c2")
-    run_stream_ann_screen(spark, vecs_dir, index_dir, v2, c2, append=True)
-    replay = {
-        (r.vec_id, r.verdict, r.match_id)
-        for r in spark.read.parquet(v2).collect()
-    }
-    assert replay == {(r.vec_id, r.verdict, r.match_id) for r in got.values()}
-    assert {r.vec_id for r in spark.read.parquet(index_dir).collect()} == idx_ids
+    # ...while a genuinely LATER arrival of the same direction does match
+    later = spark.createDataFrame(
+        [(400, one_hot(55))], "vec_id long, embedding array<float>"
+    )
+    got = ann_screen_against_index(spark, later, index_dir).collect()[0]
+    assert got.verdict == "near_dup_candidate" and got.match_id == 300
+
+
+def test_stream_ann_screen_torn_append_recovery_is_reachable(spark, tmp_path):
+    """A crash mid-ivf_append_index leaves the completion marker cleared;
+    the checkpointed batch re-run IS the documented recovery, so the
+    replayed screen must tolerate the torn marker (resume path) instead
+    of asserting completeness and wedging the stream — then the
+    convergent re-append repairs and re-marks the artifact."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+        assert_index_complete,
+    )
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        ivf_build_index,
+    )
+    from data_pipeline_python_aws_cdk_spark.streaming.events import (
+        run_stream_ann_screen,
+    )
+
+    def one_hot(i):
+        return [1.0 if j == i else 0.0 for j in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, one_hot(i)) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    index_dir = str(tmp_path / "ivf_idx")
+    ivf_build_index(spark, str(tmp_path), index_dir, vectors=corpus)
+
+    vecs_dir = str(tmp_path / "incoming_vecs")
+    spark.createDataFrame(
+        [(500, one_hot(40)), (501, one_hot(10))],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(vecs_dir)
+
+    # simulate the torn append the previous run died in
+    shutil.rmtree(tmp_path / "ivf_idx" / INDEX_COMPLETE_SIDECAR)
+
+    verdicts = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_ann_screen(spark, vecs_dir, index_dir, verdicts, ckpt, append=True)
+
+    got = {r.vec_id: r.verdict for r in spark.read.parquet(verdicts).collect()}
+    assert got == {500: "new", 501: "near_dup_candidate"}
+    assert_index_complete(spark, index_dir)  # the re-append re-marked it
+    assert 500 in {r.vec_id for r in spark.read.parquet(index_dir).collect()}
