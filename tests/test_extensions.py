@@ -4666,3 +4666,72 @@ def test_index_maintain_composition_is_read_only_until_fragmented(
         assert st["compacted"] is not None and st["fragmented_after"] == 0
     assert st["complete"] is True
     assert _index_rows(spark, idx) == rows
+
+
+# --- round 12: the refined-codebook contract in its intended regime -----------
+
+
+def _planted_clustered_corpus(spark, tmp_path):
+    """16 tight Gaussian blobs at orthogonal directions (the
+    embedding_kmeans blob-recovery construction, widened to the ANN
+    fixture's 64 dims), laid out so the SEED codebook is maximally
+    unrepresentative: the 16 seed-centroid ids (0..15, which include the
+    8 query ids) all come from blobs 0 and 1, so blob 0's points — every
+    query's true neighbors — scatter across eight noise-ordered lists,
+    while k-means recovers one centroid per blob. This is the corpus
+    shape ivf_train_centroids exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    nblob, per = 16, 24
+    centers = np.zeros((nblob, 64))
+    for b in range(nblob):
+        centers[b, 4 * b] = 10.0
+    slots = [0] * 8 + [1] * 8 + [0] * 16 + [1] * 16
+    for b in range(2, nblob):
+        slots += [b] * per
+    rows = [
+        (vid, [float(x) for x in centers[b] + rng.normal(0, 0.05, 64)])
+        for vid, b in enumerate(slots)
+    ]
+    sf = str(tmp_path / "clustered")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_refined_codebook_wins_on_clustered_corpus(spark, tmp_path):
+    """The other half of the seed-vs-trained deployment decision, the
+    measurement that justifies the pluggable-codebook machinery: on a
+    corpus with real cluster structure the k-means-refined codebooks
+    must BEAT the seed codebooks at fixed nprobe — perfect recall from
+    one-list-per-blob Voronoi cells, where the seed lists split every
+    blob across noise-ordered partitions. Together with
+    test_refined_codebook_scoreboard_pins_seed_vs_trained_decision
+    (seed wins on the near-uniform corpus) this pins BOTH rows of the
+    deploy guidance: seed on uniform, trained on clustered."""
+    sf = _planted_clustered_corpus(spark, tmp_path)
+    seed = {
+        r.method: r
+        for r in similarity.similarity_ann_recall_report(spark, sf).collect()
+    }
+    refined = {
+        r.method: r
+        for r in similarity.similarity_ann_recall_refined(spark, sf).collect()
+    }
+    assert set(refined) == {"ann_ivf_refined", "ann_ivfpq_res_refined"}
+    assert all(r.queries == similarity.N_QUERIES for r in refined.values())
+
+    # the deployment decision, clustered regime: trained beats seed
+    assert refined["ann_ivf_refined"].recall_at_10 == 1.0
+    assert refined["ann_ivfpq_res_refined"].recall_at_10 == 1.0
+    assert seed["ann_ivf"].recall_at_10 < 1.0
+    assert (
+        seed["ann_ivfpq_res"].recall_at_10
+        < refined["ann_ivfpq_res_refined"].recall_at_10
+    )
+    # seed rows are deterministic (no k-means involved): exact regression
+    # pins for the planted layout
+    assert seed["ann_ivf"].recall_at_10 == 0.8375
+    assert seed["ann_ivfpq_res"].recall_at_10 == 0.625
