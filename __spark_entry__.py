@@ -78,84 +78,85 @@ def entry(spark: SparkSession) -> DataFrame:
 # latest=r03 cohort (27 keys, including the 10 TPC-H keys the r10 window
 # dropped, now the oldest driver evidence in the registry) and the
 # oldest 5 of the latest=r04 cohort — 50 exactly.
+# Round-12 window (the round-11 handoff, VERDICT #1): the 2 round-12
+# debuts lead (the unpartitioned PQ kind's append lifecycle row over the
+# inline ADC oracle, and the scheduler's report->compact-iff-fragmented
+# ->report composition as a registered row), then the 4 registered
+# queries round 12 CHANGED internally (the torn-write convergence batch:
+# ann_screen's batch-wide candidate exclusion + reachable resume, the
+# marker-disciplined _fragment_index under the compacted row, and the
+# recompute-on-resume delete paths under the two deleted rows — results
+# re-proven equal locally, re-greened here), then ALL 32 latest=r04 keys
+# (retiring the r04 evidence cohort exactly as the round-11 closing
+# comment promised) and the oldest 12 of the latest=r05 cohort — 50
+# exactly, leaving no registry key with driver evidence older than r05.
 _PRIORITY = (
-    # -- NEW round-11 debuts: driver-evaluated in their debut window
-    "similarity_ann_ivfpq_compacted",
-    "ivfpq_index_stats",
+    # -- NEW round-12 debuts: driver-evaluated in their debut window
+    "similarity_ann_pq_appended",
+    "similarity_ann_ivfpq_maintained",
+    # -- registered queries whose underlying code CHANGED in round 12
+    #    (torn-write convergence: batch-wide screen exclusion, marker-
+    #    disciplined _fragment_index, recompute-on-resume deletes —
+    #    results re-proven equal locally, re-greened here)
     "similarity_ann_screen",
-    "bm25_index_stats",
-    "text_bm25_deleted",
+    "similarity_ann_ivfpq_compacted",
     "similarity_ann_ivfpq_deleted",
-    "corpus_bpe_encode_batched",
-    "similarity_ann_ivfpq_appended",
-    "dedup_lsh_appended",
-    "text_bm25_appended",
-    "dedup_winnowing_appended",
-    "substring_spans_appended",
-    "retrieval_hybrid_rrf_indexed",
-    "bpe_train_batched_merges",
-    "similarity_ann_recall_refined",
-    # -- registered queries CHANGED (refactor-shared kernels) in round 11
-    "dedup_winnowing",
-    "retrieval_hybrid_rrf",
-    "similarity_ann_recall_report",
-    # -- latest driver green = r03 (complete cohort: the 10 promised
-    #    TPC-H keys first, then the rest)
-    "q4_priority_with_returns",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_linestatus",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "lang_stats",
-    "text_repetition_stats",
-    "documents_clean_corpus",
-    "documents_weighted_sample",
-    "corpus_shard_manifest",
-    "text_normalize",
-    "text_ngram_entropy",
-    "documents_length_histogram",
-    "simhash_signatures",
-    "source_curation_report",
-    "corpus_contamination_stats",
-    "embedding_norm_stats",
-    "embedding_dim_stats",
-    "customer_profile",
-    "streaming_static_enrich",
-    "streaming_hourly_final",
-    # -- latest driver green = r04 (oldest 5 of 37)
-    "events_sliding_distinct",
-    "events_drift_report",
-    "events_bot_detection",
-    "data_quality_audit",
-    "events_markov_transitions",
-    # (the remaining 32 latest=r04 keys — events_sketch_rollup_merge,
-    #  users_activity_reconciliation,
-    #  events_ab_test_summary,
-    #  events_pareto_concentration,
-    #  events_forecast_backtest,
-    #  orders_sla_latency_percentiles,
-    #  orders_basket_lift, events_seasonality_strength,
-    #  supplier_concentration_hhi, events_ab_significance,
-    #  nation_trade_flow_matrix,
-    #  corpus_mixture_plan, documents_chunking, corpus_lang_confusion,
-    #  corpus_perplexity_buckets, corpus_bpe_pair_counts,
-    #  corpus_zipf_slope, corpus_token_budget_curve,
-    #  corpus_vocab_growth_curve, dedup_containment_bottomk,
-    #  dedup_embedding_clusters, source_overlap_matrix,
-    #  corpus_boilerplate_ngrams, embedding_gram_matrix,
-    #  embedding_label_centroids, similarity_knn_label_vote,
-    #  embedding_label_dispersion, embedding_duplicate_vectors,
-    #  multimodal_audio_chunks, multimodal_video_near_dup,
-    #  streaming_dedup_exact, streaming_sliding_counts — rotate in next
-    #  round; each holds an r04 driver green + local greens at HEAD, and
-    #  each dropped key's plan class stays sampled by an in-window
-    #  sibling)
+    "text_bm25_deleted",
+    # -- the COMPLETE latest=r04 cohort (32 keys — the oldest driver
+    #    evidence in the registry, promised by the round-11 closing
+    #    comment), retiring r04 entirely
+    "events_sketch_rollup_merge",
+    "users_activity_reconciliation",
+    "events_ab_test_summary",
+    "events_pareto_concentration",
+    "events_forecast_backtest",
+    "orders_sla_latency_percentiles",
+    "orders_basket_lift",
+    "events_seasonality_strength",
+    "supplier_concentration_hhi",
+    "events_ab_significance",
+    "nation_trade_flow_matrix",
+    "corpus_mixture_plan",
+    "documents_chunking",
+    "corpus_lang_confusion",
+    "corpus_perplexity_buckets",
+    "corpus_bpe_pair_counts",
+    "corpus_zipf_slope",
+    "corpus_token_budget_curve",
+    "corpus_vocab_growth_curve",
+    "dedup_containment_bottomk",
+    "dedup_embedding_clusters",
+    "source_overlap_matrix",
+    "corpus_boilerplate_ngrams",
+    "embedding_gram_matrix",
+    "embedding_label_centroids",
+    "similarity_knn_label_vote",
+    "embedding_label_dispersion",
+    "embedding_duplicate_vectors",
+    "multimodal_audio_chunks",
+    "multimodal_video_near_dup",
+    "streaming_dedup_exact",
+    "streaming_sliding_counts",
+    # -- oldest 12 of the latest=r05 cohort (21 keys) — 50 exactly
+    "completeness_by_field",
+    "contrastive_training_pairs",
+    "corpus_filter_funnel",
+    "corpus_ngram_novelty",
+    "corpus_pack_sequences",
+    "corpus_quality_gate",
+    "corpus_tokenizer_fertility",
+    "dedup_embedding_semdedup",
+    "doc_rolling_fingerprint",
+    "embedding_drift_report",
+    "events_dispersion_index",
+    "events_gap_distribution",
+    # (the remaining 9 latest=r05 keys — events_new_vs_returning,
+    #  events_sessionize, multimodal_meta, orders_monthly_growth,
+    #  similarity_threshold, text_char_trigram_nll,
+    #  text_intra_doc_repetition, text_quality, text_tfidf_topk —
+    #  rotate in next round; each holds an r05 driver green + local
+    #  greens at HEAD, and each dropped key's plan class stays sampled
+    #  by an in-window sibling)
 )
 
 
