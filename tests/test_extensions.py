@@ -3995,6 +3995,12 @@ def test_ann_screen_prunes_index_partitions(spark, tmp_path):
     plan = verdicts._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*INSET", plan)
     assert m is not None, "centroid INSET missing from screen's index scan"
+    # scan budget (the §8.3 gate): the batch rides its localCheckpoint
+    # and the batch-wide exclusion broadcasts from it, so the FINAL plan
+    # holds exactly ONE parquet scan — the pruned index read. A second
+    # scan means a consumer escaped the checkpoint and re-reads a table.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
 
 
 def test_ann_screen_threshold_pinned_to_dedup_bar():
