@@ -2255,10 +2255,13 @@ def lsh_probe_indexed(
     return screen_docs_against_index(spark, d, index_dir)
 
 
-def _lsh_appended_oracle() -> str:
+def _lsh_appended_oracle(docs_where: str = "") -> str:
     """The hits-only tail of the incremental screen: per src0 document,
     distinct corpus docs colliding in any band — exactly what
-    lsh_probe_indexed returns from the persisted index."""
+    lsh_probe_indexed returns from the persisted index.
+    ``docs_where``: optional predicate on the corpus CTE (the deleted-row
+    oracle keeps the src0 batch but restricts the STANDING side to the
+    surviving base, exactly the world the pruned index serves)."""
     base = hash60_sql("s")
     r = MINHASH_K // MINHASH_BANDS
     min_cols = ", ".join(
@@ -2275,7 +2278,7 @@ def _lsh_appended_oracle() -> str:
     )
     return f"""
     WITH split AS (
-      SELECT doc_id, text, source = 'src0' AS is_new FROM documents
+      SELECT doc_id, text, source = 'src0' AS is_new FROM documents {docs_where}
     ),
     {_SHINGLES_CTE.replace("FROM documents", "FROM split")},
     hb AS (SELECT sh.doc_id, s2.is_new, {base} AS base
@@ -3384,12 +3387,15 @@ SUBSTR_NGRAM = 8  # window width (tokens) — the exact-substring unit
 SUBSTR_MIN_SPAN = 8  # emit spans covering at least this many tokens
 
 
-def _exact_substring_oracle() -> str:
+def _exact_substring_oracle(docs_where: str = "") -> str:
+    """``docs_where``: optional corpus predicate (the deleted-row oracle
+    restricts to the surviving base; shared-window counts and spans then
+    derive from the reduced corpus exactly as the pruned index must)."""
     gram = hash60_sql(
         "array_to_string(toks[i:i+{m}], ' ')".format(m=SUBSTR_NGRAM - 1)
     )
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents {docs_where}),
     idx AS (SELECT doc_id, toks,
                    unnest(generate_series(1, len(toks) - {SUBSTR_NGRAM - 1})) AS i
             FROM t WHERE len(toks) >= {SUBSTR_NGRAM}),
@@ -4134,14 +4140,17 @@ WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
 WINNOW_DF_CAP = 128
 
 
-def _winnow_fp_ctes() -> str:
+def _winnow_fp_ctes(docs_where: str = "") -> str:
     """The winnowed-fingerprint CTE chain (t -> idx -> g -> sel -> fp0 ->
     fp), shared by the pair oracle and the recall-report oracle so the
-    selection + DF-cap semantics cannot drift between them."""
+    selection + DF-cap semantics cannot drift between them.
+    ``docs_where``: optional corpus predicate (the deleted-row oracle
+    restricts to the surviving base; the DF cap then derives from the
+    reduced corpus exactly as the repaired index must)."""
     gram = hash60_sql(
         "array_to_string(toks[i:i+{m}], ' ')".format(m=WINNOW_K - 1)
     )
-    return f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents {docs_where}),
     idx AS (SELECT doc_id, toks,
                    unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS i
             FROM t WHERE len(toks) >= {WINNOW_K}),
@@ -4158,9 +4167,9 @@ def _winnow_fp_ctes() -> str:
     fp AS (SELECT fp0.doc_id, fp0.h FROM fp0 JOIN fdf USING (h))"""
 
 
-def _winnowing_oracle() -> str:
+def _winnowing_oracle(docs_where: str = "") -> str:
     return f"""
-    WITH {_winnow_fp_ctes()}
+    WITH {_winnow_fp_ctes(docs_where)}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS common_fingerprints
     FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -4521,6 +4530,129 @@ def substring_spans_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         return exact_substring_dedup_indexed(spark, tmp).localCheckpoint(
             eager=True
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# the surviving-corpus predicate the deleted rows share: drop the top 1/5
+# of doc_ids (GREATEST floor keeps a tiny corpus from going negative);
+# the matching Spark split is computed from the same MAX(doc_id)
+_DOC_DELETE_WHERE = (
+    "WHERE doc_id < GREATEST(1,"
+    " (SELECT (MAX(doc_id) + 1) * 4 // 5 FROM documents))"
+)
+
+
+def _doc_delete_split(spark: SparkSession, d: DataFrame) -> int:
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    return max(1, int(((mx or 0) + 1) * 4 // 5))
+
+
+@_register("dedup_winnowing_deleted", oracle=_winnowing_oracle(_DOC_DELETE_WHERE))
+def dedup_winnowing_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE path of the winnow rung verified END TO END as a
+    registered query: build the persisted fingerprint index on the FULL
+    corpus, winnow_index_delete the top 1/5 of doc_ids (repairing the
+    denormalized df on every touched bucket — deletions can pull a
+    fingerprint back UNDER the probe-side skew cap, the repair a skipped
+    or torn delete corrupts), probe — and hold the inline winnowing
+    oracle over the SURVIVING corpus only. delete == rebuild-without ==
+    inline-on-survivors is the contract (pairwise pytest-gated; this row
+    drives the df repair and the cap re-derivation under every dataset
+    the harness generates). Scale shape: build is the one selection
+    pass; the delete is O(touched buckets) discovered column-pruned; the
+    probe is the capped self-join."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    split = _doc_delete_split(spark, d)
+    tmp = tempfile.mkdtemp(prefix="winnow_deleted_")
+    try:
+        winnow_index_build(spark, sf_dir, tmp)
+        winnow_index_delete(
+            spark, tmp, d.filter(F.col("doc_id") >= split).select("doc_id")
+        )
+        return dedup_winnowing_indexed(spark, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "substring_spans_deleted", oracle=_exact_substring_oracle(_DOC_DELETE_WHERE)
+)
+def substring_spans_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE path of the exact-substring rung verified END TO END as
+    a registered query: build the window-fingerprint index on the FULL
+    corpus, drop the top 1/5 of doc_ids through the generic per-id
+    delete (the stream denormalizes no corpus-global state, so pruning
+    rows IS the whole repair — shared-window counts re-derive at probe
+    time), serve the span manifest — and hold the inline substring
+    oracle over the SURVIVING corpus only (a span shared only with
+    deleted docs must disappear, spans shared more widely must shrink
+    their n_other_docs; the oracle recomputes both from scratch)."""
+    import shutil
+    import tempfile
+
+    from .similarity import inverted_lists_delete
+
+    d = load_table(spark, sf_dir, "documents")
+    split = _doc_delete_split(spark, d)
+    tmp = tempfile.mkdtemp(prefix="substring_deleted_")
+    try:
+        substring_index_build(spark, sf_dir, tmp)
+        inverted_lists_delete(
+            spark,
+            tmp,
+            d.filter(F.col("doc_id") >= split).select("doc_id"),
+            id_col="doc_id",
+            partition_cols=("bucket",),
+        )
+        return exact_substring_dedup_indexed(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_LSH_DELETE_WHERE = (
+    "WHERE source = 'src0' OR doc_id < GREATEST(1,"
+    " (SELECT (MAX(doc_id) + 1) * 4 // 5 FROM documents"
+    "  WHERE source != 'src0'))"
+)
+
+
+@_register("dedup_lsh_deleted", oracle=_lsh_appended_oracle(_LSH_DELETE_WHERE))
+def dedup_lsh_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE path of the banded-signature rung verified END TO END as
+    a registered query: build the persisted LSH index on the FULL
+    standing corpus (source != src0), drop the top 1/5 of standing
+    doc_ids through the generic (band, bucket) per-id delete, screen the
+    src0 batch against the pruned artifact — and hold the incremental-
+    screen oracle with the STANDING side restricted to survivors (the
+    batch is unchanged; collisions that existed only through deleted
+    docs must vanish). delete == rebuild-without == inline-on-survivors,
+    pairwise pytest-gated; this row verifies the right-to-be-forgotten
+    path on the screen family's serving artifact under every harness
+    dataset."""
+    import shutil
+    import tempfile
+
+    from .similarity import inverted_lists_delete
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    split = _doc_delete_split(spark, d)
+    tmp = tempfile.mkdtemp(prefix="lsh_deleted_")
+    try:
+        lsh_build_index(spark, sf_dir, tmp)
+        inverted_lists_delete(
+            spark,
+            tmp,
+            d.filter(F.col("doc_id") >= split).select("doc_id"),
+            id_col="doc_id",
+            partition_cols=("band", "bucket"),
+        )
+        return lsh_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
