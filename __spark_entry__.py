@@ -78,26 +78,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # latest=r03 cohort (27 keys, including the 10 TPC-H keys the r10 window
 # dropped, now the oldest driver evidence in the registry) and the
 # oldest 5 of the latest=r04 cohort — 50 exactly.
-# Round-12 window (the round-11 handoff, VERDICT #1): the 5 round-12
-# debuts lead (the unpartitioned PQ kind's append lifecycle row over the
-# inline ADC oracle, the scheduler's report->compact-iff-fragmented
-# ->report composition as a registered row, and the three deleted rows
-# completing driver-verified right-to-be-forgotten coverage across the
-# fingerprint tiers — winnow df-repair, substring span re-derivation,
-# LSH standing-side pruning — each over a surviving-corpus oracle),
-# then the 4 registered
+# Round-12 window (the round-11 handoff, VERDICT #1): the 6 round-12
+# debuts lead (the unpartitioned PQ kind's append AND delete lifecycle
+# rows over the inline ADC oracle, the scheduler's report->compact-iff-
+# fragmented->report composition as a registered row, and the three
+# deleted rows completing driver-verified right-to-be-forgotten
+# coverage across the fingerprint tiers — winnow df-repair, substring
+# span re-derivation, LSH standing-side pruning — each over a
+# surviving-corpus oracle), then the 4 registered
 # queries round 12 CHANGED internally (the torn-write convergence batch:
 # ann_screen's batch-wide candidate exclusion + reachable resume, the
 # marker-disciplined _fragment_index under the compacted row, and the
 # recompute-on-resume delete paths under the two deleted rows — results
 # re-proven equal locally, re-greened here), then ALL 32 latest=r04 keys
 # (retiring the r04 evidence cohort exactly as the round-11 closing
-# comment promised) and the oldest 9 of the latest=r05 cohort — 50
+# comment promised) and the oldest 8 of the latest=r05 cohort — 50
 # exactly, leaving no registry key with driver evidence older than r05.
 _PRIORITY = (
     # -- NEW round-12 debuts: driver-evaluated in their debut window
     "similarity_ann_pq_appended",
     "similarity_ann_ivfpq_maintained",
+    "similarity_ann_pq_deleted",
     "dedup_winnowing_deleted",
     "substring_spans_deleted",
     "dedup_lsh_deleted",
@@ -144,7 +145,7 @@ _PRIORITY = (
     "multimodal_video_near_dup",
     "streaming_dedup_exact",
     "streaming_sliding_counts",
-    # -- oldest 9 of the latest=r05 cohort (21 keys) — 50 exactly
+    # -- oldest 8 of the latest=r05 cohort (21 keys) — 50 exactly
     "completeness_by_field",
     "contrastive_training_pairs",
     "corpus_filter_funnel",
@@ -153,8 +154,8 @@ _PRIORITY = (
     "corpus_quality_gate",
     "corpus_tokenizer_fertility",
     "dedup_embedding_semdedup",
-    "doc_rolling_fingerprint",
-    # (the remaining 12 latest=r05 keys — embedding_drift_report,
+    # (the remaining 13 latest=r05 keys — doc_rolling_fingerprint,
+    #  embedding_drift_report,
     #  events_dispersion_index, events_gap_distribution,
     #  events_new_vs_returning, events_sessionize, multimodal_meta,
     #  orders_monthly_growth, similarity_threshold,

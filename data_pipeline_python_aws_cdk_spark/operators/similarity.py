@@ -2232,7 +2232,11 @@ def _pq_codes_core(vectors: DataFrame, cb: DataFrame) -> DataFrame:
 PQ_SHORTLIST = 50  # ADC-scored candidates kept per query for exact rerank
 
 
-def _pq_adc_oracle() -> str:
+def _pq_adc_oracle(codes_where: str = "") -> str:
+    """``codes_where``: optional predicate on the CODE-TABLE side of the
+    ADC join (the deleted-row oracle restricts candidates to the
+    surviving corpus; queries and the codebook are untouched — deletion
+    never changes what the remaining codes mean)."""
     return f"""
     WITH cb AS (
       SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
@@ -2263,7 +2267,7 @@ def _pq_adc_oracle() -> str:
              SUM(t.dmic) AS adc_micro
       FROM (SELECT DISTINCT vec_id FROM embeddings
             WHERE vec_id < {N_QUERIES}) q
-      JOIN codes c ON c.vec_id != q.vec_id
+      JOIN codes c ON c.vec_id != q.vec_id {codes_where}
       JOIN d t ON t.vec_id = q.vec_id AND t.sub = c.sub AND t.k = c.k
       GROUP BY q.vec_id, c.vec_id
     ),
@@ -4606,6 +4610,46 @@ def similarity_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFram
         _fragment_index(spark, tmp)
         index_compact(spark, tmp)
         return ivfpq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PQ_DELETE_CODES_WHERE = (
+    f"AND c.vec_id < GREATEST({APPEND_SEED_FLOOR},"
+    " (SELECT (MAX(vec_id) + 1) * 4 // 5 FROM embeddings))"
+)
+
+
+@_register(
+    "similarity_ann_pq_deleted",
+    oracle=_pq_adc_oracle(codes_where=_PQ_DELETE_CODES_WHERE),
+)
+def similarity_ann_pq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unpartitioned kind's DELETE path verified END TO END as a
+    registered query: build the persisted PQ code table on the FULL
+    corpus, pq_delete_index the top 1/5 of vec_ids (anti-join + the
+    staged full-table swap), probe — and hold the inline ADC oracle with
+    the CANDIDATE side restricted to the surviving corpus (queries and
+    the frozen codebook are untouched; a shortlist or top-k slot that a
+    deleted vector held must be refilled by the next-best survivor,
+    which the oracle recomputes from scratch). delete == rebuild-without
+    == inline-on-survivors, pairwise pytest-gated; with the appended row
+    this puts the whole pq lifecycle under driver verification. The
+    split floor keeps the query vectors and codebook seeds in the
+    surviving base so both engines rank the same queries."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="pq_deleted_")
+    try:
+        pq_build_index(spark, sf_dir, tmp)
+        pq_delete_index(
+            spark, tmp, e.filter(F.col("vec_id") >= split).select("vec_id")
+        )
+        return pq_probe_indexed(spark, tmp, sf_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
