@@ -958,6 +958,32 @@ def test_cli_index_compact_and_report(spark, tmp_path, capsys):
     assert rc == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["fragmented_partitions"] == 0
+
+    # the unpartitioned kind reports/maintains through the same surface:
+    # one root leaf, complete, and the staged swap keeps it compact so
+    # scheduled maintenance stays on its read-only path
+    pq_idx = str(tmp_path / "pq_idx")
+    similarity.pq_build_index(
+        spark, SF_SMOKE, pq_idx, vectors=e.filter(F.col("vec_id") < 400)
+    )
+    similarity.pq_append_index(spark, pq_idx, e.filter(F.col("vec_id") >= 400))
+    rc = jobs.main(
+        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", pq_idx,
+         "--report"]
+    )
+    assert rc == 0
+    prep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prep["statusCode"] == 200 and prep["complete"]
+    assert prep["n_partitions"] == 1 and prep["partitions"][0]["partition"] == ""
+    assert prep["total_rows"] == e.count()
+    rc = jobs.main(
+        ["index", "--kind", "pq", "--sf-dir", SF_SMOKE, "--output", pq_idx,
+         "--maintain"]
+    )
+    assert rc == 0
+    mst = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mst["statusCode"] == 200 and mst["mode"] == "maintain"
+    assert mst["complete"] and mst["fragmented_after"] == 0
     assert rep2["total_rows"] == rep["total_rows"]
 
 
