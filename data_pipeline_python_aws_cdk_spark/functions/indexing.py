@@ -45,6 +45,11 @@ def mark_index_complete(spark, index_dir: str) -> None:
     spark.createDataFrame([(True,)], "complete boolean").coalesce(1).write.mode(
         "overwrite"
     ).parquet(_marker_path(index_dir))
+    # a completed artifact is by definition no longer torn: drop any
+    # append-in-flight breadcrumb (see mark_torn_by_append) so it cannot
+    # linger past the mutation it described — e.g. when a torn append is
+    # repaired by a REBUILD rather than a resumed re-append
+    clear_torn_by_append(spark, index_dir)
 
 
 def clear_index_complete(spark, index_dir: str) -> None:
@@ -58,6 +63,67 @@ def clear_index_complete(spark, index_dir: str) -> None:
     fs = path.getFileSystem(jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
+
+
+TORN_BY_APPEND_SIDECAR = "_torn_by_append"
+
+
+def _breadcrumb_path(index_dir: str) -> str:
+    return f"{index_dir.rstrip('/')}/{TORN_BY_APPEND_SIDECAR}"
+
+
+def mark_torn_by_append(spark, index_dir: str) -> None:
+    """Drop the append-in-flight breadcrumb BEFORE the append clears the
+    completion marker; :func:`mark_index_complete` removes it again at
+    the re-mark — so a marker-less artifact is attributable: with
+    the breadcrumb it was torn by an APPEND (whose merge preserves every
+    standing-corpus row — safe for a resuming screen to probe), without
+    it by a build or compact (lists may be missing — nothing may probe
+    it). One-row parquet, same sidecar convention as ``_complete``."""
+    spark.createDataFrame([(True,)], "torn_by_append boolean").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_breadcrumb_path(index_dir))
+
+
+def clear_torn_by_append(spark, index_dir: str) -> None:
+    jvm, jsc = spark._jvm, spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(_breadcrumb_path(index_dir))
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def torn_by_append(spark, index_dir: str) -> bool:
+    jvm, jsc = spark._jvm, spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(_breadcrumb_path(index_dir))
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
+def assert_index_screenable(spark, index_dir: str) -> None:
+    """The resume-path gate for the streaming ANN screen: accept a
+    COMPLETE artifact or one torn specifically BY AN APPEND (breadcrumb
+    present — the merge-only mutation whose torn lists still hold every
+    standing-corpus row, the documented replay-recovery case). An
+    artifact torn by a crashed BUILD or COMPACT (marker cleared, no
+    breadcrumb) may be missing whole lists, so screening it would
+    silently mis-verdict against a partial corpus — fail loudly instead
+    of letting a blanket resume bypass turn that loud failure into
+    silent corruption (the round-12 advice finding)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(_marker_path(index_dir)).collect()
+        return
+    except AnalysisException:
+        pass
+    if not torn_by_append(spark, index_dir):
+        raise ValueError(
+            f"index at {index_dir} has no {INDEX_COMPLETE_SIDECAR} marker "
+            f"and no {TORN_BY_APPEND_SIDECAR} breadcrumb: it was torn by a "
+            "build or compact (lists may be missing) — rebuild or re-run "
+            "the compaction before screening against it"
+        )
 
 
 def assert_index_complete(spark, index_dir: str) -> None:
@@ -261,11 +327,18 @@ def _list_data_files(fs, jvm, dir_path) -> list:
     return out
 
 
-def staged_table_replace(spark, index_dir: str, df) -> None:
+def staged_table_replace(
+    spark, index_dir: str, df, fmt: str = "parquet",
+    options: dict | None = None,
+) -> None:
     """Replace an unpartitioned artifact's data files with ``df``'s rows
     via the stage/commit/swap protocol above. ``df`` must not read from
     ``index_dir`` lazily at swap time — stage-writing it first (step 1)
-    materializes it before anything is deleted, which is the point."""
+    materializes it before anything is deleted, which is the point.
+
+    ``fmt``/``options`` let non-parquet directories (``maintenance.compact``
+    leaves in csv/json/orc) ride the same protocol; the manifest inside the
+    stage stays parquet regardless — it never outlives the swap."""
     root = index_dir.rstrip("/")
     stage_str = f"{root}/{_STAGE_DIR}"
     fs, stage, jvm = _hadoop_fs(spark, stage_str)
@@ -273,7 +346,10 @@ def staged_table_replace(spark, index_dir: str, df) -> None:
         # an UNCOMMITTED previous stage is garbage (a committed one was
         # already folded in by the caller's finish_staged_table_swap)
         fs.delete(stage, True)
-    df.write.mode("overwrite").parquet(stage_str)
+    writer = df.write.format(fmt).mode("overwrite")
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save(stage_str)
     names = _list_data_files(fs, jvm, stage)
     spark.createDataFrame(
         [(n,) for n in names], "name string"
@@ -296,6 +372,12 @@ def finish_staged_table_swap(spark, index_dir: str) -> bool:
     fs, stage, jvm = _hadoop_fs(spark, stage_str)
     if not fs.exists(stage):
         return False
+    Path = jvm.org.apache.hadoop.fs.Path
+    manifest = Path(f"{stage_str}/{_STAGE_MANIFEST}")
+    if not fs.exists(manifest):
+        # stage never committed: the old table is still whole — discard
+        fs.delete(stage, True)
+        return False
     try:
         names = {
             r.name
@@ -304,20 +386,44 @@ def finish_staged_table_swap(spark, index_dir: str) -> bool:
             ).collect()
         }
     except AnalysisException:
-        # stage never committed: the old table is still whole — discard
-        fs.delete(stage, True)
-        return False
-    Path = jvm.org.apache.hadoop.fs.Path
+        # the manifest EXISTS but could not be read — an environmental
+        # failure, not an uncommitted stage. The stage may be the only
+        # complete copy (a prior interrupted swap can already have
+        # deleted old-table files), so discarding it here would lose
+        # rows. Surface the error and leave everything on disk for a
+        # retried finish.
+        raise
     root_path = Path(root)
     # old table out (manifest membership identifies the new files exactly:
     # parquet task files carry write-UUID names, never reused)
     for name in _list_data_files(fs, jvm, root_path):
         if name not in names:
             fs.delete(Path(f"{root}/{name}"), False)
-    # staged files up (atomic per-file rename; a re-run skips the moved)
+    # staged files up (atomic per-file rename; a re-run skips the moved).
+    # rename() reports failure by RETURN VALUE, not exception — an
+    # unchecked False (quota, permissions, transient object-store error)
+    # followed by the stage delete below would drop the un-renamed file
+    # while its old-table predecessor is already gone: permanent row loss
+    # inside the recovery protocol itself. Treat dest-already-present as
+    # success (an idempotent re-run after a crash mid-loop), raise on
+    # anything else.
     for name in _list_data_files(fs, jvm, stage):
         if name in names:
-            fs.rename(Path(f"{stage_str}/{name}"), Path(f"{root}/{name}"))
+            src, dst = Path(f"{stage_str}/{name}"), Path(f"{root}/{name}")
+            if not fs.rename(src, dst) and not fs.exists(dst):
+                raise IOError(
+                    f"staged swap: rename {src} -> {dst} failed; stage "
+                    "left intact for a retried finish_staged_table_swap"
+                )
+    # only drop the stage once every manifest-listed file is durable at
+    # root — the stage is the sole complete copy until then
+    missing = [n for n in names if not fs.exists(Path(f"{root}/{n}"))]
+    if missing:
+        raise IOError(
+            f"staged swap: {len(missing)} manifest-listed file(s) absent "
+            f"at {root} after the move loop (e.g. {missing[0]}); stage "
+            "left intact for a retried finish_staged_table_swap"
+        )
     fs.delete(stage, True)
     return True
 

@@ -65,11 +65,18 @@ def _leaf_partitions(root: str) -> list[str]:
     """Directories under ``root`` that hold data files directly (Hive
     leaves); ``root`` itself for unpartitioned datasets. Hidden trees
     (``.versions`` snapshots, ``_temporary`` commit dirs) are pruned — they
-    are invisible to readers and must be invisible to maintenance too."""
+    are invisible to readers and must be invisible to maintenance too.
+
+    A directory holding a pending ``_stage`` (a compaction rewrite that
+    crashed between its commit and its swap) counts as a leaf even when
+    the crash window left it with zero visible data files — otherwise the
+    staged rows would be unreachable by the very maintenance pass that
+    converges them."""
     leaves = []
     for dirpath, dirnames, filenames in os.walk(root):
+        has_stage = "_stage" in dirnames
         dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
-        if any(_is_data_file(f) for f in filenames):
+        if has_stage or any(_is_data_file(f) for f in filenames):
             leaves.append(dirpath)
     return leaves
 
@@ -82,8 +89,19 @@ def compact(
 ) -> CompactionStats:
     """Rewrite fragmented leaf partitions of a dataset into ~target-size
     files. Returns per-run stats; running again on the output is a no-op."""
+    from .functions.indexing import (
+        finish_staged_table_swap,
+        staged_table_replace,
+    )
+
+    opts = {"header": True} if fmt == "csv" else None
     stats = CompactionStats()
     for leaf in _leaf_partitions(path):
+        # Converge any rewrite a prior run left torn in this leaf: a
+        # committed stage swaps in idempotently, an uncommitted one is
+        # discarded (old fragments intact). Only after this is the file
+        # listing below the leaf's true current state.
+        finish_staged_table_swap(spark, leaf)
         files = [
             os.path.join(leaf, f)
             for f in os.listdir(leaf)
@@ -103,26 +121,18 @@ def compact(
             reader = reader.option("header", True)
         df = reader.load(leaf)
 
-        tmp = os.path.join(
-            os.path.dirname(leaf), f".compact-{uuid.uuid4().hex[:8]}"
+        # Rewrite through the stage/commit/swap protocol (same one the
+        # unpartitioned PQ code table uses): the compacted files land
+        # durably under {leaf}/_stage with a manifest BEFORE any old
+        # fragment is deleted, so a crash at any point either leaves the
+        # old fragments whole (uncommitted stage, discarded on re-run) or
+        # finishes idempotently from the manifest (committed stage) — the
+        # delete-before-move window the old swap shared with Hive's
+        # INSERT OVERWRITE is gone.
+        staged_table_replace(
+            spark, leaf, df.coalesce(int(want)), fmt=fmt, options=opts
         )
-        writer = df.coalesce(int(want)).write.format(fmt).mode("overwrite")
-        if fmt == "csv":
-            writer = writer.option("header", True)
-        writer.save(tmp)
-
-        new_files = [
-            f for f in os.listdir(tmp) if _is_data_file(f)
-        ]
-        # Swap: drop the old fragments, move the compacted files in. A table
-        # format would commit this as a snapshot; for raw directories the
-        # window between delete and move is the accepted tradeoff (same as
-        # Hive's INSERT OVERWRITE).
-        for f in files:
-            os.remove(f)
-        for f in new_files:
-            shutil.move(os.path.join(tmp, f), os.path.join(leaf, f))
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_files = [f for f in os.listdir(leaf) if _is_data_file(f)]
         stats.partitions_compacted += 1
         stats.files_after += len(new_files)
     return stats

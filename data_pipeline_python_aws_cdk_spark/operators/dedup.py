@@ -4615,6 +4615,96 @@ def substring_spans_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register("dedup_winnowing_maintained", oracle=_winnowing_oracle())
+def dedup_winnowing_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCHEDULED maintenance composition over the WINNOW rung's
+    persisted fingerprint index, verified end to end as a registered
+    query (the similarity_ann_ivfpq_maintained frame applied to the
+    fingerprint tier): build on the base 4/5 of the corpus, append the
+    rest (df repaired per touched bucket), fragment the buckets into the
+    multi-file-per-leaf layout a production-parallelism append leaves,
+    run ``index_maintain`` — the exact report -> compact-iff-fragmented
+    -> report composition ``jobs index --maintain`` invokes from cron —
+    assert it converged to a whole artifact, probe, and still hold the
+    INLINE dedup_winnowing oracle. The appended row already pins the
+    df-repair arithmetic; THIS row pins the scheduler's decision logic
+    around the artifact (fragmentation detected before, zero fragmented
+    leaves and an intact marker after) on every dataset the harness
+    generates, so the cron frame is driver-verified beyond the ivfpq
+    kind. Scale shape: two metadata-scale reports around an O(fragmented
+    buckets) rewrite that now rides the stage/commit/swap protocol."""
+    import shutil
+    import tempfile
+
+    from ..functions.indexing import index_maintain
+    from .similarity import _fragment_index
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="winnow_maintained_")
+    try:
+        winnow_index_build(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        winnow_index_append(spark, tmp, d.filter(F.col("doc_id") >= split))
+        _fragment_index(spark, tmp, partition_col="bucket")
+        st = index_maintain(spark, tmp)
+        if st["fragmented_before"] == 0 and st["compacted"] is not None:
+            raise AssertionError("maintain compacted a stable artifact")
+        if st["fragmented_before"] > 0 and (
+            st["compacted"] is None
+            or st["fragmented_after"] != 0
+            or not st["complete"]
+        ):
+            raise AssertionError(f"maintain did not converge: {st}")
+        return dedup_winnowing_indexed(spark, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register("substring_spans_maintained", oracle=_exact_substring_oracle())
+def substring_spans_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCHEDULED maintenance composition over the exact-substring
+    rung's window-fingerprint index, verified end to end as a registered
+    query: build on the base 4/5 of the corpus, append the rest,
+    fragment the buckets, run ``index_maintain`` (the cron frame), assert
+    convergence, serve the maximal repeated-span manifest — and hold the
+    INLINE corpus_exact_substring_dedup oracle. With the winnow twin this
+    puts the scheduled-maintenance composition under driver verification
+    for every appendable fingerprint kind, not just the vector tier."""
+    import shutil
+    import tempfile
+
+    from ..functions.indexing import index_maintain
+    from .similarity import _fragment_index
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="substring_maintained_")
+    try:
+        substring_index_build(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        substring_index_append(spark, tmp, d.filter(F.col("doc_id") >= split))
+        _fragment_index(spark, tmp, partition_col="bucket")
+        st = index_maintain(spark, tmp)
+        if st["fragmented_before"] == 0 and st["compacted"] is not None:
+            raise AssertionError("maintain compacted a stable artifact")
+        if st["fragmented_before"] > 0 and (
+            st["compacted"] is None
+            or st["fragmented_after"] != 0
+            or not st["complete"]
+        ):
+            raise AssertionError(f"maintain did not converge: {st}")
+        return exact_substring_dedup_indexed(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _LSH_DELETE_WHERE = (
     "WHERE source = 'src0' OR doc_id < GREATEST(1,"
     " (SELECT (MAX(doc_id) + 1) * 4 // 5 FROM documents"

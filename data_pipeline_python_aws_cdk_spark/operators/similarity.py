@@ -1232,6 +1232,7 @@ def ivf_append_index(
         assert_index_complete,
         clear_index_complete,
         mark_index_complete,
+        mark_torn_by_append,
     )
 
     if not resume:
@@ -1239,6 +1240,12 @@ def ivf_append_index(
     cent = spark.read.parquet(f"{index_dir}/_centroids").select(
         "centroid_id", F.col("ce").cast("array<float>").alias("ce")
     )
+    # breadcrumb FIRST, marker-clear second: at no point is the artifact
+    # marker-less without being attributable to this append — the
+    # screen's resume gate (assert_index_screenable) accepts exactly
+    # this torn state and no other. mark_index_complete below drops the
+    # breadcrumb again once the artifact is whole.
+    mark_torn_by_append(spark, index_dir)
     clear_index_complete(spark, index_dir)
     b = batch.select("vec_id", "embedding")
     new = _assign_nearest_centroid(b, cent).select(
@@ -1380,13 +1387,19 @@ def ann_screen_against_index(
     flipping each other 'new' -> 'near_dup_candidate' and rewriting the
     verdict partition differently than the first run (gated by test).
 
-    ``resume=True`` skips the completion-marker assert so the append-mode
-    stream can replay a batch whose ivf_append_index tore mid-rewrite
-    (marker cleared): the torn lists still hold every standing-corpus
-    row (the merge only rewrites existing-minus-batch-plus-batch), and
-    batch rows are excluded above, so the replayed screen still sees
-    exactly the standing corpus — then the convergent re-append repairs
-    and re-marks the artifact.
+    ``resume=True`` swaps the completion-marker assert for
+    assert_index_screenable, which accepts a complete artifact OR one
+    torn specifically BY AN APPEND (ivf_append_index's
+    ``_torn_by_append`` breadcrumb, dropped before the marker clears and
+    removed after the re-mark): torn-by-append lists still hold every
+    standing-corpus row (the merge only rewrites
+    existing-minus-batch-plus-batch), and batch rows are excluded above,
+    so the replayed screen still sees exactly the standing corpus — then
+    the convergent re-append repairs and re-marks the artifact. An index
+    torn by a crashed BUILD or COMPACT (no breadcrumb) still fails
+    loudly even under resume — those tears can lose whole lists, and a
+    blanket bypass would screen against a partial corpus silently (the
+    round-12 advice finding).
 
     Scale shape: the batch
     crosses one broadcast-codebook cosine pass and one window; the only
@@ -1397,9 +1410,14 @@ def ann_screen_against_index(
     Returns (vec_id, verdict, match_id, cosine) — match_id/cosine NULL for
     vectors whose probed lists held no candidates.
     """
-    from ..functions.indexing import assert_index_complete
+    from ..functions.indexing import (
+        assert_index_complete,
+        assert_index_screenable,
+    )
 
-    if not resume:
+    if resume:
+        assert_index_screenable(spark, index_dir)
+    else:
         assert_index_complete(spark, index_dir)
     # The screen requires the codebook the lists were assigned with; a
     # missing sidecar is a broken artifact, not a fallback case (the
@@ -4849,6 +4867,99 @@ def ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("vec_id").cast("bigint").alias("min_vec_id"),
                 F.max("vec_id").cast("bigint").alias("max_vec_id"),
                 F.sum("pq_code").cast("bigint").alias("code_checksum"),
+            )
+            .orderBy("centroid_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ivf_stats_oracle() -> str:
+    cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
+    return f"""
+    WITH icent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {IVF_NLIST}
+    ),
+    iac AS (
+      SELECT e.vec_id, c.centroid_id, ROUND({cos_assign}, 6) AS c6
+      FROM embeddings e JOIN icent c ON TRUE, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id, c.centroid_id
+    ),
+    iranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c6 DESC, centroid_id) AS rn
+      FROM iac
+    ),
+    iassign AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
+    vchk AS (
+      SELECT e.vec_id,
+             SUM(CAST(FLOOR(ABS(CAST(e.embedding[g.i] AS DOUBLE)) * 10000)
+                      AS BIGINT)) AS vc
+      FROM embeddings e, generate_series(1, {DIM}) g(i)
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(a.vec_id) AS BIGINT) AS max_vec_id,
+           CAST(SUM(v.vc) AS BIGINT) AS vector_checksum
+    FROM iassign a JOIN vchk v USING (vec_id)
+    GROUP BY a.centroid_id
+    ORDER BY centroid_id
+    """
+
+
+@_register("ivf_index_stats", oracle=_ivf_stats_oracle())
+def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-inverted-list stats read FROM THE PERSISTED full-vector IVF
+    artifact — the ivfpq_index_stats twin for the non-PQ layout, so BOTH
+    persisted vector layouts carry an oracle-backed freshness-report
+    core. Build on the base 4/5, ivf_append_index the rest against the
+    frozen ``_centroids`` sidecar, then aggregate the artifact's OWN
+    rows per list: member count, vec_id range, and a checksum over the
+    RESIDENT float vectors — per component, floor(|x| * 1e4) summed as
+    exact integers (float32 -> float64 widening and IEEE double multiply
+    are bit-identical across engines, and integer floor-sums are
+    order-independent, so the checksum is deterministic where a float
+    sum would not be). The oracle recomputes assignment AND checksum
+    from the raw embeddings table, so a green row proves the bytes on
+    disk after a build+append cycle — list membership and the resident
+    vectors themselves — match full-corpus math. A single damaged
+    component in a single resident vector breaks it.
+
+    Scale shape: one scan of the index rolled up map-side to NLIST rows;
+    the checksum folds inside the row (F.aggregate over the array), so
+    nothing but (centroid_id, 4 longs) ever reaches the exchange.
+    """
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="ivf_stats_")
+    try:
+        ivf_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        ivf_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
+        idx = spark.read.parquet(tmp)
+        vchk = F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.floor(F.abs(x.cast("double")) * F.lit(10000.0)).cast("bigint"),
+        )
+        return (
+            idx.groupBy(F.col("centroid_id").cast("bigint").alias("centroid_id"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_vectors"),
+                F.min("vec_id").cast("bigint").alias("min_vec_id"),
+                F.max("vec_id").cast("bigint").alias("max_vec_id"),
+                F.sum(vchk).cast("bigint").alias("vector_checksum"),
             )
             .orderBy("centroid_id")
             .localCheckpoint(eager=True)

@@ -1114,7 +1114,12 @@ def run_stream_ann_screen(
     cleared, and a screen that asserted completeness first would raise
     on every replay and wedge the stream (the torn lists still hold
     every standing-corpus row, and batch rows are excluded, so the
-    replayed verdicts are unaffected).
+    replayed verdicts are unaffected). The screen's resume gate is
+    SCOPED, not blanket (the round-12 advice finding): it accepts only a
+    complete artifact or one carrying ivf_append_index's
+    ``_torn_by_append`` breadcrumb — an index torn by a crashed build or
+    compact (which can lose whole lists) still fails loudly on the next
+    batch instead of being screened silently.
 
     Shared-frame discipline: the per-batch verdict IS
     operators.similarity.ann_screen_against_index — the same frame the

@@ -4638,6 +4638,178 @@ def test_staged_table_swap_recovers_at_every_crash_point(spark, tmp_path):
     assert {tuple(r) for r in spark.read.parquet(root).collect()} == got
 
 
+def _commit_stage(spark, root, df, extra_manifest_names=()):
+    """Write a COMMITTED stage under root (data files + manifest), the
+    state a crash between staged_table_replace's commit and its swap
+    leaves behind."""
+    import os
+
+    df.write.parquet(f"{root}/_stage")
+    names = [
+        n
+        for n in os.listdir(f"{root}/_stage")
+        if not n.startswith(("_", ".")) and os.path.isfile(f"{root}/_stage/{n}")
+    ] + list(extra_manifest_names)
+    spark.createDataFrame([(n,) for n in names], "name string").coalesce(
+        1
+    ).write.parquet(f"{root}/_stage/_manifest")
+
+
+def test_staged_swap_unreadable_manifest_raises_and_preserves_stage(
+    spark, tmp_path
+):
+    """The round-12 advice finding: a manifest that EXISTS but cannot be
+    read is an environmental failure, not an uncommitted stage — the
+    stage may be the only complete copy, so the finish must surface the
+    error and leave both stage and table untouched, never discard."""
+    import os
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        finish_staged_table_swap,
+    )
+
+    root = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "vec_id long, pq_code long"
+    )
+    old.write.parquet(root)
+    old_rows = _index_rows(spark, root)
+    new = spark.createDataFrame(
+        [(i, i * 7) for i in range(5)], "vec_id long, pq_code long"
+    )
+    _commit_stage(spark, root, new)
+    # corrupt every manifest data file in place: present but unreadable
+    mdir = f"{root}/_stage/_manifest"
+    for n in os.listdir(mdir):
+        if not n.startswith(("_", ".")) and n.endswith(".parquet"):
+            with open(os.path.join(mdir, n), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        finish_staged_table_swap(spark, root)
+    assert os.path.exists(f"{root}/_stage")  # NOT discarded
+    assert _index_rows(spark, root) == old_rows  # old table untouched
+
+
+def test_staged_swap_refuses_to_drop_stage_with_manifest_files_missing(
+    spark, tmp_path
+):
+    """The round-12 advice finding on unchecked renames: if after the
+    move loop any manifest-listed file is absent at root (a failed
+    rename, or a staged file that never materialized), the stage must
+    survive for a retried finish — deleting it there would be permanent
+    row loss inside the recovery protocol itself."""
+    import os
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        finish_staged_table_swap,
+    )
+
+    root = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "vec_id long, pq_code long"
+    )
+    old.write.parquet(root)
+    new = spark.createDataFrame(
+        [(i, i * 7) for i in range(5)], "vec_id long, pq_code long"
+    )
+    # manifest claims one more staged file than exists — the move loop
+    # cannot produce it, so the post-move verification must refuse
+    _commit_stage(
+        spark, root, new, extra_manifest_names=["part-lost-in-rename.parquet"]
+    )
+    with pytest.raises(IOError, match="stage left intact"):
+        finish_staged_table_swap(spark, root)
+    assert os.path.exists(f"{root}/_stage")
+    # the files that DID move are at root: a retried finish (with the
+    # missing file restored to the stage) completes idempotently
+    with open(
+        f"{root}/_stage/part-lost-in-rename.parquet", "wb"
+    ) as fh:  # restore: any bytes — existence at root is the contract
+        fh.write(b"x")
+    assert finish_staged_table_swap(spark, root) is True
+    assert not os.path.exists(f"{root}/_stage")
+
+
+def test_staged_swap_partial_move_rerun_converges(spark, tmp_path):
+    """Crash mid-move-loop: some staged files already renamed up, the
+    rest still in the stage. The re-run must treat the already-moved as
+    done (dest present) and finish the remainder to exactly the staged
+    table."""
+    import os
+    import shutil as sh
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        finish_staged_table_swap,
+    )
+
+    root = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "vec_id long, pq_code long"
+    )
+    old.write.parquet(root)
+    new = spark.createDataFrame(
+        [(i, i * 7) for i in range(5)], "vec_id long, pq_code long"
+    )
+    _commit_stage(spark, root, new.repartition(3))
+    # simulate: old files already deleted, ONE staged file already moved
+    for n in os.listdir(root):
+        if not n.startswith(("_", ".")) and os.path.isfile(f"{root}/{n}"):
+            os.remove(f"{root}/{n}")
+    staged = [
+        n
+        for n in os.listdir(f"{root}/_stage")
+        if not n.startswith(("_", ".")) and os.path.isfile(f"{root}/_stage/{n}")
+    ]
+    sh.move(f"{root}/_stage/{staged[0]}", f"{root}/{staged[0]}")
+    assert finish_staged_table_swap(spark, root) is True
+    assert not os.path.exists(f"{root}/_stage")
+    got = {tuple(r) for r in spark.read.parquet(root).collect()}
+    assert got == {(i, i * 7) for i in range(5)}
+
+
+def test_compact_converges_torn_leaf_rewrite(spark, tmp_path):
+    """maintenance.compact's per-leaf rewrite rides the stage/commit/swap
+    protocol (the round-12 advice finding: the old delete-before-move
+    swap could lose a whole unpartitioned table under index_maintain).
+    A COMMITTED stage a crashed compact left behind — even at the worst
+    point, old files gone — is converged by the next compact run; an
+    UNCOMMITTED one is discarded with the old fragments intact."""
+    import os
+    import shutil as sh
+
+    from data_pipeline_python_aws_cdk_spark.maintenance import compact
+
+    # worst-case torn state: stage committed, ALL old leaf files deleted
+    root = str(tmp_path / "ds_committed")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "id long, v string"
+    )
+    rows.repartition(8).write.parquet(root)
+    _commit_stage(spark, root, rows.coalesce(1))
+    for n in os.listdir(root):
+        if not n.startswith(("_", ".")) and os.path.isfile(f"{root}/{n}"):
+            os.remove(f"{root}/{n}")
+    st = compact(spark, root, "parquet")
+    assert not os.path.exists(f"{root}/_stage")
+    assert _index_rows(spark, root) == sorted(
+        (i, f"v{i}") for i in range(64)
+    )
+    assert st.partitions_seen == 1  # the stage-only dir still counted
+
+    # uncommitted stage: garbage, discarded; fragments compact normally
+    root2 = str(tmp_path / "ds_uncommitted")
+    rows.repartition(8).write.parquet(root2)
+    spark.createDataFrame([(99, "zzz")], "id long, v string").write.parquet(
+        f"{root2}/_stage"
+    )  # no manifest -> never committed
+    compact(spark, root2, "parquet", target_file_bytes=10**9)
+    assert not os.path.exists(f"{root2}/_stage")
+    assert _index_rows(spark, root2) == sorted(
+        (i, f"v{i}") for i in range(64)
+    )
+    sh.rmtree(root2)
+
+
 def test_index_maintain_composition_is_read_only_until_fragmented(
     spark, tmp_path
 ):

@@ -760,6 +760,8 @@ def test_stream_ann_screen_torn_append_recovery_is_reachable(spark, tmp_path):
     from data_pipeline_python_aws_cdk_spark.functions.indexing import (
         INDEX_COMPLETE_SIDECAR,
         assert_index_complete,
+        mark_torn_by_append,
+        torn_by_append,
     )
     from data_pipeline_python_aws_cdk_spark.operators.similarity import (
         ivf_build_index,
@@ -784,7 +786,10 @@ def test_stream_ann_screen_torn_append_recovery_is_reachable(spark, tmp_path):
         "vec_id long, embedding array<float>",
     ).write.parquet(vecs_dir)
 
-    # simulate the torn append the previous run died in
+    # simulate the torn append the previous run died in: ivf_append_index
+    # drops its breadcrumb BEFORE clearing the marker, so the crash state
+    # carries both
+    mark_torn_by_append(spark, index_dir)
     shutil.rmtree(tmp_path / "ivf_idx" / INDEX_COMPLETE_SIDECAR)
 
     verdicts = str(tmp_path / "verdicts")
@@ -794,4 +799,42 @@ def test_stream_ann_screen_torn_append_recovery_is_reachable(spark, tmp_path):
     got = {r.vec_id: r.verdict for r in spark.read.parquet(verdicts).collect()}
     assert got == {500: "new", 501: "near_dup_candidate"}
     assert_index_complete(spark, index_dir)  # the re-append re-marked it
+    assert not torn_by_append(spark, index_dir)  # ...and dropped the crumb
     assert 500 in {r.vec_id for r in spark.read.parquet(index_dir).collect()}
+
+
+def test_stream_ann_screen_resume_rejects_torn_build_or_compact(
+    spark, tmp_path
+):
+    """The round-12 advice finding: the append-mode stream's resume gate
+    must be SCOPED to append-tears. An index torn by a crashed BUILD or
+    COMPACT (marker cleared, no _torn_by_append breadcrumb — those paths
+    never drop one) can be missing whole inverted lists, so the screen
+    must fail loudly even under resume instead of silently verdicting
+    against a partial corpus."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        INDEX_COMPLETE_SIDECAR,
+    )
+    from data_pipeline_python_aws_cdk_spark.operators.similarity import (
+        ann_screen_against_index,
+        ivf_build_index,
+    )
+
+    def one_hot(i):
+        return [1.0 if j == i else 0.0 for j in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, one_hot(i)) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    index_dir = str(tmp_path / "ivf_idx")
+    ivf_build_index(spark, str(tmp_path), index_dir, vectors=corpus)
+
+    # a torn build/compact clears the marker without a breadcrumb
+    shutil.rmtree(tmp_path / "ivf_idx" / INDEX_COMPLETE_SIDECAR)
+
+    batch = spark.createDataFrame(
+        [(500, one_hot(40))], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="_torn_by_append"):
+        ann_screen_against_index(spark, batch, index_dir, resume=True)
