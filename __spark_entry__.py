@@ -93,77 +93,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-proven equal locally, re-greened here), then ALL 32 latest=r04 keys
 # (retiring the r04 evidence cohort exactly as the round-11 closing
 # comment promised) and the oldest 8 of the latest=r05 cohort — 50
-# exactly, leaving no registry key with driver evidence older than r05.
+# exactly, leaving no HARD-ORACLE registry key with driver evidence older
+# than r05 (the rows-only approx_sketch_estimates, whose only driver row
+# ever was the r04 rows-only pass, rotates in the r13 window below).
+# Round-13 window (the round-12 handoff, VERDICT #1): the 3 round-13
+# debuts lead (the scheduled-maintenance composition registered for BOTH
+# remaining appendable fingerprint kinds — winnow and exact-substring —
+# and the ivf_index_stats twin putting the non-PQ vector layout's
+# persisted bytes under an oracle-backed checksum), then the 5 registered
+# queries round 13 CHANGED internally (the crash-recovery hardening
+# batch: rename-checked staged swap with manifest verification under the
+# pq append/delete rows, compact rerouted through the stage/commit/swap
+# protocol under the ivfpq compacted/maintained rows, and the scoped
+# torn-by-append resume gate under the screen row — results re-proven
+# equal locally, re-greened here), then the COMPLETE latest=r05 cohort
+# (13 keys, the oldest hard-oracle driver evidence, retiring r05
+# entirely), then approx_sketch_estimates (rows-only by design; its only
+# driver evaluation ever was r04 — 9 rounds stale, the one freshness
+# straggler the r12 verdict called out), and the oldest 28 of the
+# latest=r07 cohort (31 keys, alphabetical; the remaining 3 —
+# text_encoding_artifacts, text_readability, window_latest_order —
+# rotate next round) — 50 exactly.
 _PRIORITY = (
-    # -- NEW round-12 debuts: driver-evaluated in their debut window
+    # -- NEW round-13 debuts: driver-evaluated in their debut window
+    "ivf_index_stats",
+    "dedup_winnowing_maintained",
+    "substring_spans_maintained",
+    # -- registered queries whose underlying code CHANGED in round 13
+    #    (crash-recovery hardening: staged-swap rename checks + manifest
+    #    verification, compact via stage/commit/swap, scoped screen
+    #    resume gate — results re-proven equal locally, re-greened here)
     "similarity_ann_pq_appended",
-    "similarity_ann_ivfpq_maintained",
     "similarity_ann_pq_deleted",
-    "dedup_winnowing_deleted",
-    "substring_spans_deleted",
-    "dedup_lsh_deleted",
-    # -- registered queries whose underlying code CHANGED in round 12
-    #    (torn-write convergence: batch-wide screen exclusion, marker-
-    #    disciplined _fragment_index, recompute-on-resume deletes —
-    #    results re-proven equal locally, re-greened here)
-    "similarity_ann_screen",
     "similarity_ann_ivfpq_compacted",
-    "similarity_ann_ivfpq_deleted",
-    "text_bm25_deleted",
-    # -- the COMPLETE latest=r04 cohort (32 keys — the oldest driver
-    #    evidence in the registry, promised by the round-11 closing
-    #    comment), retiring r04 entirely
-    "events_sketch_rollup_merge",
-    "users_activity_reconciliation",
-    "events_ab_test_summary",
-    "events_pareto_concentration",
-    "events_forecast_backtest",
-    "orders_sla_latency_percentiles",
-    "orders_basket_lift",
-    "events_seasonality_strength",
-    "supplier_concentration_hhi",
-    "events_ab_significance",
-    "nation_trade_flow_matrix",
-    "corpus_mixture_plan",
-    "documents_chunking",
-    "corpus_lang_confusion",
-    "corpus_perplexity_buckets",
-    "corpus_bpe_pair_counts",
-    "corpus_zipf_slope",
-    "corpus_token_budget_curve",
-    "corpus_vocab_growth_curve",
-    "dedup_containment_bottomk",
-    "dedup_embedding_clusters",
-    "source_overlap_matrix",
-    "corpus_boilerplate_ngrams",
-    "embedding_gram_matrix",
-    "embedding_label_centroids",
-    "similarity_knn_label_vote",
-    "embedding_label_dispersion",
-    "embedding_duplicate_vectors",
-    "multimodal_audio_chunks",
-    "multimodal_video_near_dup",
-    "streaming_dedup_exact",
-    "streaming_sliding_counts",
-    # -- oldest 8 of the latest=r05 cohort (21 keys) — 50 exactly
-    "completeness_by_field",
-    "contrastive_training_pairs",
-    "corpus_filter_funnel",
-    "corpus_ngram_novelty",
-    "corpus_pack_sequences",
-    "corpus_quality_gate",
-    "corpus_tokenizer_fertility",
-    "dedup_embedding_semdedup",
-    # (the remaining 13 latest=r05 keys — doc_rolling_fingerprint,
-    #  embedding_drift_report,
-    #  events_dispersion_index, events_gap_distribution,
-    #  events_new_vs_returning, events_sessionize, multimodal_meta,
-    #  orders_monthly_growth, similarity_threshold,
-    #  text_char_trigram_nll, text_intra_doc_repetition, text_quality,
-    #  text_tfidf_topk —
-    #  rotate in next round; each holds an r05 driver green + local
-    #  greens at HEAD, and each dropped key's plan class stays sampled
-    #  by an in-window sibling)
+    "similarity_ann_ivfpq_maintained",
+    "similarity_ann_screen",
+    # -- the COMPLETE latest=r05 cohort (13 keys — the oldest hard-oracle
+    #    driver evidence in the registry), retiring r05 entirely
+    "doc_rolling_fingerprint",
+    "embedding_drift_report",
+    "events_dispersion_index",
+    "events_gap_distribution",
+    "events_new_vs_returning",
+    "events_sessionize",
+    "multimodal_meta",
+    "orders_monthly_growth",
+    "similarity_threshold",
+    "text_char_trigram_nll",
+    "text_intra_doc_repetition",
+    "text_quality",
+    "text_tfidf_topk",
+    # -- the r04-stale rows-only row (driver-evaluated exactly once, in
+    #    r04; its oracle-green sketch twin is events_approx_sketch and
+    #    its values are pytest-pinned — refresh the rows-only evidence)
+    "approx_sketch_estimates",
+    # -- oldest 28 of the latest=r07 cohort (31 keys) — 50 exactly
+    "corpus_context_budget_report",
+    "corpus_curriculum_order",
+    "corpus_decontaminate",
+    "corpus_dedup_impact_report",
+    "corpus_oov_rate",
+    "corpus_pii_prevalence",
+    "corpus_span_decontaminate",
+    "corpus_token_coverage_curve",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters_star",
+    "dedup_containment",
+    "dedup_family_compare",
+    "dedup_graph_pagerank",
+    "dedup_incremental",
+    "dedup_lsh_recall_report",
+    "dedup_minhash_estimator_audit",
+    "dedup_ngram_jaccard",
+    "dedup_pair_overlap_spans",
+    "dedup_semantic_lexical_agreement",
+    "dedup_threshold_curve",
+    "embedding_hubness_report",
+    "embedding_matryoshka_recall",
+    "embedding_outlier_mahalanobis",
+    "embedding_pq_codes",
+    "embedding_quantize",
+    "similarity_ann_quantized",
+    "similarity_centroid_classify",
+    "text_code_prose_classify",
 )
 
 

@@ -4846,6 +4846,98 @@ def test_index_maintain_composition_is_read_only_until_fragmented(
     assert _index_rows(spark, idx) == rows
 
 
+# --- round 13: fingerprint-tier maintain rows + the non-PQ stats twin ---------
+
+
+def test_maintained_fingerprint_rows_equal_inline_results(spark):
+    """The registered scheduled-maintenance rows for the fingerprint tier
+    (dedup_winnowing_maintained / substring_spans_maintained): the
+    build -> append -> fragment -> index_maintain -> probe composition
+    must serve exactly the inline results — maintenance is invisible to
+    consumers, which is the whole contract the driver row holds."""
+    inline_w = {tuple(r) for r in dedup.dedup_winnowing(spark, SF_SMOKE).collect()}
+    maint_w = {
+        tuple(r)
+        for r in dedup.dedup_winnowing_maintained(spark, SF_SMOKE).collect()
+    }
+    assert maint_w == inline_w
+    inline_s = {
+        tuple(r)
+        for r in dedup.corpus_exact_substring_dedup(spark, SF_SMOKE).collect()
+    }
+    maint_s = {
+        tuple(r)
+        for r in dedup.substring_spans_maintained(spark, SF_SMOKE).collect()
+    }
+    assert maint_s == inline_s and len(maint_s) > 0
+
+
+def test_ivf_index_stats_matches_oracle_and_detects_damage(spark, duck, tmp_path):
+    """ivf_index_stats (the non-PQ twin of ivfpq_index_stats): the
+    artifact-side rollup equals the full-corpus DuckDB recomputation at
+    SF_SMOKE, and the floor-sum vector checksum is SENSITIVE — perturbing
+    a single component of a single resident vector changes its list's
+    checksum while every count/range column stays identical (the failure
+    a membership-only report would miss)."""
+    got = sorted(
+        tuple(r)
+        for r in similarity.QUERIES["ivf_index_stats"](spark, SF_SMOKE).collect()
+    )
+    exp = sorted(tuple(r) for r in duck.execute(
+        similarity.ORACLES["ivf_index_stats"]
+    ).fetchall())
+    assert got == exp and len(got) > 0
+    assert sum(r[1] for r in got) == spark.read.parquet(
+        f"{SF_SMOKE}/embeddings.parquet"
+    ).count()
+
+    # checksum sensitivity: same aggregation over an artifact whose one
+    # resident vector drifted 0.37 on one component
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(spark, SF_SMOKE, idx)
+    vchk = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.floor(F.abs(x.cast("double")) * F.lit(10000.0)).cast("bigint"),
+    )
+
+    def stats(df):
+        return {
+            r.centroid_id: tuple(r)[1:]
+            for r in df.groupBy("centroid_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("vec_id").alias("mn"),
+                F.max("vec_id").alias("mx"),
+                F.sum(vchk).alias("chk"),
+            )
+            .collect()
+        }
+
+    clean = spark.read.parquet(idx)
+    damaged = clean.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 100,
+            F.concat(
+                F.array(
+                    F.element_at("embedding", 1).cast("double") + F.lit(0.37)
+                ),
+                F.slice("embedding", 2, similarity.DIM - 1).cast(
+                    "array<double>"
+                ),
+            ).cast("array<float>"),
+        ).otherwise(F.col("embedding")),
+    )
+    s_clean, s_damaged = stats(clean), stats(damaged)
+    diff = {c for c in s_clean if s_clean[c] != s_damaged[c]}
+    assert len(diff) == 1  # exactly the damaged vector's list moved
+    c = diff.pop()
+    assert s_clean[c][:3] == s_damaged[c][:3]  # counts/ranges blind to it
+    assert s_clean[c][3] != s_damaged[c][3]  # the checksum is not
+
+
 # --- round 12: the refined-codebook contract in its intended regime -----------
 
 
