@@ -26,8 +26,6 @@ partitions, re-mark.
 
 from __future__ import annotations
 
-import os
-
 INDEX_COMPLETE_SIDECAR = "_complete"
 
 
@@ -202,22 +200,17 @@ def index_report(
     probe" without reading codebooks or running a probe.
 
     Listing is metadata-scale (one entry per leaf via the directory walk)
-    and LOCAL-FILESYSTEM scoped, the :func:`maintenance.compact`
-    convention — the walk uses ``os`` directly, so an object-store index
-    (s3a/abfs) needs the listing routed through the Hadoop FileSystem
-    API first (the writers' path); row counts come from ONE distributed
-    parquet scan grouped by source file directory, never a
-    per-partition job loop.
+    and goes through the Hadoop FileSystem API (the writers' path), so an
+    object-store index (s3a/abfs) is reportable exactly like a local one;
+    row counts come from ONE distributed parquet scan grouped by source
+    file directory, never a per-partition job loop.
     """
+    import posixpath
     from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
-    from ..maintenance import (
-        DEFAULT_TARGET_FILE_BYTES,
-        _is_data_file,
-        _leaf_partitions,
-    )
+    from ..maintenance import DEFAULT_TARGET_FILE_BYTES, _fs_data_files, _fs_leaf_dirs
 
     target = target_file_bytes or DEFAULT_TARGET_FILE_BYTES
     root = index_dir.rstrip("/")
@@ -226,21 +219,24 @@ def index_report(
         assert_index_complete(spark, index_dir)
     except ValueError:
         complete = False
+    fs, root_path, _jvm = _hadoop_fs(spark, root)
     sidecars = sorted(
-        n
-        for n in os.listdir(root)
-        if n.startswith("_") and n != INDEX_COMPLETE_SIDECAR
+        name
+        for st in fs.listStatus(root_path)
+        for name in [st.getPath().getName()]
+        if name.startswith("_") and name != INDEX_COMPLETE_SIDECAR
     )
+    # leaf keys are scheme-stripped URI paths — the same normalization the
+    # row-count scan's input_file_name URIs reduce to below, so local and
+    # object-store leaves key identically
+    root_uri = fs.getFileStatus(root_path).getPath().toUri().getPath()
     leaves = {}
-    for leaf in _leaf_partitions(root):
-        files = [
-            os.path.join(leaf, f)
-            for f in os.listdir(leaf)
-            if _is_data_file(f) and os.path.isfile(os.path.join(leaf, f))
-        ]
-        n_bytes = sum(os.path.getsize(f) for f in files)
-        rel = os.path.relpath(leaf, root)
-        leaves[os.path.abspath(leaf)] = {
+    for leaf_path in _fs_leaf_dirs(fs, root_path):
+        files = _fs_data_files(fs, leaf_path)
+        n_bytes = sum(st.getLen() for st in files)
+        leaf_uri = leaf_path.toUri().getPath()
+        rel = posixpath.relpath(leaf_uri, root_uri)
+        leaves[leaf_uri] = {
             "partition": "" if rel == "." else rel,
             "n_files": len(files),
             "n_bytes": n_bytes,
@@ -258,9 +254,9 @@ def index_report(
         )
         for r in counts:
             # input_file_name is a URI (percent-encoded — a space in the
-            # index path arrives as %20); leaf keys are local abspaths,
+            # index path arrives as %20); leaf keys are decoded URI paths,
             # so decode the path component before keying into the map
-            key = os.path.abspath(unquote(urlparse(r.dir).path))
+            key = unquote(urlparse(r.dir).path)
             if key in leaves:
                 leaves[key]["n_rows"] = int(r["count"])
     parts = sorted(leaves.values(), key=lambda p: p["partition"])

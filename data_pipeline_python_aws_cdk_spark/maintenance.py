@@ -14,10 +14,11 @@ justifies into ~target-size files, preserving layout, schema, and rows.
 Scale notes:
 
 - The per-partition loop is metadata-scale work (one entry per Hive leaf,
-  not per row); the rewrites themselves are distributed Spark jobs. On a
-  cluster the directory listing would go through the Hadoop FileSystem API
-  instead of os.walk, and partitions can be rewritten concurrently — the
-  rewrite of one leaf never depends on another.
+  not per row); the rewrites themselves are distributed Spark jobs. The
+  directory walk goes through the Hadoop FileSystem API (``_fs_leaf_dirs``),
+  so compaction runs against any scheme the session can write — local FS
+  here, s3a/abfs on a cluster; partitions can be rewritten concurrently —
+  the rewrite of one leaf never depends on another.
 - Each leaf rewrite is read -> coalesce(ceil(bytes/target)) -> write to a
   sibling temp dir -> atomic-ish swap. coalesce (not repartition) avoids a
   shuffle: compaction is IO-bound; adding an exchange would double it.
@@ -81,6 +82,44 @@ def _leaf_partitions(root: str) -> list[str]:
     return leaves
 
 
+def _fs_leaf_dirs(fs, root_path) -> list:
+    """:func:`_leaf_partitions` over the Hadoop FileSystem API — the walk
+    ``compact`` and ``index_report`` use so the index-family maintenance
+    ops work on ANY scheme the session can reach (local here, s3a/abfs on
+    a cluster), not just the local filesystem. Same leaf rule: a
+    directory holding data files directly, or a pending ``_stage``
+    (a torn rewrite the next compact must converge). Hidden trees are
+    pruned. Returns qualified ``Path`` objects."""
+    if not fs.exists(root_path):
+        return []
+    out = []
+    stack = [fs.getFileStatus(root_path).getPath()]
+    while stack:
+        d = stack.pop()
+        files_here = stage_here = False
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name == "_stage":
+                    stage_here = True
+                elif not name.startswith(("_", ".")):
+                    stack.append(st.getPath())
+            elif st.isFile() and _is_data_file(name):
+                files_here = True
+        if files_here or stage_here:
+            out.append(d)
+    return out
+
+
+def _fs_data_files(fs, dir_path) -> list:
+    """FileStatus of data files directly under dir_path (no _/. names)."""
+    return [
+        st
+        for st in fs.listStatus(dir_path)
+        if st.isFile() and _is_data_file(st.getPath().getName())
+    ]
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -90,24 +129,23 @@ def compact(
     """Rewrite fragmented leaf partitions of a dataset into ~target-size
     files. Returns per-run stats; running again on the output is a no-op."""
     from .functions.indexing import (
+        _hadoop_fs,
         finish_staged_table_swap,
         staged_table_replace,
     )
 
     opts = {"header": True} if fmt == "csv" else None
     stats = CompactionStats()
-    for leaf in _leaf_partitions(path):
+    fs, root_path, _jvm = _hadoop_fs(spark, path)
+    for leaf_path in _fs_leaf_dirs(fs, root_path):
+        leaf = leaf_path.toString()
         # Converge any rewrite a prior run left torn in this leaf: a
         # committed stage swaps in idempotently, an uncommitted one is
         # discarded (old fragments intact). Only after this is the file
         # listing below the leaf's true current state.
         finish_staged_table_swap(spark, leaf)
-        files = [
-            os.path.join(leaf, f)
-            for f in os.listdir(leaf)
-            if _is_data_file(f) and os.path.isfile(os.path.join(leaf, f))
-        ]
-        n_bytes = sum(os.path.getsize(f) for f in files)
+        files = _fs_data_files(fs, leaf_path)
+        n_bytes = sum(st.getLen() for st in files)
         want = max(1, -(-n_bytes // target_file_bytes))  # ceil
         stats.partitions_seen += 1
         stats.files_before += len(files)
@@ -132,9 +170,8 @@ def compact(
         staged_table_replace(
             spark, leaf, df.coalesce(int(want)), fmt=fmt, options=opts
         )
-        new_files = [f for f in os.listdir(leaf) if _is_data_file(f)]
         stats.partitions_compacted += 1
-        stats.files_after += len(new_files)
+        stats.files_after += len(_fs_data_files(fs, leaf_path))
     return stats
 
 
@@ -184,7 +221,8 @@ def upsert(
 
     A table format (Iceberg/Delta) would commit this as a snapshot with
     file-level conflict detection; the raw-directory variant has the same
-    overwrite window as Hive's INSERT OVERWRITE (and `compact`).
+    overwrite window as Hive's INSERT OVERWRITE (`compact` no longer does:
+    its per-leaf rewrite rides the stage/commit/swap protocol).
     """
     from pyspark.sql import Window as W
 
