@@ -96,11 +96,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # exactly, leaving no HARD-ORACLE registry key with driver evidence older
 # than r05 (the rows-only approx_sketch_estimates, whose only driver row
 # ever was the r04 rows-only pass, rotates in the r13 window below).
-# Round-13 window (the round-12 handoff, VERDICT #1): the 3 round-13
+# Round-13 window (the round-12 handoff, VERDICT #1): the 7 round-13
 # debuts lead (the scheduled-maintenance composition registered for BOTH
 # remaining appendable fingerprint kinds — winnow and exact-substring —
-# and the ivf_index_stats twin putting the non-PQ vector layout's
-# persisted bytes under an oracle-backed checksum), then the 5 registered
+# plus the ivf_index_stats twin and the post-freeze stats batch
+# (pq/winnow/substring/lsh) that completes the oracle-backed stats
+# family across ALL SEVEN index kinds), then the 5 registered
 # queries round 13 CHANGED internally (the crash-recovery hardening
 # batch: rename-checked staged swap with manifest verification under the
 # pq append/delete rows, compact rerouted through the stage/commit/swap
@@ -110,15 +111,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (13 keys, the oldest hard-oracle driver evidence, retiring r05
 # entirely), then approx_sketch_estimates (rows-only by design; its only
 # driver evaluation ever was r04 — 9 rounds stale, the one freshness
-# straggler the r12 verdict called out), and the oldest 28 of the
-# latest=r07 cohort (31 keys, alphabetical; the remaining 3 —
-# text_encoding_artifacts, text_readability, window_latest_order —
-# rotate next round) — 50 exactly.
+# straggler the r12 verdict called out), and the oldest 24 of the
+# latest=r07 cohort (31 keys, alphabetical; the remaining 7 rotate next
+# round, listed at the block's tail) — 50 exactly.
 _PRIORITY = (
     # -- NEW round-13 debuts: driver-evaluated in their debut window
+    # (the post-freeze stats batch — pq/winnow/substring/lsh — completes
+    # the oracle-backed stats family across ALL SEVEN index kinds; each
+    # swept green at sf0.001 + sf0.01 + hostile + SPARK_GRAFT_SHUFFLE=7 +
+    # sf0.1 in its landing batch)
     "ivf_index_stats",
     "dedup_winnowing_maintained",
     "substring_spans_maintained",
+    "pq_index_stats",
+    "winnow_index_stats",
+    "substring_index_stats",
+    "lsh_index_stats",
     # -- registered queries whose underlying code CHANGED in round 13
     #    (crash-recovery hardening: staged-swap rename checks + manifest
     #    verification, compact via stage/commit/swap, scoped screen
@@ -147,7 +155,12 @@ _PRIORITY = (
     #    r04; its oracle-green sketch twin is events_approx_sketch and
     #    its values are pytest-pinned — refresh the rows-only evidence)
     "approx_sketch_estimates",
-    # -- oldest 28 of the latest=r07 cohort (31 keys) — 50 exactly
+    # -- oldest 24 of the latest=r07 cohort (31 keys; the remaining 7 —
+    #    embedding_quantize, similarity_ann_quantized,
+    #    similarity_centroid_classify, text_code_prose_classify,
+    #    text_encoding_artifacts, text_readability, window_latest_order —
+    #    rotate next round; each holds an r07 driver green + local greens
+    #    at HEAD) — 50 exactly
     "corpus_context_budget_report",
     "corpus_curriculum_order",
     "corpus_decontaminate",
@@ -172,10 +185,6 @@ _PRIORITY = (
     "embedding_matryoshka_recall",
     "embedding_outlier_mahalanobis",
     "embedding_pq_codes",
-    "embedding_quantize",
-    "similarity_ann_quantized",
-    "similarity_centroid_classify",
-    "text_code_prose_classify",
 )
 
 

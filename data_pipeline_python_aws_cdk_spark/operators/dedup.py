@@ -4705,6 +4705,217 @@ def substring_spans_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Modulus for the order-independent stats checksums: summing raw 60-bit
+# hash60 values overflows BIGINT at corpus scale (DuckDB widens to
+# HUGEINT, Spark does not), so both engines sum h % this prime instead —
+# still sensitive to any changed/dropped/duplicated row, exactly
+# representable everywhere.
+_STATS_CHECKSUM_MOD = 1_000_003
+
+
+def _winnow_stats_oracle() -> str:
+    return f"""
+    WITH {_winnow_fp_ctes()},
+    wdf AS (SELECT h, COUNT(*) AS df FROM fp0 GROUP BY h),
+    r AS (
+      SELECT fp0.doc_id, fp0.h, wdf.df,
+             fp0.h % {FP_INDEX_BUCKETS} AS bucket
+      FROM fp0 JOIN wdf USING (h)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hashes,
+           CAST(SUM(df) AS BIGINT) AS df_checksum,
+           CAST(SUM(h % {_STATS_CHECKSUM_MOD}) AS BIGINT) AS h_checksum
+    FROM r GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("winnow_index_stats", oracle=_winnow_stats_oracle())
+def winnow_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket stats read FROM THE PERSISTED winnowed-fingerprint
+    artifact after a build+append cycle, held against an oracle that
+    recomputes every column — selection, bucket layout, AND the
+    denormalized corpus-global df — from the raw corpus. The df_checksum
+    is the strong part: the append path's one hard job is repairing df
+    on every touched bucket's standing rows, and a skipped or
+    under-repaired bucket breaks the sum even when counts and layout
+    look right. Completes the oracle-backed stats family for the winnow
+    rung (bm25/ivf/ivfpq/pq twins exist). Scale shape: one scan of the
+    integer fingerprint rows rolled up map-side to
+    {FP_INDEX_BUCKETS} rows."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="winnow_stats_")
+    try:
+        winnow_index_build(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        winnow_index_append(spark, tmp, d.filter(F.col("doc_id") >= split))
+        idx = spark.read.parquet(tmp)
+        return (
+            idx.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_fingerprints"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.countDistinct("h").cast("bigint").alias("n_hashes"),
+                F.sum("df").cast("bigint").alias("df_checksum"),
+                F.sum(F.col("h") % _STATS_CHECKSUM_MOD)
+                .cast("bigint")
+                .alias("h_checksum"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _substring_stats_oracle() -> str:
+    gram = hash60_sql(
+        "array_to_string(toks[i:i+{m}], ' ')".format(m=SUBSTR_NGRAM - 1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SUBSTR_NGRAM - 1})) AS i
+            FROM t WHERE len(toks) >= {SUBSTR_NGRAM}),
+    g AS (SELECT doc_id, i, {gram} AS h FROM idx)
+    SELECT CAST(h % {FP_INDEX_BUCKETS} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hashes,
+           CAST(SUM(i) AS BIGINT) AS i_checksum,
+           CAST(SUM(h % {_STATS_CHECKSUM_MOD}) AS BIGINT) AS h_checksum
+    FROM g GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("substring_index_stats", oracle=_substring_stats_oracle())
+def substring_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket stats read FROM THE PERSISTED window-fingerprint
+    artifact after a build+append cycle, against an oracle recomputing
+    window positions, hashes, and the bucket layout from the raw corpus.
+    The i_checksum pins POSITIONS, not just membership — the span
+    manifest's gaps-and-islands arithmetic consumes i directly, so a
+    shifted or duplicated window that leaves counts intact still breaks
+    the row. Scale shape: one scan of the three-int window rows rolled
+    up map-side to {FP_INDEX_BUCKETS} rows."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="substring_stats_")
+    try:
+        substring_index_build(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        substring_index_append(spark, tmp, d.filter(F.col("doc_id") >= split))
+        idx = spark.read.parquet(tmp)
+        return (
+            idx.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_windows"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.countDistinct("h").cast("bigint").alias("n_hashes"),
+                F.sum("i").cast("bigint").alias("i_checksum"),
+                F.sum(F.col("h") % _STATS_CHECKSUM_MOD)
+                .cast("bigint")
+                .alias("h_checksum"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _lsh_stats_oracle() -> str:
+    base = hash60_sql("s")
+    min_cols = ", ".join(
+        f"MIN(({MINHASH_A[i]} * (base % {MINHASH_PRIME}) + {MINHASH_B[i]})"
+        f" % {MINHASH_PRIME}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    band_rows = ",\n            ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || ',' || ".join(f"m{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    bkey_h = hash60_sql("bkey")
+    return f"""
+    WITH std AS (SELECT * FROM documents WHERE source != 'src0'),
+    {_SHINGLES_CTE.replace("FROM documents", "FROM std")},
+    hb AS (SELECT doc_id, {base} AS base FROM sh),
+    mh AS (SELECT doc_id, {min_cols} FROM hb GROUP BY doc_id),
+    bands AS (SELECT doc_id, bb.band, bb.bkey
+              FROM mh, LATERAL (VALUES
+            {band_rows}) AS bb(band, bkey))
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT bkey) AS BIGINT) AS n_keys,
+           CAST(SUM({bkey_h} % {_STATS_CHECKSUM_MOD}) AS BIGINT)
+             AS bkey_checksum
+    FROM bands GROUP BY band ORDER BY band
+    """
+
+
+@_register("lsh_index_stats", oracle=_lsh_stats_oracle())
+def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band stats read FROM THE PERSISTED banded-signature artifact
+    after a build+append cycle over the standing corpus, against an
+    oracle recomputing the full shingle -> minhash -> band pipeline from
+    raw text. Aggregation is per BAND, not per (band, bucket): the
+    bucket column is xxhash64-derived (no DuckDB twin by design —
+    equality-gated against the inline screen instead), but the band keys
+    themselves ARE oracle-expressible through the shared hash60 family,
+    so the checksum pins the resident md5 band keys row for row. With
+    this row every one of the seven persisted index kinds carries an
+    oracle-backed stats surface. Scale shape: one scan of the signature
+    rows rolled up map-side to {MINHASH_BANDS} rows."""
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import hash60
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    split = max(1, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="lsh_stats_")
+    try:
+        lsh_build_index(
+            spark, sf_dir, tmp, docs=d.filter(F.col("doc_id") < split)
+        )
+        lsh_append_index(spark, tmp, d.filter(F.col("doc_id") >= split))
+        idx = spark.read.parquet(tmp)
+        return (
+            idx.groupBy(F.col("band").cast("bigint").alias("band"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.countDistinct("bkey").cast("bigint").alias("n_keys"),
+                F.sum(hash60(F.col("bkey")) % _STATS_CHECKSUM_MOD)
+                .cast("bigint")
+                .alias("bkey_checksum"),
+            )
+            .orderBy("band")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _LSH_DELETE_WHERE = (
     "WHERE source = 'src0' OR doc_id < GREATEST(1,"
     " (SELECT (MAX(doc_id) + 1) * 4 // 5 FROM documents"

@@ -4968,6 +4968,84 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _pq_stats_oracle() -> str:
+    return f"""
+    WITH cb AS (
+      SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, s.sub, cb.k,
+             ROUND(SUM((e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                        - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)
+                       * (e.embedding[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE
+                          - cb.ce[s.sub * {PQ_SUBDIM} + j.j]::DOUBLE)), 6)
+               AS d6
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) s(sub)
+      CROSS JOIN cb
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) j(j)
+      GROUP BY e.vec_id, s.sub, cb.k
+    ),
+    best AS (
+      SELECT vec_id, sub, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, k) AS rn
+      FROM d
+    ),
+    pq AS (
+      SELECT vec_id,
+             CAST(SUM(k * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT)
+               AS pq_code
+      FROM best WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec_id,
+           CAST(SUM(pq_code) AS BIGINT) AS code_checksum
+    FROM pq
+    """
+
+
+@_register("pq_index_stats", oracle=_pq_stats_oracle())
+def pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table stats read FROM THE PERSISTED unpartitioned PQ code
+    table after a build+append cycle — the stats row for the one index
+    kind with no partitions to report per-list (the whole point of PQ
+    serving is scanning the compact full table), completing the
+    oracle-backed stats family across the vector layouts. The appended
+    1/5 is coded against the FROZEN ``_codebook`` sidecar and merged
+    through the crash-safe staged swap; the oracle recomputes count,
+    vec_id range, and the 32-bit code checksum from the raw embeddings
+    table, so a green row proves the post-swap bytes on disk are exactly
+    what full-corpus code math assigns — one flipped nibble in one code
+    breaks it, and so would a staged swap that dropped or duplicated a
+    file. Scale shape: one scan of the 12-byte/vector code table folded
+    map-side to a single row."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    split = max(APPEND_SEED_FLOOR, int(((mx or 0) + 1) * 4 // 5))
+    tmp = tempfile.mkdtemp(prefix="pq_stats_")
+    try:
+        pq_build_index(
+            spark, sf_dir, tmp, vectors=e.filter(F.col("vec_id") < split)
+        )
+        pq_append_index(spark, tmp, e.filter(F.col("vec_id") >= split))
+        return (
+            spark.read.parquet(tmp)
+            .agg(
+                F.count("*").cast("bigint").alias("n_vectors"),
+                F.min("vec_id").cast("bigint").alias("min_vec_id"),
+                F.max("vec_id").cast("bigint").alias("max_vec_id"),
+                F.sum("pq_code").cast("bigint").alias("code_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ann_screen_oracle() -> str:
     cos_assign = _COS_SQL.replace("qe", "e.embedding").replace("ne", "c.ce")
     cos_q = _COS_SQL.replace("qe", "q.embedding").replace("ne", "c.ce")
