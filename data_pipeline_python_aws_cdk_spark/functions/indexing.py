@@ -179,6 +179,13 @@ def index_compact(
     if not resume:
         assert_index_complete(spark, index_dir)
     clear_index_complete(spark, index_dir)
+    # Any torn-by-append breadcrumb is now stale: this mutation is a
+    # COMPACT, so if it crashes mid-rewrite the artifact may be missing
+    # whole lists and must NOT pass assert_index_screenable on the strength
+    # of a breadcrumb describing an older append (the round-13 advice
+    # finding). Cleared here — not in clear_index_complete — because the
+    # append path writes its breadcrumb BEFORE clearing the marker.
+    clear_torn_by_append(spark, index_dir)
     stats = compact(
         spark,
         index_dir,
@@ -243,7 +250,13 @@ def index_report(
             "n_rows": 0,
             "needs_compaction": len(files) > max(1, -(-n_bytes // target)),
         }
-    if leaves:
+    # Skip the row-count scan when NO leaf holds a visible data file (a
+    # stage-only artifact: the committed _stage of a torn swap is the sole
+    # copy) — spark.read.parquet(root) would raise AnalysisException on the
+    # empty file set, crashing the freshness report on exactly the torn
+    # state it exists to surface (the round-13 advice finding). n_rows
+    # stays 0 for stage-only leaves; `complete` is already False.
+    if leaves and any(p["n_files"] for p in leaves.values()):
         counts = (
             spark.read.parquet(root)
             .groupBy(
@@ -424,6 +437,22 @@ def finish_staged_table_swap(spark, index_dir: str) -> bool:
     return True
 
 
+def pending_committed_stage(spark, index_dir: str) -> bool:
+    """True when any leaf of the artifact holds a COMMITTED ``_stage``
+    (manifest present) — the torn-swap state :func:`finish_staged_table_swap`
+    converges idempotently. An uncommitted stage is discardable garbage and
+    does not count: the visible table is still whole there."""
+    from ..maintenance import _fs_leaf_dirs
+
+    fs, root_path, jvm = _hadoop_fs(spark, index_dir.rstrip("/"))
+    Path = jvm.org.apache.hadoop.fs.Path
+    for leaf in _fs_leaf_dirs(fs, root_path):
+        manifest = Path(f"{leaf.toString()}/{_STAGE_DIR}/{_STAGE_MANIFEST}")
+        if fs.exists(manifest):
+            return True
+    return False
+
+
 def index_maintain(
     spark, index_dir: str, target_file_bytes: int | None = None,
     resume: bool = False,
@@ -435,15 +464,30 @@ def index_maintain(
     work — no marker churn, no rewrite risk, on the 99% of runs where
     nothing fragmented.
 
+    Torn-swap convergence (the round-13 advice finding): a compact or
+    append that crashed mid-staged-swap leaves a COMMITTED ``_stage`` whose
+    leaf can show ZERO visible files — so ``fragmented_partitions`` alone
+    would skip the very compact that converges it, and a plain
+    ``index_compact`` would raise on the cleared marker. When the artifact
+    is incomplete AND a committed stage is pending, the compact runs with
+    ``resume=True``: each leaf's :func:`finish_staged_table_swap` folds the
+    stage in, the rewrite re-marks, and scheduled maintenance converges the
+    tear instead of reporting it forever. An incomplete artifact WITHOUT a
+    pending stage (torn build — lists may be missing) is left alone and
+    surfaces as ``complete: False``; only a rebuild can repair that.
+
     Returns {compacted, fragmented_before, fragmented_after, total_rows,
     total_files, complete} — ``compacted`` is :func:`index_compact`'s
     stats dict when a rewrite ran, else None.
     """
     before = index_report(spark, index_dir, target_file_bytes)
+    torn_swap = not before["complete"] and pending_committed_stage(
+        spark, index_dir
+    )
     compacted = None
-    if before["fragmented_partitions"] > 0:
+    if before["fragmented_partitions"] > 0 or torn_swap:
         compacted = index_compact(
-            spark, index_dir, target_file_bytes, resume=resume
+            spark, index_dir, target_file_bytes, resume=resume or torn_swap
         )
     after = (
         index_report(spark, index_dir, target_file_bytes)

@@ -945,12 +945,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_signatures(spark, sf_dir)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    # 4 (chunk, signature) rows per doc; materialized once. Exchange reuse
-    # would cover the corpus-scale shingle scan here too (see
-    # dedup_minhash_lsh), but the post-shuffle signature projection — a
-    # 60-branch CASE + conv(,2,10) per doc — is expensive enough that
-    # running it twice loses to one cut point (interleaved A/B at sf0.1:
-    # ~0.95 s with the checkpoint vs ~1.3-1.5 s without).
+    # 4 (chunk, signature) rows per doc. No cut point: the shuffle_hash hint
+    # (same pattern as dedup_embedding_cosine) keeps the self-join's two
+    # band-key exchanges symmetric, so they canonicalize equal and AQE's
+    # ReuseExchange serves BOTH sides from one materialization. The
+    # expensive post-shuffle signature projection (60-branch CASE +
+    # conv(,2,10)) sits BELOW that band-key exchange, so it runs exactly
+    # once — unlike the earlier localCheckpoint design, which paid an eager
+    # corpus-scale materialization to executor disk plus a serial job
+    # barrier before the main query even started (interleaved A/B at
+    # sf0.1: 1.32 s with the checkpoint vs 1.06 s with exchange reuse;
+    # plan-gated by tests/test_plans.py::
+    # test_simhash_band_join_reuses_exchange).
     keyed = sig.select(
         "doc_id",
         "simhash",
@@ -960,7 +966,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})").bitwiseAND(
             F.lit(mask)
         ),
-    ).localCheckpoint()
+    ).hint("shuffle_hash")
     a = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
     )

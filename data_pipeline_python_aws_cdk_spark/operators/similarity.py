@@ -511,8 +511,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy math runs on a small fraction of the corpus — the scale path
     when both sides are large. Recall vs the exact top-k is asserted in
     tests/test_extensions.py.
+
+    No localCheckpoint cut point: the query side's ``vec_id < N_QUERIES``
+    filter pushes BELOW the signature UDF to the parquet scan
+    (PushedFilters: LessThan(vec_id, 8) — min/max row-group skipping), so
+    the broadcast build re-derives signatures for the handful of query
+    vectors only, while the corpus-side signature scan still runs exactly
+    once. The previous eager checkpoint materialized the corpus-scale
+    signature stream (bands x |corpus| rows) to executor disk and paid a
+    serial job barrier before the main query — pure overhead once the
+    rescan is query-bounded.
     """
-    chunks = _signatures(spark, sf_dir)
+    chunks = _signatures(spark, sf_dir, checkpoint=False)
     q = chunks.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "chunk"
     )
@@ -1190,9 +1200,19 @@ def ivf_build_index(
     the full embeddings table — the base-corpus side of the append
     equality gate (build(base); append(batch) == build(base+batch)).
     """
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        clear_torn_by_append,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # A stale torn-by-append breadcrumb (this build repairing a torn
+    # append) must not survive into THIS mutation: if the rebuild itself
+    # crashes, the artifact may be missing whole lists and the screen's
+    # assert_index_screenable must reject it — a breadcrumb may only ever
+    # describe an in-flight append (the round-13 advice finding).
+    clear_torn_by_append(spark, index_dir)
     e = vectors if vectors is not None else load_table(spark, sf_dir, "embeddings")
     cent = centroids
     if cent is None:

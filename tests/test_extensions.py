@@ -5005,3 +5005,127 @@ def test_refined_codebook_wins_on_clustered_corpus(spark, tmp_path):
     # pins for the planted layout
     assert seed["ann_ivf"].recall_at_10 == 0.8375
     assert seed["ann_ivfpq_res"].recall_at_10 == 0.625
+
+
+# --- round 14: torn-lifecycle convergence (the round-13 advice findings) -------
+
+
+def test_index_report_stage_only_artifact_reports_instead_of_crashing(
+    spark, tmp_path
+):
+    """A committed ``_stage`` can be the artifact's ONLY copy (crash right
+    after the stage commit, before any file moved up): the freshness report
+    must describe that state — complete False, zero visible files/rows —
+    not die in its row-count scan on the empty visible file set."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        index_report,
+        pending_committed_stage,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, i * 7) for i in range(6)], "vec_id long, pq_code long"
+    )
+    (tmp_path / "tbl").mkdir()
+    _commit_stage(spark, root, rows)
+    rep = index_report(spark, root)
+    assert rep["complete"] is False
+    assert rep["total_files"] == 0 and rep["total_rows"] == 0
+    assert rep["n_partitions"] == 1  # the stage-only leaf is still visible
+    assert pending_committed_stage(spark, root) is True
+
+
+def test_index_maintain_converges_torn_staged_swap(spark, tmp_path):
+    """The cron frame must CONVERGE a torn staged swap, not skip it (leaf
+    shows 0 visible files -> not 'fragmented') or crash on the cleared
+    marker (resume=False assert): with a committed stage pending and the
+    marker gone, index_maintain runs the compact with resume, the per-leaf
+    finish_staged_table_swap folds the stage in, and the artifact comes
+    back complete with exactly the staged rows."""
+    import os
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        clear_index_complete,
+        index_maintain,
+        index_report,
+    )
+
+    idx = str(tmp_path / "pq_like")
+    old = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "vec_id long, pq_code long"
+    )
+    old.repartition(2).write.parquet(idx)
+    spark.createDataFrame([(True,)], "complete boolean").coalesce(
+        1
+    ).write.parquet(f"{idx}/_complete")
+
+    # worst-case tear: stage committed, marker cleared, ALL visible files
+    # already deleted — the stage is the sole copy
+    new = spark.createDataFrame(
+        [(i, i * 7) for i in range(5)], "vec_id long, pq_code long"
+    )
+    _commit_stage(spark, idx, new)
+    clear_index_complete(spark, idx)
+    for n in os.listdir(idx):
+        if not n.startswith(("_", ".")) and os.path.isfile(f"{idx}/{n}"):
+            os.remove(f"{idx}/{n}")
+
+    st = index_maintain(spark, idx)
+    assert st["compacted"] is not None  # the converging compact RAN
+    assert st["complete"] is True
+    assert not os.path.exists(f"{idx}/_stage")
+    # _index_rows sorts columns alphabetically: (pq_code, vec_id)
+    assert _index_rows(spark, idx) == sorted((i * 7, i) for i in range(5))
+    after = index_report(spark, idx)
+    assert after["total_rows"] == 5 and after["complete"] is True
+
+    # an incomplete artifact WITHOUT a pending stage (torn build) is left
+    # alone: no compact, complete stays False — only a rebuild repairs it
+    clear_index_complete(spark, idx)
+    st2 = index_maintain(spark, idx)
+    assert st2["compacted"] is None and st2["complete"] is False
+
+
+def test_rebuild_and_compact_clear_stale_append_breadcrumb(
+    spark, tmp_path, monkeypatch
+):
+    """A _torn_by_append breadcrumb may only ever describe an IN-FLIGHT
+    append. If the repairing rebuild (or a compact) itself crashes, the
+    artifact can be missing whole lists — the streaming screen's
+    assert_index_screenable must reject it rather than accept the stale
+    breadcrumb of the older append."""
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        assert_index_screenable,
+        index_compact,
+        mark_torn_by_append,
+        torn_by_append,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(spark, SF_SMOKE, idx)
+
+    # simulate: an append tore (breadcrumb present, marker gone), then the
+    # repairing REBUILD crashes mid-assignment
+    mark_torn_by_append(spark, idx)
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash mid-build")
+    monkeypatch.setattr(similarity, "_assign_nearest_centroid", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.ivf_build_index(spark, SF_SMOKE, idx)
+    monkeypatch.undo()
+    assert torn_by_append(spark, idx) is False  # breadcrumb cleared FIRST
+    with pytest.raises(ValueError, match="torn by a build or compact"):
+        assert_index_screenable(spark, idx)
+
+    # same discipline on the compact path: breadcrumb dropped before the
+    # rewrite, so a crash mid-compact leaves an unscreenable artifact
+    similarity.ivf_build_index(spark, SF_SMOKE, idx)
+    mark_torn_by_append(spark, idx)
+    import data_pipeline_python_aws_cdk_spark.maintenance as maint
+    monkeypatch.setattr(maint, "compact", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        index_compact(spark, idx, resume=True)
+    monkeypatch.undo()
+    assert torn_by_append(spark, idx) is False
+    with pytest.raises(ValueError, match="torn by a build or compact"):
+        assert_index_screenable(spark, idx)

@@ -753,3 +753,38 @@ def test_substring_family_scan_counts_pinned(spark):
         final = _plan(df).split("== Initial Plan ==")[0]
         got = final.count("Scan parquet")
         assert got == expected, f"{fn.__name__}: {got} scans, expected {expected}"
+
+
+def test_simhash_band_join_reuses_exchange(spark):
+    # dedup_simhash carries NO localCheckpoint cut point (round 14): the
+    # band self-join's two (band, chunk) exchanges canonicalize equal under
+    # the shuffle_hash hint, so AQE's ReuseExchange serves BOTH sides from
+    # one materialization and the expensive post-shuffle signature
+    # projection (60-branch CASE + conv) runs exactly once, BELOW the
+    # reused exchange. The old eager checkpoint materialized the banded
+    # corpus stream to executor disk and cut lineage — a fault-tolerance
+    # and disk-bandwidth liability at 100 TB.
+    from data_pipeline_python_aws_cdk_spark.operators import dedup
+
+    out = dedup.dedup_simhash(spark, SF_SMOKE)
+    out.collect()  # AQE: reuse is visible only in the final executed plan
+    plan = _plan(out)
+    assert "Checkpoint" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert "ShuffledHashJoin" in final
+
+
+def test_ann_lsh_query_rescan_is_pruned_no_checkpoint(spark):
+    # similarity_ann_lsh carries NO localCheckpoint cut point (round 14):
+    # the query side's vec_id < N_QUERIES filter must push BELOW the
+    # signature UDF to the parquet scan, so the broadcast build re-derives
+    # signatures for the handful of query vectors only while the
+    # corpus-side signature scan runs exactly once — no corpus-scale
+    # executor-disk materialization, no lineage cut.
+    from data_pipeline_python_aws_cdk_spark.operators import similarity
+
+    out = similarity.similarity_ann_lsh(spark, SF_SMOKE)
+    plan = _plan(out)
+    assert "Checkpoint" not in plan
+    assert "LessThan(vec_id,8)" in plan.replace(" ", "")
