@@ -34,7 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.hashing import hash60, hash60_sql
+from ..functions.hashing import hash60, hash60_spark_sql, hash60_sql
 from ..functions.textfns import BIGRAM_EXPR, lower_ws_tokens
 from ..tables import load_table
 
@@ -128,7 +128,6 @@ def _doc_shingle_sets(d: DataFrame) -> DataFrame:
     t = d.select(
         "doc_id", lower_ws_tokens("text").alias("toks")
     ).filter(F.size("toks") >= 2)
-    hashed = F.transform(F.expr(BIGRAM_EXPR), lambda s: hash60(s))
     # The coalesce is a NULLABILITY ANNOTATION, not a value change: the
     # size(toks) >= 2 filter already drops NULL-token rows, so the empty-array
     # branch never fires. Without it, a downstream join condition touching
@@ -137,9 +136,14 @@ def _doc_shingle_sets(d: DataFrame) -> DataFrame:
     # transform/sequence tree (split() re-evaluated per element) as an
     # interpreted filter, a measured 6x slowdown of the broadcast-build
     # stage. A non-nullable sset infers no constraint.
-    sset = F.coalesce(
-        F.sort_array(F.array_distinct(hashed)),
-        F.array().cast("array<bigint>"),
+    #
+    # Spelled as ONE parsed-SQL expression (hash60_spark_sql parses to the
+    # identical tree as the hash60 Column form, property-gated): the nested
+    # transform/coalesce chain was ~30 py4j round trips per plan build.
+    sset = F.expr(
+        "coalesce(sort_array(array_distinct(transform("
+        f"{BIGRAM_EXPR}, s -> {hash60_spark_sql('s')}"
+        "))), CAST(array() AS ARRAY<BIGINT>))"
     )
     return t.select("doc_id", sset.alias("sset")).withColumn(
         "n", F.size("sset")
@@ -335,12 +339,19 @@ def _minhash_signature_table(d: DataFrame) -> DataFrame:
     """
     base = hash60(F.col("s")) % MINHASH_PRIME
     hb = _shingles(d, distinct=False).select("doc_id", base.alias("base"))
+    # One parsed-SQL expression per aggregate instead of ~8 chained Column
+    # ops: the K=16 min-aggs were the single largest py4j round-trip source
+    # in the engine (~130 driver<->JVM socket turns per plan build, ~0.2 s
+    # of the query's driver-side latency at any data size). The parsed tree
+    # is IDENTICAL to the Column spelling (optimized-plan strings compare
+    # equal after expr-id canonicalization), so plans, results, and the
+    # oracle contract are untouched — only the build-time chatter goes.
     return hb.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("base") + F.lit(MINHASH_B[i]))
-                % MINHASH_PRIME
-            ).alias(f"m{i}")
+            F.expr(
+                f"min(({MINHASH_A[i]} * base + {MINHASH_B[i]})"
+                f" % {MINHASH_PRIME}) AS m{i}"
+            )
             for i in range(MINHASH_K)
         ]
     )
@@ -367,26 +378,22 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
     """
     mins = _minhash_signature_table(d)
     r = MINHASH_K // MINHASH_BANDS
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{band * r + j}").cast("string")
-                        for j in range(r)
-                    ],
-                )
-            ).alias("bkey"),
+    # One parsed-SQL explode instead of 4 struct()/md5()/concat_ws() Column
+    # chains — same py4j-thinning as the signature aggregates above; the
+    # parsed expression tree is identical (explicit CASTs keep the
+    # bigint->string coercion the Column spelling had under ANSI mode).
+    struct_sql = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bkey)".format(
+            b=band,
+            cols=", ".join(
+                f"CAST(m{band * r + j} AS STRING)" for j in range(r)
+            ),
         )
         for band in range(MINHASH_BANDS)
-    ]
-    bands = mins.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bc")
-    ).select(
-        "doc_id", F.col("bc.band").alias("band"), F.col("bc.bkey").alias("bkey")
     )
+    bands = mins.select(
+        "doc_id", F.expr(f"explode(array({struct_sql}))").alias("bc")
+    ).select("doc_id", "bc.band", "bc.bkey")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     return (

@@ -222,3 +222,34 @@ def test_round6_half_up_matches_f_round(spark, extra):
     assert jvm == py, [
         (v, j, p) for v, j, p in zip(vals, jvm, py) if j != p
     ]
+
+
+def test_hash60_spark_sql_parses_to_identical_tree(spark):
+    """hash60_spark_sql (the one-py4j-call SQL spelling used inside
+    higher-order-function lambdas) must parse to the IDENTICAL expression
+    tree as the hash60 Column spelling, in BOTH hash families — call sites
+    rely on interchangeability, and a drift here would silently change
+    bucket/band keys."""
+    import re
+
+    from data_pipeline_python_aws_cdk_spark.functions.hashing import (
+        hash60,
+        hash60_spark_sql,
+    )
+
+    df = spark.createDataFrame([("a",), ("xyz",), (None,)], "s string")
+    canon = lambda p: re.sub(r"#\d+L?", "#x", p)  # noqa: E731
+    for mode in ("oracle", "production"):
+        col_plan = canon(
+            df.select(hash60(F.col("s"), mode=mode).alias("h"))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        sql_plan = canon(
+            df.select(F.expr(hash60_spark_sql("s", mode=mode)).alias("h"))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert col_plan == sql_plan, mode
+        # and the values themselves
+        a = [r.h for r in df.select(hash60(F.col("s"), mode=mode).alias("h")).collect()]
+        b = [r.h for r in df.select(F.expr(hash60_spark_sql("s", mode=mode)).alias("h")).collect()]
+        assert a == b, mode
