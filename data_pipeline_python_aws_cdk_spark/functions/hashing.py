@@ -65,15 +65,21 @@ def hash60(col: Column | str, salt: str | None = None, mode: str | None = None) 
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
 
 
-def hash60_spark_sql(expr: str, mode: str | None = None) -> str:
+def hash60_spark_sql(
+    expr: str, salt: str | None = None, mode: str | None = None
+) -> str:
     """:func:`hash60` as a Spark-SQL string over an arbitrary expression
     (e.g. a higher-order-function lambda variable, where a Column can't
     reach). Parses to the IDENTICAL expression tree as the Column spelling
     — gated by tests/test_hashing_property.py — so call sites may use
-    either form interchangeably; the SQL form costs one py4j round trip
-    where the Column form costs ~6 (the driver-latency motivation)."""
+    either form interchangeably, including the ``salt`` parameter (same
+    ``'salt:' || value`` derivation as :func:`hash60`); the SQL form costs
+    one py4j round trip where the Column form costs ~6 (the driver-latency
+    motivation)."""
     if mode is not None and mode not in _MODES:
         raise ValueError(f"mode={mode!r}; expected one of {_MODES}")
+    if salt is not None:
+        expr = f"concat('{salt}:', {expr})"
     if (mode or hash_mode()) == "production":
         return f"(xxhash64(CAST({expr} AS STRING)) & {_MASK60})"
     return (

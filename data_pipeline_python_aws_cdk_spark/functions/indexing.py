@@ -453,6 +453,34 @@ def pending_committed_stage(spark, index_dir: str) -> bool:
     return False
 
 
+def discard_stale_stages(spark, index_dir: str) -> int:
+    """Delete every leaf ``_stage`` dir (committed or not) under the
+    artifact. For BUILDS only — a rebuild replaces the whole artifact, so
+    any pending stage describes a table that is about to stop existing.
+
+    Why builds must do this (the round-14 advice finding): a committed
+    stage left by an older torn compact/append can survive a build, because
+    a crashed build's partition overwrite only touches the leaves it wrote.
+    ``index_maintain`` attributes "incomplete + any committed stage" to a
+    torn SWAP and converges it — folding the pre-rebuild stage into a
+    torn-BUILD artifact and marking complete an index missing whole lists,
+    which probes then silently accept. Discarding stages at build start
+    (the same discipline as :func:`clear_torn_by_append`) makes a pending
+    committed stage attributable to the current artifact generation, never
+    an older one. Returns the number of stages discarded."""
+    from ..maintenance import _fs_leaf_dirs
+
+    fs, root_path, jvm = _hadoop_fs(spark, index_dir.rstrip("/"))
+    Path = jvm.org.apache.hadoop.fs.Path
+    n = 0
+    for leaf in _fs_leaf_dirs(fs, root_path):
+        stage = Path(f"{leaf.toString()}/{_STAGE_DIR}")
+        if fs.exists(stage):
+            fs.delete(stage, True)
+            n += 1
+    return n
+
+
 def index_maintain(
     spark, index_dir: str, target_file_bytes: int | None = None,
     resume: bool = False,

@@ -179,44 +179,62 @@ def _pair_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard over distinct-shingle sets.
+def _doc_shingle_string_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, sarr: array<string>, n) — each doc's distinct RAW-STRING
+    2-gram shingle set assembled IN-ROW, with no shuffle at all: the
+    string twin of :func:`_doc_shingle_sets` for consumers whose oracle
+    joins raw shingles (containment / all-pairs Jaccard).
 
-    ``pairs`` (doc_a, doc_b) restricts the computation to candidates (the
-    LSH path); None means all-pairs via the inverted-index self-join.
+    The explode → ``.distinct()`` spelling pays a corpus-scale exchange to
+    dedup rows that all live in their source row already, and its
+    consumers pay ANOTHER corpus exchange (``groupBy(doc_id).count()``) to
+    learn set sizes the array carries for free (guide §2.4: remove
+    shuffles outright). Set membership and size are identical to the
+    exploded path: same tokenizer contract, same bigram expression,
+    ``array_distinct`` keeps first occurrence.
 
-    The two paths use different physical shapes on purpose:
-
-    - all-pairs: inverted-index self-join on the shingle — the only way to
-      avoid enumerating the quadratic pair space.
-    - candidates: per-doc sets (built by the caller, map-only via
-      _doc_shingle_sets) broadcast once into both pair-side joins —
-      see _pair_jaccard_sets.
+    The coalesce is the same NULLABILITY ANNOTATION as _doc_shingle_sets
+    (the empty-array branch never fires past the size filter); it keeps
+    InferFiltersFromConstraints from pushing an isnotnull through this
+    projection and re-inlining the transform tree as an interpreted
+    filter.
     """
-    if pairs is not None:
-        # Legacy shape for exploded-stream callers: collect_set rebuilds the
-        # per-doc set (dedup inside the aggregation, no separate distinct()
-        # shuffle). The minhash path bypasses this via _doc_shingle_sets.
-        sets = sh.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("s")).alias("sset"),
-        ).withColumn("n", F.size("sset"))
-        return _pair_jaccard_sets(sets, pairs)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    t = d.select(
+        "doc_id", lower_ws_tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    sarr = F.expr(
+        f"coalesce(array_distinct({BIGRAM_EXPR}), CAST(array() AS ARRAY<STRING>))"
+    )
+    return t.select("doc_id", sarr.alias("sarr")).withColumn("n", F.size("sarr"))
+
+
+def _all_pairs_jaccard(d: DataFrame) -> DataFrame:
+    """All-pairs exact Jaccard via the inverted-index self-join — the only
+    way to avoid enumerating the quadratic pair space.
+
+    Physical shape (round 15, guide §2.4): per-doc set sizes ride THROUGH
+    the exploded stream as an extra long per row, so the pair aggregate
+    already knows na/nb — no separate ``groupBy(doc_id).count()`` corpus
+    exchange and no post-aggregation joins back to a counts table. The
+    map-side distinct (:func:`_doc_shingle_string_sets`) removes the
+    ``.distinct()`` exchange too: the whole query is scan → in-row sets →
+    explode → one reused (s)-keyed exchange pair → pair aggregate.
+    Columns: (doc_a, na, doc_b, nb, common, jaccard).
+    """
+    ex = _doc_shingle_string_sets(d).select(
+        "doc_id", "n", F.explode("sarr").alias("s")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     common = (
         a.join(b, ["s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count("*").alias("common"))
     )
-    return (
-        common.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("common")),
-        )
+    return common.withColumn(
+        "jaccard",
+        F.col("common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("common")),
     )
 
 
@@ -261,8 +279,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh).
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    out = _pair_jaccard(sh)
+    out = _all_pairs_jaccard(d)
     return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1428,27 +1445,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes of the SMALLER set (bottom-k sketch), whose collision rate
     tracks containment rather than Jaccard — same downstream verify.
     """
+    # Round 15 (guide §2.4): set sizes ride through the exploded stream —
+    # the .distinct() exchange, the groupBy(doc_id).count() exchange, and
+    # the two post-aggregation joins back to the counts table are gone.
+    # Same inverted-index pair space, same results (the sweep measured the
+    # old shape at 15.8 s / this one materially below it; see
+    # OPTIMIZATION_r15.md for the interleaved numbers).
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    ex = _doc_shingle_string_sets(d).select(
+        "doc_id", "n", F.explode("sarr").alias("s")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     common = (
         a.join(b, ["s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count("*").alias("common"))
     )
     return (
-        common.join(
-            cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            "doc_a",
-        )
-        .join(
-            cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            "doc_b",
-        )
-        .select(
+        common.select(
             "doc_a",
             "doc_b",
             F.round(F.col("common") / F.col("na"), 6).alias("containment_a"),
@@ -1608,55 +1624,80 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled hash lands in B with probability c and a candidate fires with
     p = 1-(1-c)^k (k=8, c=0.6 -> 0.9993) — the collision rate tracks
     CONTAINMENT, where band collisions track Jaccard and miss contained
-    docs (see dedup_containment's planted-case test). Both sides of the
-    candidate join derive map-side from ONE corpus groupBy into per-doc
-    sorted hash-set arrays (bottom-k = slice, index = explode; exchange
-    reused), so the only corpus-scale shuffles are that groupBy and the
-    k-vs-index equi-join on the hash — decontaminate's proven shape.
-    Candidates-only exact verification reuses the broadcast-set pattern.
+    docs (see dedup_containment's planted-case test).
+
+    Physical shape (round 15, guide §2.4/§5): candidacy and verification
+    FUSE into one inverted-index pass. A shared hash h of pair (a, b) is
+    in a's bottom-k iff h <= a's k-th smallest hash (the sets are
+    distinct, so bottom-k = every element <= that cut; n < k degenerates
+    to the whole set, where any shared hash qualifies) — so per unordered
+    co-occurring pair it suffices to aggregate COUNT(shared) and
+    MIN(shared h) and compare against each side's cut. The per-doc sorted
+    hash sets build map-side (:func:`_doc_shingle_sets` — no corpus
+    groupBy), set size and cut ride through the exploded stream, and the
+    old shape's THREE liabilities disappear: the separate bottom-k-vs-
+    index candidate join, the candidate-ids broadcast, and the broadcast
+    of candidate docs' FULL hash sets into a per-pair array_intersect —
+    the latter two being hard broadcast-cap walls once the near-dup
+    fraction of a 100 TB corpus stops fitting on one executor. (Measured
+    at sf0.1: 127 s -> see OPTIMIZATION_r15.md; the old verification
+    broadcast dominated.)
     """
     d = load_table(spark, sf_dir, "documents")
-    hashed = _shingles(d, distinct=False).select(
-        "doc_id", hash60(F.col("s")).alias("h")
+    sets = _doc_shingle_sets(d)  # (doc_id, sset sorted asc, n) — map-only
+    # k-th smallest hash = the bottom-k inclusion cut (sset is sorted and
+    # duplicate-free; n >= 1 past the two-token filter, so element_at's
+    # index is always valid).
+    ex = sets.select(
+        "doc_id",
+        "n",
+        F.element_at("sset", F.least(F.lit(BOTTOMK_K), F.col("n"))).alias("cut"),
+        F.explode("sset").alias("h"),
     )
-    sets = (
-        hashed.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("h")).alias("sset"))
-        .withColumn("n", F.size("sset"))
-    )
-    bk = sets.select(
+    a = ex.select(
         F.col("doc_id").alias("doc_a"),
-        F.explode(F.slice("sset", 1, BOTTOMK_K)).alias("h"),
+        F.col("n").alias("na"),
+        F.col("cut").alias("cut_a"),
+        "h",
     )
-    idx = sets.select(F.col("doc_id").alias("doc_b"), F.explode("sset").alias("h"))
-    cand = (
-        bk.join(idx, "h")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("cut").alias("cut_b"),
+        "h",
     )
-    # No distinct on the id union: the LEFT SEMI probe dedupes inside the
-    # broadcast hash build (same one-fewer-exchange trick as
-    # dedup_minhash_lsh's verification prune).
-    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
-        cand.select(F.col("doc_b").alias("doc_id"))
+    pair = (
+        a.join(b, ["h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "na", "cut_a", "doc_b", "nb", "cut_b")
+        .agg(F.count("*").alias("common"), F.min("h").alias("minh"))
     )
-    vsets = sets.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sa = F.broadcast(vsets).alias("ba")
-    sb = F.broadcast(vsets).alias("bb")
+    # Each unordered pair yields up to two DIRECTIONAL rows; a direction
+    # is a candidate iff the minimum shared hash clears that side's
+    # bottom-k cut (exactly "some shared hash is in the probe's sketch").
+    both = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_a"),
+                    F.col("doc_b").alias("doc_b"),
+                    (F.col("minh") <= F.col("cut_a")).alias("is_cand"),
+                    F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    (F.col("minh") <= F.col("cut_b")).alias("is_cand"),
+                    F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     return (
-        cand.join(sa, F.col("doc_a") == F.col("ba.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("bb.doc_id"))
-        .withColumn(
-            "common",
-            F.size(F.array_intersect(F.col("ba.sset"), F.col("bb.sset"))),
+        both.filter(
+            F.col("is_cand") & (F.col("containment") >= CONTAINMENT_THRESHOLD)
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("common") / F.col("ba.n"), 6).alias("containment"),
-        )
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -2170,9 +2211,17 @@ def lsh_build_index(
     (source != src0).
     """
     from ..functions.hashing import write_hash_mode_meta
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        discard_stale_stages,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # A committed _stage left by an older torn compact must not survive the
+    # rebuild: index_maintain would attribute it to a torn swap and
+    # converge pre-rebuild data into a torn-build artifact (advice r14).
+    discard_stale_stages(spark, index_dir)
     d = (
         docs
         if docs is not None
@@ -2429,7 +2478,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines so boundary pairs bin identically.
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = _pair_jaccard(_shingles(d)).filter(
+    pairs = _all_pairs_jaccard(d).filter(
         F.col("jaccard") >= min(CURVE_THRESHOLDS)
     )
     th = spark.createDataFrame(
@@ -3971,9 +4020,15 @@ def substring_index_build(
     ``docs``: optional documents frame to index instead of the sf_dir
     table — the base-corpus side of the append equality gate.
     """
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        discard_stale_stages,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # stale-stage discipline at build start — see lsh_build_index
+    discard_stale_stages(spark, index_dir)
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     g = _substring_windows(d).withColumn(
         "bucket", F.pmod(F.col("h"), F.lit(FP_INDEX_BUCKETS))
@@ -4321,9 +4376,15 @@ def winnow_index_build(
     ``docs``: optional documents frame — the append equality gate's base.
     """
     from ..functions.hashing import write_hash_mode_meta
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        discard_stale_stages,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # stale-stage discipline at build start — see lsh_build_index
+    discard_stale_stages(spark, index_dir)
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     fp = (
         _winnow_selected(d)

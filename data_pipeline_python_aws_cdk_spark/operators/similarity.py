@@ -1203,6 +1203,7 @@ def ivf_build_index(
     from ..functions.indexing import (
         clear_index_complete,
         clear_torn_by_append,
+        discard_stale_stages,
         mark_index_complete,
     )
 
@@ -1213,6 +1214,11 @@ def ivf_build_index(
     # assert_index_screenable must reject it — a breadcrumb may only ever
     # describe an in-flight append (the round-13 advice finding).
     clear_torn_by_append(spark, index_dir)
+    # Same discipline for stale leaf _stage dirs (the round-14 advice
+    # finding): a committed stage from an older torn compact surviving
+    # into a torn BUILD would make index_maintain converge pre-rebuild
+    # data and mark complete an artifact missing whole lists.
+    discard_stale_stages(spark, index_dir)
     e = vectors if vectors is not None else load_table(spark, sf_dir, "embeddings")
     cent = centroids
     if cent is None:
@@ -2975,9 +2981,15 @@ def pq_build_index(
     vec_ids) regardless, so base and incremental artifacts code against
     identical codewords.
     """
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        discard_stale_stages,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # stale-stage discipline at build start — see indexing.discard_stale_stages
+    discard_stale_stages(spark, index_dir)
     e = load_table(spark, sf_dir, "embeddings")
     cb = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
@@ -4136,9 +4148,15 @@ def ivfpq_build_index(
     probe always ranks and ADC-scores against exactly the codebooks the
     lists and codes were built from.
     """
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        discard_stale_stages,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # stale-stage discipline at build start — see indexing.discard_stale_stages
+    discard_stale_stages(spark, index_dir)
     e = vectors if vectors is not None else load_table(spark, sf_dir, "embeddings")
     cent = centroids
     if cent is None:
@@ -5434,9 +5452,15 @@ def ivfpq_residual_build_index(
     against the sidecars persisted WITH the index, so the pairing cannot
     drift.
     """
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        discard_stale_stages,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # stale-stage discipline at build start — see indexing.discard_stale_stages
+    discard_stale_stages(spark, index_dir)
     e = vectors if vectors is not None else load_table(spark, sf_dir, "embeddings")
     if centroids is None:
         cent = e.filter(F.col("vec_id") < IVF_NLIST).select(

@@ -863,9 +863,15 @@ def bm25_build_index(
     sidecar the partition readers never see.
     """
     from ..functions.hashing import write_hash_mode_meta
-    from ..functions.indexing import clear_index_complete, mark_index_complete
+    from ..functions.indexing import (
+        clear_index_complete,
+        discard_stale_stages,
+        mark_index_complete,
+    )
 
     clear_index_complete(spark, index_dir)
+    # stale-stage discipline at build start — see indexing.discard_stale_stages
+    discard_stale_stages(spark, index_dir)
     postings, stats = _bm25_corpus_tables(spark, sf_dir, docs=docs)
     out = postings.withColumn(
         "bucket", F.pmod(hash60(F.col("term")), F.lit(BM25_INDEX_BUCKETS))

@@ -5129,3 +5129,63 @@ def test_rebuild_and_compact_clear_stale_append_breadcrumb(
     assert torn_by_append(spark, idx) is False
     with pytest.raises(ValueError, match="torn by a build or compact"):
         assert_index_screenable(spark, idx)
+
+
+# --- round 15: stale-stage discipline at build start (the round-14 advice) ----
+
+
+def test_build_discards_stale_stage_so_maintain_cannot_converge_torn_build(
+    spark, tmp_path, monkeypatch
+):
+    """A committed ``_stage`` left by an OLDER torn compact must not survive
+    into a later torn BUILD: index_maintain attributes "incomplete + any
+    committed stage" to a torn swap and would otherwise fold the
+    pre-rebuild stage in and mark_index_complete an artifact missing whole
+    lists — which probes then silently accept. Builds discard stale leaf
+    stages at start (the clear_torn_by_append discipline), so a pending
+    committed stage is always attributable to the CURRENT artifact
+    generation."""
+    import os
+
+    from data_pipeline_python_aws_cdk_spark.functions.indexing import (
+        index_maintain,
+        pending_committed_stage,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(spark, SF_SMOKE, idx)
+
+    # an older compact tore mid-swap: one leaf holds a committed stage
+    leaf = next(
+        f"{idx}/{n}" for n in sorted(os.listdir(idx))
+        if n.startswith("centroid_id=")
+    )
+    stale = spark.createDataFrame(
+        [(99991, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    _commit_stage(spark, leaf, stale)
+    assert pending_committed_stage(spark, idx) is True
+
+    # the repairing REBUILD crashes mid-assignment (a torn build)
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash mid-build")
+
+    monkeypatch.setattr(similarity, "_assign_nearest_centroid", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.ivf_build_index(spark, SF_SMOKE, idx)
+    monkeypatch.undo()
+
+    # the stale stage was discarded at build start, so scheduled
+    # maintenance must NOT converge it: the torn build stays incomplete
+    # (only a rebuild repairs it) and the planted row can never surface
+    assert pending_committed_stage(spark, idx) is False
+    st = index_maintain(spark, idx)
+    assert st["compacted"] is None and st["complete"] is False
+    assert 99991 not in {
+        r.vec_id for r in spark.read.parquet(idx).select("vec_id").collect()
+    }
+
+    # a clean rebuild over the same dir still converges to a whole artifact
+    similarity.ivf_build_index(spark, SF_SMOKE, idx)
+    rep = index_maintain(spark, idx)
+    assert rep["complete"] is True

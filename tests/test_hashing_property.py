@@ -253,3 +253,16 @@ def test_hash60_spark_sql_parses_to_identical_tree(spark):
         a = [r.h for r in df.select(hash60(F.col("s"), mode=mode).alias("h")).collect()]
         b = [r.h for r in df.select(F.expr(hash60_spark_sql("s", mode=mode)).alias("h")).collect()]
         assert a == b, mode
+        # salted form: same 'salt:' || value derivation in both spellings
+        col_salted = canon(
+            df.select(hash60(F.col("s"), salt="k7", mode=mode).alias("h"))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        sql_salted = canon(
+            df.select(F.expr(hash60_spark_sql("s", salt="k7", mode=mode)).alias("h"))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert col_salted == sql_salted, mode
+        sa = [r.h for r in df.select(hash60(F.col("s"), salt="k7", mode=mode).alias("h")).collect()]
+        sb = [r.h for r in df.select(F.expr(hash60_spark_sql("s", salt="k7", mode=mode)).alias("h")).collect()]
+        assert sa == sb, mode

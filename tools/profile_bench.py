@@ -44,6 +44,7 @@ def _ui(path: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", default=os.environ.get("SPARK_GRAFT_ROUND", "r15"))
     ap.add_argument("--queries", default="")
     ap.add_argument("--no-plans", action="store_true")
     ap.add_argument("--runs", type=int, default=3)
@@ -56,7 +57,7 @@ def main() -> None:
     names = [n for n in (args.queries.split(",") if args.queries else HEADLINE) if n in registry]
 
     app_id = sc.applicationId
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     # Warm-up: JIT/codegen/Arrow worker spin-up, same rationale as bench.py.
@@ -120,9 +121,9 @@ def main() -> None:
             "df_build_sec": round(plan_ms_best, 4),
             "jobs_per_run": round(len(jobs) / n_runs, 1),
             "stages_per_run": round(len(stages) / n_runs, 1),
-            "exec_ms_total": exec_ms,
-            "shuffle_read_b": shuffle_r,
-            "shuffle_write_b": shuffle_w,
+            "exec_ms_total_all_runs": exec_ms,
+            "shuffle_read_b_total_all_runs": shuffle_r,
+            "shuffle_write_b_total_all_runs": shuffle_w,
         }
         out.append(rec)
         print(json.dumps(rec), flush=True)
